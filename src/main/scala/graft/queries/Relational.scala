@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory from SURVEY.md §2 (S/P/J/A rows), each as a
+  * runnable query over the driver testdata with a DuckDB oracle.
+  *
+  * Reference semantics being exercised (file:line cites are to
+  * /root/reference):
+  *   - S1 parquet scan w/ pushdown (spark/spark.py:45-55)
+  *   - P1/P2/P4/P6/P7 projections, derived cols, filters, literals
+  *     (h3_indexer.py:44-76, geospatial.py:150, validator.py:76-91)
+  *   - J1-J4 equi-joins incl. full-outer fold (h3_indexer.py:124-127,
+  *     h3_resolver.py:71-82,119-123)
+  *   - A1-A4 group-sum, distinct, pk-count, multiply-then-sum
+  *     (h3_resolver.py:22-42,125-127; h3_indexer.py:116-121; validator.py:15-36)
+  */
+object Relational {
+
+  val qs: Seq[QueryDef] = Seq(
+    // S1 + P1 + P4/P6: scan with filter + projection; predicate and column
+    // pruning must reach the parquet reader.
+    QueryDef(
+      "s1_scan_filter_project",
+      (s, d) =>
+        T(s, d, "lineitem")
+          .where(col("l_quantity") < 5 && col("l_returnflag") === "R")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_quantity < 5 AND l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      headline = true
+    ),
+
+    // P2 + P7: derived columns and literal columns (ratio ≡ 1.0 idiom of the
+    // WITHIN method, h3_indexer.py:132-140).
+    QueryDef(
+      "p2_derived_literals",
+      (s, d) =>
+        T(s, d, "lineitem")
+          .where(col("l_linenumber") === 1)
+          .select(
+            col("l_orderkey"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"),
+            lit(4).as("h3_resolution"),
+            lit(1.0).as("ratio")
+          )
+          .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, l_extendedprice * (1.0 - l_discount) AS net_price,
+             |4 AS h3_resolution, CAST(1.0 AS DOUBLE) AS ratio
+             |FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey""".stripMargin)
+    ),
+
+    // A1: the resolver's group-and-sum core (h3_resolver.py:22-42).
+    QueryDef(
+      "a1_group_sum",
+      (s, d) =>
+        T(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+             |count(*) AS cnt FROM lineitem
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true
+    ),
+
+    // A2: distinct (the cell-dimension dedup idiom, h3_indexer.py:116-121).
+    QueryDef(
+      "a2_distinct",
+      (s, d) =>
+        T(s, d, "orders")
+          .select("o_orderstatus", "o_orderpriority")
+          .distinct()
+          .orderBy("o_orderstatus", "o_orderpriority"),
+      Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+    ),
+
+    // A3: PK-uniqueness counts (validator.py:15-36).
+    QueryDef(
+      "a3_pk_uniqueness",
+      (s, d) =>
+        T(s, d, "orders")
+          .agg(count(lit(1)).as("n_rows"), countDistinct(col("o_orderkey")).as("n_keys")),
+      Some("SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys FROM orders")
+    ),
+
+    // A4 (exact-arithmetic variant): multiply-then-sum, the resolver's
+    // value×ratio re-aggregation (h3_resolver.py:125-127).
+    QueryDef(
+      "a4_multiply_sum",
+      (s, d) =>
+        T(s, d, "lineitem")
+          .withColumn("weighted", col("l_quantity") * col("l_linenumber"))
+          .groupBy("l_returnflag")
+          .agg(sum("weighted").as("sum_weighted"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, sum(l_quantity * l_linenumber) AS sum_weighted
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // A4 (decimal-exact money variant): FP sums are made order-independent by
+    // summing DECIMAL, then cast back to DOUBLE.
+    QueryDef(
+      "a4_revenue_decimal",
+      (s, d) =>
+        T(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      headline = true
+    ),
+
+    // J1: fact ⋈ small dimension — broadcast the dim side explicitly
+    // (h3_indexer.py:124; at 100 TB the fact side must never shuffle for this).
+    QueryDef(
+      "j1_broadcast_dim_join",
+      (s, d) =>
+        T(s, d, "lineitem")
+          .join(broadcast(T(s, d, "part")), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+          .orderBy("p_brand"),
+      Some("""SELECT p_brand, count(*) AS cnt, sum(l_quantity) AS sum_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      headline = true
+    ),
+
+    // J2: left re-join on the unique id (h3_indexer.py:125-127).
+    QueryDef(
+      "j2_left_rejoin_uid",
+      (s, d) =>
+        T(s, d, "orders")
+          .join(broadcast(T(s, d, "customer").select("c_custkey", "c_name")),
+            col("o_custkey") === col("c_custkey"), "left")
+          .select("o_orderkey", "c_name")
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, c_name FROM orders
+             |LEFT JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    // J3: attribute pull-join then aggregate (h3_resolver.py:119-123 does one
+    // join per column; one multi-column join is semantically identical).
+    QueryDef(
+      "j3_attr_join_agg",
+      (s, d) =>
+        T(s, d, "lineitem")
+          .join(T(s, d, "orders").select("o_orderkey", "o_orderstatus"),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+          .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+             |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      headline = true
+    ),
+
+    // J4: full-outer fold of per-input aggregates on the shared key
+    // (h3_resolver.py:71-82) — keys present in only one side carry NULLs.
+    QueryDef(
+      "j4_full_outer_fold",
+      (s, d) => {
+        val a = T(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("k")).agg(sum("l_quantity").as("s_li"))
+        val b = T(s, d, "orders")
+          .groupBy(col("o_orderstatus").as("k")).agg(count(lit(1)).as("n_ord"))
+        a.join(b, Seq("k"), "full_outer").orderBy("k")
+      },
+      Some("""SELECT COALESCE(a.k, b.k) AS k, s_li, n_ord FROM
+             |(SELECT l_returnflag AS k, sum(l_quantity) AS s_li FROM lineitem GROUP BY 1) a
+             |FULL OUTER JOIN
+             |(SELECT o_orderstatus AS k, count(*) AS n_ord FROM orders GROUP BY 1) b
+             |ON a.k = b.k ORDER BY k""".stripMargin)
+    ),
+
+    // S4/P6: the "catalog table + user where_clause" pattern
+    // (validator.py:76-91) — the predicate string is evaluated by the engine.
+    QueryDef(
+      "s4_where_clause_pushdown",
+      (s, d) =>
+        T.events(s, d)
+          .where(expr("event_type = 'click' AND value > 50"))
+          .select("event_id", "user_id", "value")
+          .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, value FROM events
+             |WHERE event_type = 'click' AND value > 50 ORDER BY event_id""".stripMargin)
+    ),
+
+    // Beyond-parity: event-time rollup (hourly bucket agg) — DECIMAL-exact sum.
+    QueryDef(
+      "events_hourly_rollup",
+      (s, d) =>
+        T.events(s, d)
+          .groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("h"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .orderBy("h", "event_type"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+             |event_type, count(*) AS n,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      headline = true
+    )
+  )
+}

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, run over
+  * the `documents` table. All are per-row map operations — at 100 TB they are
+  * embarrassingly parallel, stay inside whole-stage codegen (no UDFs), and
+  * shuffle only where an aggregation/dedup genuinely requires it.
+  */
+object TextOps {
+
+  private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+  private val stopwordSqlList = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val qs: Seq[QueryDef] = Seq(
+    // Token counting: whitespace tokenization, per-doc counts.
+    QueryDef(
+      "text_token_stats",
+      (s, d) =>
+        T(s, d, "documents")
+          .select(
+            col("doc_id"),
+            col("n_chars"),
+            length(col("text")).cast("long").as("len_chars"),
+            size(split(col("text"), " +")).cast("long").as("n_tokens"),
+            size(array_distinct(split(col("text"), " +"))).cast("long").as("n_distinct_tokens")
+          )
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars, length(text) AS len_chars,
+             |len(string_split_regex(text, ' +')) AS n_tokens,
+             |len(list_distinct(string_split_regex(text, ' +'))) AS n_distinct_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      headline = true
+    ),
+
+    // Quality scoring: type-token ratio, stopword ratio, mean token length.
+    QueryDef(
+      "text_quality_score",
+      (s, d) =>
+        T(s, d, "documents")
+          .withColumn("toks", split(col("text"), " +"))
+          .select(
+            col("doc_id"),
+            round(size(array_distinct(col("toks"))).cast("double") /
+              size(col("toks")).cast("double"), 6).as("ttr"),
+            round(expr(s"size(filter(toks, t -> t IN $stopwordSqlList))").cast("double") /
+              size(col("toks")).cast("double"), 6).as("stopword_ratio"),
+            round((length(col("text")) - size(col("toks")) + 1).cast("double") /
+              size(col("toks")).cast("double"), 6).as("mean_token_len")
+          )
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |round(CAST(len(list_distinct(string_split_regex(text, ' +'))) AS DOUBLE)
+              |  / len(string_split_regex(text, ' +')), 6) AS ttr,
+              |round(CAST(len(list_filter(string_split_regex(text, ' +'), t -> t IN $stopwordSqlList)) AS DOUBLE)
+              |  / len(string_split_regex(text, ' +')), 6) AS stopword_ratio,
+              |round(CAST(length(text) - len(string_split_regex(text, ' +')) + 1 AS DOUBLE)
+              |  / len(string_split_regex(text, ' +')), 6) AS mean_token_len
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Language-ID heuristic: score marker-word hits per language, pick argmax.
+    // (A real n-gram model rides the same plan shape; markers keep it
+    // SQL-oracle-checkable.)
+    QueryDef(
+      "text_lang_id",
+      (s, d) => {
+        def hits(words: Seq[String]) = {
+          val list = words.map(w => s"'$w'").mkString("(", ", ", ")")
+          expr(s"size(filter(toks, t -> t IN $list))")
+        }
+        T(s, d, "documents")
+          .withColumn("toks", split(col("text"), " +"))
+          .withColumn("en_hits", hits(Seq("the", "and", "of")))
+          .withColumn("es_hits", hits(Seq("el", "la", "de")))
+          .withColumn("fr_hits", hits(Seq("le", "la", "et")))
+          .select(
+            col("doc_id"), col("lang"),
+            when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits"), "en")
+              .when(col("es_hits") >= col("fr_hits"), "es")
+              .otherwise("fr").as("lang_guess")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |  len(list_filter(string_split_regex(text, ' +'), t -> t IN ('the','and','of'))) AS en_hits,
+             |  len(list_filter(string_split_regex(text, ' +'), t -> t IN ('el','la','de'))) AS es_hits,
+             |  len(list_filter(string_split_regex(text, ' +'), t -> t IN ('le','la','et'))) AS fr_hits
+             |  FROM documents)
+             |SELECT doc_id, lang,
+             |CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+             |     WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS lang_guess
+             |FROM t ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Document fingerprinting: md5 content hash (identical hex in both engines).
+    QueryDef(
+      "text_fingerprint",
+      (s, d) =>
+        T(s, d, "documents")
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id")
+    ),
+
+    // Exact dedup: hash-groupBy on normalized content; keep min doc_id.
+    // At scale this is one shuffle on the 128-bit fingerprint.
+    QueryDef(
+      "dedup_exact",
+      (s, d) =>
+        T(s, d, "documents")
+          .withColumn("fp", md5(regexp_replace(lower(col("text")), " +", " ")))
+          .groupBy("fp")
+          .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_id"))
+          .orderBy("fp"),
+      Some("""SELECT md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp,
+             |count(*) AS n_dups, min(doc_id) AS keep_id
+             |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin),
+      headline = true
+    )
+  )
+}
