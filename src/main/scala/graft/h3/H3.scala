@@ -1,0 +1,352 @@
+package graft.h3
+
+import Constants._
+import scala.collection.mutable
+
+/** Public H3 API surface needed by the engine (the subset the reference
+  * pipeline consumes through h3-py 3.7.4 / h3-pyspark 1.2.6 — see
+  * /root/repo/SURVEY.md §2.6): latLngToCell, cellToLatLng, cellToBoundary,
+  * cellToParent, polygonToCells (centroid polyfill), pathCells, plus
+  * neighbor/gridDisk support. Pure Scala, no Spark dependency; safe for use
+  * inside executor-side expressions.
+  */
+object H3 {
+
+  // ---------------------------------------------------------------- indexing
+
+  /** Geographic point → containing cell at res (the core U1/latLngToCell). */
+  def latLngToCell(g: LatLng, res: Int): Long = {
+    require(res >= 0 && res <= MaxH3Res, s"invalid res $res")
+    val fijk = Icosa.geoToFaceIjk(g, res)
+    if (res == 0) {
+      val bc = BaseCells.faceIjkToBaseCell(fijk)
+      require(bc >= 0, s"no base cell at $fijk")
+      return H3Index.setBaseCell(H3Index.setResolution(H3Index.Init, 0), bc)
+    }
+    val (hDigits, fijkBC) = aggregateDigits(fijk, res)
+    val bc = BaseCells.faceIjkToBaseCell(fijkBC)
+    require(bc >= 0, s"no base cell at $fijkBC (from $fijk res $res)")
+    val numRots = BaseCells.faceIjkToBaseCellCCWrot60(fijkBC)
+    if (numRots >= 0) applyBaseRotation(hDigits, bc, fijkBC.face, numRots)
+    else {
+      // rare position missed by eager calibration (thin sliver near a face
+      // vertex): calibrate with the point itself — the correct rotation is
+      // the one whose decoded center actually contains it — and remember it
+      val cands = (0 until 6).map(r => applyBaseRotation(hDigits, bc, fijkBC.face, r))
+      val dists = cands.map(c => cellToLatLng(c).distRads(g))
+      val best = dists.indices.minBy(dists)
+      require(dists(best) < 2 * hexEdgeLengthRads(res),
+        s"lazy rotation calibration failed at $fijkBC: $dists")
+      BaseCells.learnRotation(fijkBC, best)
+      cands(best)
+    }
+  }
+
+  def latLngToCell(latDeg: Double, lngDeg: Double, res: Int): Long =
+    latLngToCell(LatLng.degrees(latDeg, lngDeg), res)
+
+  /** Build the digit string for fijk at res, aggregating up to the res-0
+    * position on the same face. Returns the index (mode+res+digits, base
+    * cell unset) and the res-0 FaceIJK.
+    */
+  private[h3] def aggregateDigits(fijk: FaceIJK, res: Int): (Long, FaceIJK) = {
+    var h = H3Index.setResolution(H3Index.Init, res)
+    var ijk = fijk.coord
+    var r = res - 1
+    while (r >= 0) {
+      val lastIJK = ijk
+      var lastCenter = ijk
+      if (isResClassIII(r + 1)) {
+        ijk = ijk.upAp7
+        lastCenter = ijk.downAp7
+      } else {
+        ijk = ijk.upAp7r
+        lastCenter = ijk.downAp7r
+      }
+      val diff = (lastIJK - lastCenter).normalize
+      h = H3Index.setDigit(h, r + 1, diff.toDigit)
+      r -= 1
+    }
+    (h, FaceIJK(fijk.face, ijk))
+  }
+
+  /** Rotate a digit string into the base cell's canonical orientation. */
+  private[h3] def applyBaseRotation(hDigits: Long, bc: Int, face: Int,
+                                    numRots: Int): Long = {
+    var h = H3Index.setBaseCell(hDigits, bc)
+    if (BaseCells.isPentagon(bc)) {
+      if (H3Index.leadingNonZeroDigit(h) == CoordIJK.K) {
+        h = if (BaseCells.isCwOffset(bc, face)) H3Index.rotate60cw(h)
+            else H3Index.rotate60ccw(h)
+      }
+      var i = 0
+      while (i < numRots) { h = H3Index.rotatePent60ccw(h); i += 1 }
+    } else {
+      var i = 0
+      while (i < numRots) { h = H3Index.rotate60ccw(h); i += 1 }
+    }
+    h
+  }
+
+  private[h3] def faceIjkToH3(fijk: FaceIJK, res: Int): Long = {
+    val (hDigits, fijkBC) = aggregateDigits(fijk, res)
+    val bc = BaseCells.faceIjkToBaseCell(fijkBC)
+    require(bc >= 0, s"no base cell at $fijkBC (from $fijk res $res)")
+    val numRots = BaseCells.faceIjkToBaseCellCCWrot60(fijkBC)
+    require(numRots >= 0, s"unreachable base-cell position queried: $fijkBC")
+    applyBaseRotation(hDigits, bc, fijkBC.face, numRots)
+  }
+
+  /** Cell → FaceIJK in the cell's own resolution grid. */
+  private[h3] def h3ToFaceIjk(hIn: Long): FaceIJK = {
+    var h = hIn
+    val bc = H3Index.baseCell(h)
+    if (BaseCells.isPentagon(bc) && H3Index.leadingNonZeroDigit(h) == CoordIJK.IK)
+      h = H3Index.rotate60cw(h)
+    val info = BaseCells.cells(bc)
+    var fijk = FaceIJK(info.homeFace, info.homeIjk)
+    val res0 = H3Index.resolution(h)
+    // descend the digit string on the home face
+    var ijk = fijk.coord
+    var r = 1
+    while (r <= res0) {
+      ijk = if (isResClassIII(r)) ijk.downAp7 else ijk.downAp7r
+      ijk = ijk.neighbor(H3Index.digit(h, r))
+      r += 1
+    }
+    fijk = FaceIJK(fijk.face, ijk)
+    val origIJK = ijk
+    // adjust for overage onto a neighboring face if necessary
+    var res = res0
+    if (isResClassIII(res)) {
+      fijk = FaceIJK(fijk.face, fijk.coord.downAp7r)
+      res += 1
+    }
+    val pentLeading4 =
+      BaseCells.isPentagon(bc) && H3Index.leadingNonZeroDigit(h) == CoordIJK.I
+    val (adj, ov) = Icosa.adjustOverageClassII(fijk, res, pentLeading4, substrate = false)
+    fijk = adj
+    if (ov != Icosa.NoOverage) {
+      if (BaseCells.isPentagon(bc)) {
+        var again = true
+        while (again) {
+          val (a2, o2) = Icosa.adjustOverageClassII(fijk, res, pentLeading4 = false,
+            substrate = false)
+          fijk = a2
+          again = o2 != Icosa.NoOverage
+        }
+      }
+      if (res != res0) fijk = FaceIJK(fijk.face, fijk.coord.upAp7r)
+    } else if (res != res0) {
+      fijk = FaceIJK(fijk.face, origIJK)
+    }
+    fijk
+  }
+
+  /** Cell → centroid. */
+  def cellToLatLng(h: Long): LatLng = {
+    val fijk = h3ToFaceIjk(h)
+    Icosa.faceIjkToGeo(fijk, H3Index.resolution(h))
+  }
+
+  def cellToParent(h: Long, parentRes: Int): Long = H3Index.toParent(h, parentRes)
+
+  // ---------------------------------------------------------------- boundary
+
+  /** Substrate-grid vertex offsets of an origin-centered cell:
+    * Class II resolutions use an aperture 3/3r sequence; Class III adds 7r.
+    */
+  private val vertsCII = Array(
+    CoordIJK(2, 1, 0), CoordIJK(1, 2, 0), CoordIJK(0, 2, 1),
+    CoordIJK(0, 1, 2), CoordIJK(1, 0, 2), CoordIJK(2, 0, 1))
+  private val vertsCIII = Array(
+    CoordIJK(5, 4, 0), CoordIJK(1, 5, 0), CoordIJK(0, 5, 4),
+    CoordIJK(0, 1, 5), CoordIJK(4, 0, 5), CoordIJK(5, 0, 1))
+
+  /** Cell boundary vertices (lat/lng, counter-clockwise). Hexagons have 6
+    * vertices, pentagons 5; no extra icosahedron-edge-crossing vertices are
+    * inserted (a small boundary shape difference vs. h3's Class III cells
+    * that straddle icosa edges — documented divergence).
+    */
+  def cellToBoundary(h: Long): Array[LatLng] = {
+    val fijk = h3ToFaceIjk(h)
+    val res0 = H3Index.resolution(h)
+    val pent = H3Index.isPentagon(h)
+    // move the center to the substrate (aperture 3/3r [+7r]) grid
+    var center = fijk.coord.downAp3.downAp3r
+    var adjRes = res0
+    if (isResClassIII(res0)) { center = center.downAp7r; adjRes += 1 }
+    val verts = if (isResClassIII(res0)) vertsCIII else vertsCII
+    val out = mutable.ArrayBuffer.empty[LatLng]
+    val startVert = if (pent) 1 else 0 // pentagons drop the k-axis vertex
+    var v = 0
+    val nVerts = if (pent) 5 else 6
+    var vi = 0
+    while (vi < nVerts) {
+      v = (vi + startVert) % 6
+      var vert = FaceIJK(fijk.face, (center + verts(v)).normalize)
+      val (adj, _) = Icosa.adjustOverageClassII(vert, adjRes, pentLeading4 = false,
+        substrate = true)
+      vert = adj
+      out += Icosa.hex2dToGeo(vert.coord.toHex2d, vert.face, adjRes, substrate = true)
+      vi += 1
+    }
+    out.toArray
+  }
+
+  // ------------------------------------------------------------- traversal
+
+  /** Geometric neighbor discovery: step from the center through each
+    * boundary-edge midpoint and index the resulting point. Table-free and
+    * pentagon-safe (pentagons simply yield 5 neighbors).
+    */
+  def neighbors(h: Long): Array[Long] = {
+    val res = H3Index.resolution(h)
+    val c = cellToLatLng(h)
+    val b = cellToBoundary(h)
+    val out = mutable.LinkedHashSet.empty[Long]
+    var i = 0
+    while (i < b.length) {
+      val m = b(i)
+      val n = b((i + 1) % b.length)
+      val mid = LatLng((m.lat + n.lat) / 2,
+        if (math.abs(m.lng - n.lng) > math.Pi) {
+          // edge crosses the antimeridian: average in shifted space
+          LatLng.constrainLng((m.lng + n.lng) / 2 + math.Pi)
+        } else (m.lng + n.lng) / 2)
+      val az = c.azimuthTo(mid)
+      val d = c.distRads(mid)
+      val nb = latLngToCell(c.destination(az, d * 1.45), res)
+      if (nb != h) out += nb
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** All cells within grid distance k of origin (BFS over neighbors). */
+  def gridDisk(origin: Long, k: Int): Array[Long] = {
+    val seen = mutable.HashSet(origin)
+    var frontier = List(origin)
+    var ring = 0
+    while (ring < k && frontier.nonEmpty) {
+      val next = mutable.ListBuffer.empty[Long]
+      frontier.foreach { c =>
+        neighbors(c).foreach { n => if (seen.add(n)) next += n }
+      }
+      frontier = next.toList
+      ring += 1
+    }
+    seen.toArray
+  }
+
+  // -------------------------------------------------------------- polyfill
+
+  /** Point-in-polygon on lat/lng (even-odd rule), with holes. Matches the
+    * centroid-containment semantics of h3 v3 polyfill.
+    */
+  private def pointInRing(p: LatLng, ring: Array[LatLng]): Boolean = {
+    var inside = false
+    var i = 0
+    var j = ring.length - 1
+    while (i < ring.length) {
+      val a = ring(i); val b = ring(j)
+      if ((a.lng > p.lng) != (b.lng > p.lng) &&
+          p.lat < (b.lat - a.lat) * (p.lng - a.lng) / (b.lng - a.lng) + a.lat)
+        inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  def pointInPolygon(p: LatLng, outer: Array[LatLng],
+                     holes: Seq[Array[LatLng]] = Nil): Boolean =
+    pointInRing(p, outer) && !holes.exists(pointInRing(p, _))
+
+  /** Cells whose CENTROID lies inside the polygon (v3 polyfill semantics,
+    * the behavior the reference pipeline depends on — SURVEY.md §2.7 note 2).
+    * Strategy: index every polygon vertex, densely sample every edge, then
+    * BFS outward from those seeds keeping (a) cells with centroid inside and
+    * (b) boundary-adjacent cells as frontier carriers. Output = (a).
+    */
+  def polygonToCells(outer: Array[LatLng], holes: Seq[Array[LatLng]],
+                     res: Int): Array[Long] = {
+    if (outer.length < 3) return Array.empty
+    val seeds = mutable.HashSet.empty[Long]
+    // sample edges at ~half-cell spacing so the seed chain is connected
+    val step = hexEdgeLengthRads(res) / 2
+    var i = 0
+    while (i < outer.length) {
+      val a = outer(i)
+      val b = outer((i + 1) % outer.length)
+      val d = a.distRads(b)
+      val n = math.max(1, math.ceil(d / step).toInt)
+      val az = a.azimuthTo(b)
+      var s = 0
+      while (s <= n) {
+        seeds += latLngToCell(a.destination(az, d * s / n), res)
+        s += 1
+      }
+      i += 1
+    }
+    val inside = mutable.HashSet.empty[Long]
+    val visited = mutable.HashSet.empty[Long]
+    val queue = mutable.Queue.empty[Long]
+    seeds.foreach { c => if (visited.add(c)) queue.enqueue(c) }
+    while (queue.nonEmpty) {
+      val c = queue.dequeue()
+      val centerInside = pointInPolygon(cellToLatLng(c), outer, holes)
+      if (centerInside) inside += c
+      // expand from seeds (boundary chain) and from any inside cell
+      if (centerInside || seeds.contains(c)) {
+        neighbors(c).foreach { n => if (visited.add(n)) queue.enqueue(n) }
+      }
+    }
+    inside.toArray
+  }
+
+  /** Mean hexagon edge length in radians by resolution (published H3 table,
+    * km on the sphere / earth radius).
+    */
+  def hexEdgeLengthRads(res: Int): Double = {
+    val km = Array(1107.712591, 418.6760055, 158.2446558, 59.81085794,
+      22.6063794, 8.544408276, 3.229482772, 1.220629759, 0.461354684,
+      0.174375668, 0.065907807, 0.024910561, 0.009415526, 0.003559893,
+      0.001348575, 0.000509713)
+    km(res) / EarthRadiusKm
+  }
+
+  val EarthRadiusKm: Double = 6371.007180918475
+
+  // ------------------------------------------------------------------ path
+
+  /** Cells along the geodesic between two points at res: dense sampling at
+    * quarter-edge spacing, deduplicated, ordered by first touch. Matches the
+    * "cells along the line" contract of the reference's line indexing
+    * (grid-path between consecutive vertices); the exact cell chain may
+    * differ from h3Line's IJ-space interpolation on rare diagonal ties —
+    * downstream PCT_LENGTH ratios are computed geometrically, so results
+    * stay consistent (SURVEY.md §2.7).
+    */
+  def pathCells(a: LatLng, b: LatLng, res: Int): Array[Long] = {
+    val d = a.distRads(b)
+    val step = hexEdgeLengthRads(res) / 4
+    val n = math.max(1, math.ceil(d / step).toInt)
+    val az = a.azimuthTo(b)
+    val out = mutable.LinkedHashSet.empty[Long]
+    var s = 0
+    while (s <= n) {
+      out += latLngToCell(a.destination(az, d * s / n), res)
+      s += 1
+    }
+    out.toArray
+  }
+
+  // ------------------------------------------------------------ string API
+
+  def latLngToCellString(latDeg: Double, lngDeg: Double, res: Int): String =
+    H3Index.toHexString(latLngToCell(latDeg, lngDeg, res))
+
+  def cellToParentString(cell: String, parentRes: Int): String =
+    H3Index.toHexString(cellToParent(H3Index.fromHexString(cell), parentRes))
+}
