@@ -8,11 +8,13 @@ object SparkEntry {
 
   /** Every registered query, in declaration order. */
   def registry: Seq[QueryDef] =
-    Relational.qs ++ TextOps.qs ++ SimilarityQ.qs
+    Relational.qs ++ TextOps.qs ++ SimilarityQ.qs ++ GeoQueries.qs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full H3 pipeline (validate → index → resolve) on
+    * sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.qs.find(_.name == "a1_group_sum").get.fn(spark, "/root/testdata/sf0.001")
+    GeoQueries.qs.find(_.name == "h3_resolve_multi").get
+      .fn(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

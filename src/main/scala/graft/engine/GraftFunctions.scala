@@ -1,0 +1,148 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.locationtech.jts.geom.Geometry
+import graft.h3.{H3, H3Index, LatLng}
+import graft.geo.{GeoIO, Geodesic, H3Geo}
+
+/** The engine's scalar-function surface, registered for both the DataFrame
+  * API and SQL (`expr("...")`) — the role Sedona's function registry plays in
+  * the reference (SURVEY.md §2.5-2.6). All functions are JVM-native Scala
+  * UDFs over the graft.h3/graft.geo cores: no Python workers, no Arrow
+  * serialization tax (BASELINE.md "Implication" note).
+  *
+  * Geometry at rest is WKT (or GeoJSON/hex-WKB, sniffed), matching the
+  * reference's string round-tripping between every Sedona call
+  * (h3_indexer.py:197-204).
+  */
+object GraftFunctions {
+
+  // ---- plain-Scala implementations (usable without Spark, unit-testable)
+
+  def parseGeom(s: String): Geometry = GeoIO.parseString(s)
+
+  /** U1 index_shape: geometry (any string encoding) + res → covering cells.
+    * Point → containing cell; LineString → cells along the path between
+    * consecutive vertices; Polygon → centroid polyfill; Multi* → union.
+    * (h3-pyspark 1.2.6 indexing semantics, SURVEY.md §2.6 U1.)
+    */
+  def indexShape(geomStr: String, res: Int): Array[String] = {
+    if (geomStr == null) return null
+    val g = parseGeom(geomStr)
+    indexGeometry(g, res).map(H3Index.toHexString)
+  }
+
+  def indexGeometry(g: Geometry, res: Int): Array[Long] = {
+    import org.locationtech.jts.geom._
+    g match {
+      case p: Point =>
+        Array(H3.latLngToCell(p.getY, p.getX, res))
+      case l: LineString =>
+        val cs = l.getCoordinates
+        val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+        var i = 1
+        while (i < cs.length) {
+          H3.pathCells(LatLng.degrees(cs(i - 1).y, cs(i - 1).x),
+            LatLng.degrees(cs(i).y, cs(i).x), res).foreach(out += _)
+          i += 1
+        }
+        out.toArray
+      case p: Polygon =>
+        val outer = p.getExteriorRing.getCoordinates
+          .map(c => LatLng.degrees(c.y, c.x))
+        val holes = (0 until p.getNumInteriorRing).map(i =>
+          p.getInteriorRingN(i).getCoordinates.map(c => LatLng.degrees(c.y, c.x)))
+        H3.polygonToCells(outer.dropRight(1), holes.map(_.dropRight(1)), res)
+      case multi =>
+        (0 until multi.getNumGeometries)
+          .flatMap(i => indexGeometry(multi.getGeometryN(i), res))
+          .distinct.toArray
+    }
+  }
+
+  /** U2: null-safe res-3 parent (partition key). */
+  def parentRes3(ix: String): String =
+    if (ix == null) null else H3Geo.parentRes3(ix)
+
+  /** U3: cell boundary as WKT polygon (declared StringType — the reference's
+    * BinaryType declaration is a latent bug we do not reproduce,
+    * SURVEY.md §2.6 U3).
+    */
+  def cellToWkt(ix: String): String = if (ix == null) null else H3Geo.cellToWkt(ix)
+
+  def cellAreaKm2(ix: String): java.lang.Double =
+    if (ix == null) null else H3Geo.cellAreaKm2(ix)
+
+  def latLngCell(lat: java.lang.Double, lng: java.lang.Double, res: Int): String =
+    if (lat == null || lng == null) null
+    else H3Index.toHexString(H3.latLngToCell(lat, lng, res))
+
+  /** Planar ratio numerator/denominator in one JVM call:
+    * area(g ∩ hex) / area(g) — the PCT_AREA ratio (h3_indexer.py:257-263).
+    */
+  def ratioArea(geomWkt: String, hexWkt: String): java.lang.Double = {
+    if (geomWkt == null || hexWkt == null) return null
+    val g = parseGeom(geomWkt)
+    val denom = g.getArea
+    if (denom == 0.0) return 0.0
+    g.intersection(parseGeom(hexWkt)).getArea / denom
+  }
+
+  /** length(g ∩ hex) / length(g) — the PCT_LENGTH ratio
+    * (h3_indexer.py:193-199).
+    */
+  def ratioLength(geomWkt: String, hexWkt: String): java.lang.Double = {
+    if (geomWkt == null || hexWkt == null) return null
+    val g = parseGeom(geomWkt)
+    val denom = g.getLength
+    if (denom == 0.0) return 0.0
+    g.intersection(parseGeom(hexWkt)).getLength / denom
+  }
+
+  def areaSpheroidKm2(wkt: String): java.lang.Double =
+    if (wkt == null) null else Geodesic.areaSqMeters(parseGeom(wkt)) / 1e6
+
+  def lengthSpheroidKm(wkt: String): java.lang.Double =
+    if (wkt == null) null else Geodesic.lengthMeters(parseGeom(wkt)) / 1000.0
+
+  def makeValidWkt(s: String): String =
+    if (s == null) null
+    else GeoIO.makeValid(parseGeom(s)).map(GeoIO.toWkt).orNull
+
+  // --------------------------------------------------------- registration
+
+  /** Register every function for SQL/expr use (Sedona-registry parity). */
+  def register(spark: SparkSession): Unit = {
+    val u = spark.udf
+    u.register("h3_index_shape", (g: String, res: Int) => indexShape(g, res))
+    u.register("h3_parent_res3", (ix: String) => parentRes3(ix))
+    u.register("h3_parent", (ix: String, res: Int) =>
+      if (ix == null) null else H3.cellToParentString(ix, res))
+    u.register("h3_to_wkt", (ix: String) => cellToWkt(ix))
+    u.register("h3_cell_area_km2", (ix: String) => cellAreaKm2(ix))
+    u.register("h3_latlng_cell",
+      (lat: java.lang.Double, lng: java.lang.Double, res: Int) => latLngCell(lat, lng, res))
+    u.register("st_ratio_area", (a: String, b: String) => ratioArea(a, b))
+    u.register("st_ratio_length", (a: String, b: String) => ratioLength(a, b))
+    u.register("st_area_spheroid_km2", (s: String) => areaSpheroidKm2(s))
+    u.register("st_length_spheroid_km", (s: String) => lengthSpheroidKm(s))
+    u.register("st_astext", (s: String) =>
+      if (s == null) null else GeoIO.toWkt(parseGeom(s)))
+    u.register("st_asgeojson", (s: String) =>
+      if (s == null) null else GeoIO.toGeoJson(parseGeom(s)))
+    u.register("st_point", (lon: java.lang.Double, lat: java.lang.Double) =>
+      if (lon == null || lat == null) null else GeoIO.toWkt(GeoIO.point(lon, lat)))
+    u.register("st_isvalid", (s: String) =>
+      if (s == null) null.asInstanceOf[java.lang.Boolean]
+      else java.lang.Boolean.valueOf(GeoIO.isValid(parseGeom(s))))
+    u.register("st_makevalid", (s: String) => makeValidWkt(s))
+    u.register("st_area", (s: String) =>
+      if (s == null) null else java.lang.Double.valueOf(parseGeom(s).getArea))
+    u.register("st_length", (s: String) =>
+      if (s == null) null else java.lang.Double.valueOf(parseGeom(s).getLength))
+    u.register("st_intersection", (a: String, b: String) =>
+      if (a == null || b == null) null
+      else GeoIO.toWkt(parseGeom(a).intersection(parseGeom(b))))
+    ()
+  }
+}

@@ -1,0 +1,222 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model._
+import graft.model.{GeometryType => GT}
+
+/** Engine-generated column names (reference constants.py:3-20). */
+object Cols {
+  val H3Index = "h3_index"
+  val H3Resolution = "h3_resolution"
+  val H3R3Parent = "h3_r3_parent"
+  val H3AreaKm2 = "h3_area_km2"
+  val Ratio = "ratio"
+  val H3Geom = "h3_geom"
+  val GeomWkt = "geom_wkt"
+  val TotalCount = "total_count"
+  val TotalLengthKm = "total_length_km"
+  val TotalAreaKm2 = "total_area_km2"
+}
+
+final case class ValidationError(message: String) extends RuntimeException(message)
+
+/** Input validation (reference validator.py:15-115): PK uniqueness, numeric
+  * attribute types, canonical geometry materialization, repair + drop of
+  * invalid/null geometries.
+  */
+object Validator {
+
+  private val NumericTypes: Set[DataType] =
+    Set(IntegerType, LongType, FloatType, DoubleType, ShortType, ByteType)
+
+  def validate(spark: SparkSession, in: VectorInput, df: DataFrame): DataFrame = {
+    // PK uniqueness (validator.py:15-36) — one aggregate pass, not two scans
+    val Array(nRows: Long, nKeys: Long) = df
+      .agg(count(lit(1)), count_distinct(col(in.uniqueId))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    if (nRows != nKeys)
+      throw ValidationError(
+        s"input ${in.name}: unique_id '${in.uniqueId}' has $nKeys distinct over $nRows rows")
+
+    // numeric attribute check against the schema (validator.py:39-61)
+    in.inputColumns.foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        throw ValidationError(s"input ${in.name}: missing input column '$c'"))
+      val ok = f.dataType match {
+        case _: DecimalType => true
+        case t => NumericTypes.contains(t)
+      }
+      if (!ok) throw ValidationError(
+        s"input ${in.name}: column '$c' is ${f.dataType.simpleString}, not numeric")
+    }
+
+    // canonical geometry column: geom_wkt (vector.py:105-126). The reference
+    // also materializes geometry_geojson for the polyfill UDF; our U1 sniffs
+    // encodings itself, so one canonical column suffices.
+    val withGeom = (in.geometryColumn, in.latColumn, in.lonColumn) match {
+      case (Some(g), _, _) =>
+        df.schema(g).dataType match {
+          case BinaryType =>
+            df.withColumn(Cols.GeomWkt, callUDF("st_astext", hex(col(g))))
+          case _ =>
+            df.withColumn(Cols.GeomWkt, callUDF("st_astext", col(g).cast("string")))
+        }
+      case (None, Some(la), Some(lo)) =>
+        df.withColumn(Cols.GeomWkt,
+          callUDF("st_point", col(lo).cast("double"), col(la).cast("double")))
+      case _ => throw ValidationError(s"input ${in.name}: no geometry source")
+    }
+
+    // drop nulls, repair invalid, drop irreparable (geospatial.py:140-166)
+    withGeom
+      .filter(col(Cols.GeomWkt).isNotNull)
+      .withColumn(Cols.GeomWkt, callUDF("st_makevalid", col(Cols.GeomWkt)))
+      .filter(col(Cols.GeomWkt).isNotNull)
+  }
+}
+
+/** The per-geometry-type indexing dataflow (reference h3_indexer.py:31-270,
+  * SURVEY.md §2.7), Spark-first:
+  *
+  *   polyfill (U1) → explode → distinct-cell dimension (boundary + area
+  *   computed once per cell, the reference's one real algorithmic
+  *   optimization — SURVEY.md §4) → join back → ratio/total columns →
+  *   epilogue (parent, resolution) → repartition by h3_r3_parent.
+  *
+  * Differences from the reference, chosen for scale:
+  *   - unique_id + geom_wkt are carried through the explode instead of
+  *     re-joined afterwards (J2 was an artifact; identical semantics since
+  *     unique_id is validated unique).
+  *   - h3_area_km2 is computed on the distinct-cell dimension (the reference
+  *     recomputes it per (feature,cell) row) — same values, far fewer calls.
+  */
+object Indexer {
+
+  def index(spark: SparkSession, in: VectorInput, validated: DataFrame,
+            res: Int): DataFrame = {
+    val attrs = in.inputColumns.map(col)
+    val base = validated.select(
+      (col(in.uniqueId) +: col(Cols.GeomWkt) +: attrs): _*)
+
+    val exploded = base
+      .withColumn(Cols.H3Index,
+        explode(callUDF("h3_index_shape", col(Cols.GeomWkt), lit(res))))
+
+    // distinct-cell dimension: boundary WKT + geodesic area once per cell
+    val cellDim = exploded.select(Cols.H3Index).distinct()
+      .withColumn(Cols.H3Geom, callUDF("h3_to_wkt", col(Cols.H3Index)))
+      .withColumn(Cols.H3AreaKm2, callUDF("h3_cell_area_km2", col(Cols.H3Index)))
+
+    val joined = exploded.join(cellDim, Seq(Cols.H3Index), "left")
+
+    val withRatio = in.geometryType match {
+      case GT.Point =>
+        joined
+          .withColumn(Cols.Ratio, lit(1.0))
+          .withColumn(Cols.TotalCount, lit(1))
+      case GT.Line =>
+        joined
+          .withColumn(Cols.Ratio,
+            callUDF("st_ratio_length", col(Cols.GeomWkt), col(Cols.H3Geom)))
+          .withColumn(Cols.TotalLengthKm,
+            callUDF("st_length_spheroid_km", col(Cols.GeomWkt)))
+      case GT.Polygon =>
+        joined
+          .withColumn(Cols.Ratio,
+            callUDF("st_ratio_area", col(Cols.GeomWkt), col(Cols.H3Geom)))
+          .withColumn(Cols.TotalAreaKm2,
+            callUDF("st_area_spheroid_km2", col(Cols.GeomWkt)))
+    }
+
+    val totalCol = in.geometryType match {
+      case GT.Point => Cols.TotalCount
+      case GT.Line => Cols.TotalLengthKm
+      case GT.Polygon => Cols.TotalAreaKm2
+    }
+
+    // epilogue (h3_indexer.py:31-81)
+    withRatio
+      .withColumn(Cols.H3R3Parent, callUDF("h3_parent_res3", col(Cols.H3Index)))
+      .withColumn(Cols.H3Resolution, lit(res))
+      .select((Seq(Cols.H3Index, Cols.H3Resolution, Cols.H3R3Parent,
+        Cols.H3AreaKm2, in.uniqueId).map(col) ++ Seq(col(Cols.Ratio), col(totalCol)) ++
+        attrs): _*)
+      .repartition(col(Cols.H3R3Parent))
+  }
+}
+
+/** The resolver (reference h3_resolver.py:22-160): value×ratio, group-sum
+  * per hexagon per input, full-outer fold across inputs, epilogue columns.
+  */
+object Resolver {
+
+  /** Per-input weighted aggregation: sum(value×ratio) per h3_index. */
+  def resolveInput(indexed: DataFrame, inputColumns: Seq[String]): DataFrame = {
+    val weighted = inputColumns.foldLeft(indexed) { (df, c) =>
+      df.withColumn(c, col(c) * col(Cols.Ratio)) // A4 (h3_resolver.py:125-127)
+    }
+    weighted.groupBy(Cols.H3Index)
+      .agg(inputColumns.map(c => sum(col(c)).as(s"sum_$c")).head,
+        inputColumns.map(c => sum(col(c)).as(s"sum_$c")).tail: _*) // A1
+  }
+
+  /** Fold per-input resolved tables on h3_index (J4, full outer), then
+    * re-derive the epilogue columns (h3_resolver.py:71-96: parent/area/res
+    * are recomputed after the aggregation, in the same order).
+    */
+  def resolve(spark: SparkSession, perInput: Seq[DataFrame], res: Int): DataFrame = {
+    val folded = perInput.reduce(_.join(_, Seq(Cols.H3Index), "full_outer"))
+    folded
+      .withColumn(Cols.H3Resolution, lit(res))
+      .withColumn(Cols.H3R3Parent, callUDF("h3_parent_res3", col(Cols.H3Index)))
+      .withColumn(Cols.H3AreaKm2, callUDF("h3_cell_area_km2", col(Cols.H3Index)))
+      .select((Seq(Cols.H3Index, Cols.H3Resolution, Cols.H3R3Parent, Cols.H3AreaKm2)
+        .map(col) ++
+        folded.columns.filter(_.startsWith("sum_")).map(col)): _*)
+      .repartition(col(Cols.H3R3Parent))
+  }
+
+  /** Single-input fast path (main.py:78-85, h3_resolver.py:101-160). */
+  def resolveSingle(spark: SparkSession, indexed: DataFrame,
+                    inputColumns: Seq[String], res: Int): DataFrame =
+    resolve(spark, Seq(resolveInput(indexed, inputColumns)), res)
+}
+
+/** Whole-job orchestration (reference main.py:101-155). */
+object GraftJob {
+
+  def loadInput(spark: SparkSession, in: VectorInput): DataFrame = in.path match {
+    case Some(p) => spark.read.parquet(p) // S1/S3 (extension routing: parquet)
+    case None =>
+      // S4: catalog table + pushed-down predicate (validator.py:73-94)
+      val t = spark.table(s"${in.catalogDatabase.get}.${in.catalogTable.get}")
+      in.whereClause.map(t.where).getOrElse(t)
+  }
+
+  /** Validate → Index → Resolve; returns (per-input indexed, resolved). */
+  def run(spark: SparkSession, job: Job): (Map[String, DataFrame], DataFrame) = {
+    GraftFunctions.register(spark)
+    val indexed = job.inputs.map { in =>
+      val df = Validator.validate(spark, in, loadInput(spark, in))
+      in.name -> Indexer.index(spark, in, df, job.h3Resolution).persist()
+    }.toMap
+    val resolved =
+      if (job.inputs.size == 1)
+        Resolver.resolveSingle(spark, indexed.values.head,
+          job.inputs.head.inputColumns, job.h3Resolution)
+      else
+        Resolver.resolve(spark,
+          job.inputs.map(in => Resolver.resolveInput(indexed(in.name), in.inputColumns)),
+          job.h3Resolution)
+    (indexed, resolved)
+  }
+
+  /** S5: partitioned snappy parquet (spark/spark.py:154-196). */
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("compression", "snappy")
+      .partitionBy(Cols.H3Resolution, Cols.H3R3Parent)
+      .parquet(path)
+}

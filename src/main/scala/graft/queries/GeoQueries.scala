@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine._
+import graft.model._
+
+/** The geospatial pipeline exercised as driver-checkable queries. The
+  * relational testdata carries no geometry, so deterministic lat/lon are
+  * derived from key columns (stable across engines and runs); H3 values
+  * cannot be oracle-checked by DuckDB, so these queries run under the
+  * driver's rows-only check while their semantics are covered by
+  * EngineSpec/H3CoreSpec goldens.
+  */
+object GeoQueries {
+
+  private val Res = 6
+
+  /** Deterministic pseudo-coordinates from two integer keys: lat in
+    * [-69.995, 69.995], lon in [-174.995, 174.995].
+    */
+  private def latExpr(k1: String, k2: String) =
+    expr(s"(pmod($k1 * 31 + $k2 * 17, 14000)) / 100.0 - 70 + 0.005")
+  private def lonExpr(k1: String, k2: String) =
+    expr(s"(pmod($k1 * 13 + $k2 * 7, 35000)) / 100.0 - 175 + 0.005")
+
+  def pointsDf(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders").select(
+      col("o_orderkey").as("point_id"),
+      latExpr("o_orderkey", "o_custkey").as("latitude"),
+      lonExpr("o_orderkey", "o_custkey").as("longitude"),
+      col("o_totalprice").as("qty"))
+
+  def pointsInput: VectorInput = VectorInput("pts", Some(""), None, None, None,
+    "point_id", GeometryType.Point, None, Some("latitude"), Some("longitude"),
+    Method.Within, Seq("qty"))
+
+  def linesDf(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders").select(
+      col("o_orderkey").as("route_id"),
+      concat(lit("LINESTRING ("),
+        lonExpr("o_orderkey", "1"), lit(" "), latExpr("o_orderkey", "1"), lit(", "),
+        lonExpr("o_orderkey", "1") + (pmod(col("o_custkey"), lit(30)) - 15) / 100.0,
+        lit(" "),
+        latExpr("o_orderkey", "1") + (pmod(col("o_totalprice").cast("long"), lit(30)) - 15) / 100.0,
+        lit(")")).as("geometry"),
+      col("o_totalprice").as("price"))
+
+  def linesInput: VectorInput = VectorInput("lines", Some(""), None, None, None,
+    "route_id", GeometryType.Line, Some("geometry"), None, None,
+    Method.PctLength, Seq("price"))
+
+  def polysDf(s: SparkSession, dir: String): DataFrame = {
+    val cx = lonExpr("c_custkey", "7")
+    val cy = latExpr("c_custkey", "3")
+    val h = (pmod(col("c_custkey"), lit(10)) + 5) / 100.0 // half-width 0.05°-0.15°
+    T(s, dir, "customer").select(
+      col("c_custkey").as("geo_id"),
+      concat(lit("POLYGON (("),
+        cx - h, lit(" "), cy - h, lit(", "), cx + h, lit(" "), cy - h, lit(", "),
+        cx + h, lit(" "), cy + h, lit(", "), cx - h, lit(" "), cy + h, lit(", "),
+        cx - h, lit(" "), cy - h, lit("))")).as("geometry"),
+      col("c_acctbal").as("balance"))
+  }
+
+  def polysInput: VectorInput = VectorInput("polys", Some(""), None, None, None,
+    "geo_id", GeometryType.Polygon, Some("geometry"), None, None,
+    Method.PctArea, Seq("balance"))
+
+  private def indexed(s: SparkSession, in: VectorInput, data: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    Indexer.index(s, in, Validator.validate(s, in, data), Res)
+  }
+
+  val qs: Seq[QueryDef] = Seq(
+    // §2.7 POINT/WITHIN recipe end-to-end (U1 point path, U2, U3, F11, J1)
+    QueryDef("h3_index_points",
+      (s, d) => indexed(s, pointsInput, pointsDf(s, d)).orderBy("h3_index", "point_id"),
+      headline = true),
+
+    // §2.7 LINE/PCT_LENGTH recipe (path cells, planar length ratio, F10)
+    QueryDef("h3_index_lines",
+      (s, d) => indexed(s, linesInput, linesDf(s, d)).orderBy("h3_index", "route_id")),
+
+    // §2.7 POLYGON/PCT_AREA recipe (centroid polyfill, area ratio, F11)
+    QueryDef("h3_index_polygons",
+      (s, d) => indexed(s, polysInput, polysDf(s, d)).orderBy("h3_index", "geo_id")),
+
+    // full resolver: two inputs, value×ratio group-sum, full-outer fold
+    QueryDef("h3_resolve_multi",
+      (s, d) => {
+        val p = Resolver.resolveInput(indexed(s, pointsInput, pointsDf(s, d)), Seq("qty"))
+        val g = Resolver.resolveInput(indexed(s, polysInput, polysDf(s, d)), Seq("balance"))
+        Resolver.resolve(s, Seq(p, g), Res).orderBy("h3_index")
+      },
+      headline = true),
+
+    // registered SQL surface (expr-level parity with Sedona's registry)
+    QueryDef("h3_sql_surface",
+      (s, d) => {
+        GraftFunctions.register(s)
+        pointsDf(s, d).limit(1000)
+          .withColumn("cell", expr(s"h3_latlng_cell(latitude, longitude, $Res)"))
+          .selectExpr(
+            "point_id", "cell",
+            "h3_parent(cell, 3) AS parent",
+            "h3_cell_area_km2(cell) AS area_km2",
+            "st_length(h3_to_wkt(cell)) AS boundary_len_deg",
+            "st_isvalid(h3_to_wkt(cell)) AS boundary_valid")
+          .orderBy("point_id")
+      })
+  )
+}
