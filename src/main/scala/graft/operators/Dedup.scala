@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Near-duplicate detection primitives for training-data pipelines: MinHash
+  * signatures over n-gram shingles, SimHash, and token-set Jaccard. Pure
+  * Scala (unit-testable); Spark surface is registered UDFs + the bucketed
+  * plans in graft.queries.DedupQueries.
+  *
+  * Scale design: all pairwise work is LSH-bucketed — signatures shuffle once
+  * on (band, bandHash) and only bucket collisions generate candidate pairs,
+  * so cost is O(n · bands + collisions), never O(n²) (SNIPPETS/PAPERS
+  * MinHash-LSH scheme; 100 TB-safe because bucket sizes are bounded by
+  * near-dup cluster sizes, with a cap as skew guard).
+  */
+object Dedup {
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands // 4
+
+  /** FNV-1a 64-bit string hash (deterministic across JVMs). */
+  def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def tokens(text: String): Array[String] =
+    if (text == null || text.isEmpty) Array.empty else text.split(" +")
+
+  /** Hashed n-gram token shingles. */
+  def shingleHashes(text: String, n: Int = 3): Array[Long] = {
+    val t = tokens(text)
+    if (t.length < n) Array(fnv64(t.mkString(" ")))
+    else Array.tabulate(t.length - n + 1)(i => fnv64(t.slice(i, i + n).mkString(" ")))
+  }
+
+  // fixed affine hash family (seeded, deterministic)
+  private val rnd = new java.util.Random(42)
+  private val hashA = Array.fill(NumHashes)(rnd.nextLong() | 1L)
+  private val hashB = Array.fill(NumHashes)(rnd.nextLong())
+
+  /** MinHash signature of a shingle-hash set. */
+  def minHashSignature(sh: Array[Long]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val x = sh(i)
+      var k = 0
+      while (k < NumHashes) {
+        val v = hashA(k) * x + hashB(k)
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** LSH band hashes of a signature: Bands values, each summarizing
+    * RowsPerBand signature rows. Equal band hash ⇒ candidate pair.
+    */
+  def bandHashes(sig: Array[Long]): Array[Long] =
+    Array.tabulate(Bands) { b =>
+      var h = 0xcbf29ce484222325L ^ b
+      var r = 0
+      while (r < RowsPerBand) {
+        h ^= sig(b * RowsPerBand + r)
+        h *= 0x100000001b3L
+        r += 1
+      }
+      h
+    }
+
+  def minHashBands(text: String): Array[Long] =
+    bandHashes(minHashSignature(shingleHashes(text)))
+
+  /** Estimated Jaccard from two signatures (fraction of agreeing rows). */
+  def signatureSimilarity(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  /** Exact Jaccard over hashed shingle sets. */
+  def shingleJaccard(ta: String, tb: String): Double = {
+    val a = shingleHashes(ta).toSet
+    val b = shingleHashes(tb).toSet
+    if (a.isEmpty && b.isEmpty) 1.0
+    else (a & b).size.toDouble / (a | b).size
+  }
+
+  /** Exact Jaccard over distinct token sets. */
+  def tokenJaccard(ta: String, tb: String): Double = {
+    val a = tokens(ta).toSet
+    val b = tokens(tb).toSet
+    if (a.isEmpty && b.isEmpty) 1.0
+    else (a & b).size.toDouble / (a | b).size
+  }
+
+  /** 64-bit SimHash over tokens. */
+  def simHash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    tokens(text).foreach { t =>
+      val h = fnv64(t)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+        bit += 1
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counts(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  /** The 4 16-bit chunks of a simhash — hamming ≤ 3 ⇒ at least one chunk
+    * equal (pigeonhole), so chunk-equality bucketing finds all such pairs.
+    */
+  def simHashChunks(h: Long): Array[Long] =
+    Array.tabulate(4)(i => (h >>> (i * 16)) & 0xffffL)
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  def register(spark: SparkSession): Unit = {
+    val u = spark.udf
+    u.register("minhash_bands", (t: String) => minHashBands(t))
+    u.register("minhash_sig", (t: String) => minHashSignature(shingleHashes(t)))
+    u.register("shingle_jaccard", (a: String, b: String) => shingleJaccard(a, b))
+    u.register("token_jaccard", (a: String, b: String) => tokenJaccard(a, b))
+    u.register("simhash64", (t: String) => simHash64(t))
+    u.register("simhash_chunks", (t: String) => simHashChunks(simHash64(t)))
+    u.register("hamming64", (a: Long, b: Long) => hamming(a, b))
+    ()
+  }
+}

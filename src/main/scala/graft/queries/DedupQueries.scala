@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnLsh, Dedup, Multimodal}
+
+/** Near-dup / similarity / multimodal operator queries. The synthetic
+  * documents/embeddings carry no natural duplicates, so each query plants
+  * deterministic perturbed copies (id + 100000) — perturbations are
+  * expressible in both engines, so the verification queries get DuckDB
+  * oracles while the LSH candidate-generation plans run rows-only.
+  */
+object DedupQueries {
+
+  /** documents ∪ perturbed copies (first token dropped, marker appended). */
+  private def docsWithDups(s: SparkSession, d: String): DataFrame = {
+    val docs = T(s, d, "documents").select("doc_id", "text")
+    val perturbed = docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat(expr("substring(text, instr(text, ' ') + 1)"), lit(" zzz")).as("text"))
+    docs.unionByName(perturbed)
+  }
+
+  /** embeddings ∪ perturbed copies (+0.05 per component, cos ≈ 0.93). */
+  private def embWithDups(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    e.unionByName(e.select(
+      (col("vec_id") + 100000).as("vec_id"),
+      expr("transform(ve, x -> x + 0.05d)").as("ve")))
+  }
+
+
+  val qs: Seq[QueryDef] = Seq(
+    // n-gram/token Jaccard verification on deterministic pairs (oracle-able)
+    QueryDef("dedup_jaccard_pairs",
+      (s, d) => {
+        val all = docsWithDups(s, d)
+        val a = all.select(col("doc_id").as("a_id"), col("text").as("a_text"))
+        val b = all.select((col("doc_id") - 100000).as("a_id"), col("text").as("b_text"))
+        a.join(b, "a_id")
+          .select(col("a_id"),
+            round(
+              expr("size(array_intersect(array_distinct(split(a_text, ' +')), array_distinct(split(b_text, ' +'))))").cast("double") /
+              expr("size(array_distinct(concat(array_distinct(split(a_text, ' +')), array_distinct(split(b_text, ' +')))))"),
+              6).as("jaccard"))
+          .orderBy("a_id")
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1) || ' zzz'
+             |  FROM documents),
+             |a AS (SELECT doc_id AS a_id, text AS a_text FROM all_docs),
+             |b AS (SELECT doc_id - 100000 AS a_id, text AS b_text FROM all_docs)
+             |SELECT a.a_id,
+             |round(CAST(len(list_intersect(list_distinct(string_split_regex(a_text, ' +')),
+             |                              list_distinct(string_split_regex(b_text, ' +')))) AS DOUBLE) /
+             |      len(list_distinct(list_concat(list_distinct(string_split_regex(a_text, ' +')),
+             |                                    list_distinct(string_split_regex(b_text, ' +'))))), 6) AS jaccard
+             |FROM a JOIN b USING (a_id) ORDER BY a_id""".stripMargin)),
+
+    // MinHash + LSH banding: one shuffle on (band, hash); collisions only
+    QueryDef("dedup_minhash_lsh",
+      (s, d) => {
+        Dedup.register(s)
+        val sigs = docsWithDups(s, d)
+          .withColumn("bands", callUDF("minhash_bands", col("text")))
+        val buckets = sigs
+          .select(col("doc_id"), col("text"), posexplode(col("bands")).as(Seq("band", "bh")))
+        val pairs = buckets.as("x").join(buckets.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+            col("x.text").as("ta"), col("y.text").as("tb"))
+          .distinct()
+        pairs
+          .withColumn("jaccard", round(callUDF("shingle_jaccard", col("ta"), col("tb")), 6))
+          .where(col("jaccard") >= 0.5)
+          .select("a", "b", "jaccard")
+          .orderBy("a", "b")
+      },
+      headline = true),
+
+    // SimHash near-dup: hamming ≤ 3 found exactly via 16-bit chunk buckets
+    QueryDef("dedup_simhash",
+      (s, d) => {
+        Dedup.register(s)
+        val sigs = docsWithDups(s, d)
+          .withColumn("sh", callUDF("simhash64", col("text")))
+          .withColumn("chunks", callUDF("simhash_chunks", col("text")))
+        val buckets = sigs.select(col("doc_id"), col("sh"),
+          posexplode(col("chunks")).as(Seq("chunk", "ch")))
+        buckets.as("x").join(buckets.as("y"),
+            col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+            col("x.sh").as("sha"), col("y.sh").as("shb"))
+          .distinct()
+          .withColumn("hamming", callUDF("hamming64", col("sha"), col("shb")))
+          .where(col("hamming") <= 3)
+          .select("a", "b", "hamming")
+          .orderBy("a", "b")
+      }),
+
+    // embedding cosine near-dup, brute-force verification (oracle-able)
+    QueryDef("embedding_neardup_pairs",
+      (s, d) => {
+        AnnLsh.register(s)
+        val e = embWithDups(s, d)
+        e.select(col("vec_id").as("a"), col("ve").as("va")).as("x")
+          .join(e.select(col("vec_id").as("b"), col("ve").as("vb")).as("y"),
+            col("a") < col("b"))
+          .withColumn("cos", round(callUDF("cosine_d", col("va"), col("vb")), 6))
+          .where(col("cos") >= 0.9)
+          .select("a", "b", "cos")
+          .orderBy("a", "b")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.05)
+             |  FROM embeddings)
+             |SELECT a.vec_id AS a, b.vec_id AS b,
+             |round(list_dot_product(a.ve, b.ve) /
+             |      (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) AS cos
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE round(list_dot_product(a.ve, b.ve) /
+             |      (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 6) >= 0.9
+             |ORDER BY a, b""".stripMargin)),
+
+    // embedding near-dup via hyperplane LSH (the scale path: bucket join)
+    QueryDef("embedding_neardup_lsh",
+      (s, d) => {
+        AnnLsh.register(s)
+        val e = embWithDups(s, d)
+          .select(col("vec_id"), col("ve").cast("array<float>").as("vf"))
+          .withColumn("sigs", callUDF("ann_band_sigs", col("vf")))
+        val buckets = e.select(col("vec_id"), col("vf"), explode(col("sigs")).as("sig"))
+        buckets.as("x").join(buckets.as("y"),
+            col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+            col("x.vf").as("va"), col("y.vf").as("vb"))
+          .distinct()
+          .withColumn("cos", round(callUDF("cosine_f", col("va"), col("vb")), 6))
+          .where(col("cos") >= 0.9)
+          .select("a", "b", "cos")
+          .orderBy("a", "b")
+      },
+      headline = true),
+
+    // multimodal: binary payload + stubbed decode through mapPartitions
+    QueryDef("multimodal_features",
+      (s, d) => Multimodal.extractFeatures(s, Multimodal.mediaTable(s, d))
+        .orderBy("media_id"))
+  )
+}

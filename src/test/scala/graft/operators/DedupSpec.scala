@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+class DedupSpec extends AnyFunSuite {
+
+  private def randText(rnd: Random, n: Int): String = {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi")
+    Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+  }
+
+  test("minhash signature similarity approximates shingle jaccard") {
+    val rnd = new Random(7)
+    for (_ <- 1 to 30) {
+      val base = randText(rnd, 80)
+      val toks = base.split(" ")
+      // perturb ~10% of tokens
+      val perturbed = toks.map(t => if (rnd.nextInt(10) == 0) "zzz" else t).mkString(" ")
+      val exact = Dedup.shingleJaccard(base, perturbed)
+      val est = Dedup.signatureSimilarity(
+        Dedup.minHashSignature(Dedup.shingleHashes(base)),
+        Dedup.minHashSignature(Dedup.shingleHashes(perturbed)))
+      assert(math.abs(exact - est) < 0.25, s"exact=$exact est=$est")
+    }
+    // identical text → identical signature
+    val t = randText(rnd, 50)
+    assert(Dedup.signatureSimilarity(
+      Dedup.minHashSignature(Dedup.shingleHashes(t)),
+      Dedup.minHashSignature(Dedup.shingleHashes(t))) == 1.0)
+  }
+
+  test("simhash: similar texts have small hamming distance, dissimilar large") {
+    val rnd = new Random(11)
+    val base = randText(rnd, 100)
+    val similar = base.split(" ").drop(1).mkString(" ") + " zzz"
+    val different = randText(new Random(999), 100)
+    val hSim = Dedup.hamming(Dedup.simHash64(base), Dedup.simHash64(similar))
+    val hDiff = Dedup.hamming(Dedup.simHash64(base), Dedup.simHash64(different))
+    assert(hSim <= 8, s"similar hamming $hSim")
+    assert(hDiff > hSim, s"diff $hDiff vs sim $hSim")
+    // chunk bucketing is exhaustive for hamming<=3 (pigeonhole)
+    val a = 0x0123456789abcdefL
+    val b = a ^ 0x8001L // hamming 2, both flips in chunk 0
+    assert(Dedup.simHashChunks(a).zip(Dedup.simHashChunks(b)).exists { case (x, y) => x == y })
+  }
+
+  test("ann lsh: planted near-dup collides in at least one band") {
+    val rnd = new Random(5)
+    var collisions = 0
+    val trials = 50
+    for (_ <- 1 to trials) {
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val norm = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      val vn = v.map(_ / norm)
+      val perturbed = vn.map(x => x + 0.05f)
+      val sa = AnnLsh.bandSignatures(vn.toSeq)
+      val sb = AnnLsh.bandSignatures(perturbed.toSeq)
+      if (sa.zip(sb).exists { case (x, y) => x == y }) collisions += 1
+      assert(AnnLsh.cosine(vn.toSeq, perturbed.toSeq) > 0.9)
+    }
+    assert(collisions >= trials * 8 / 10, s"only $collisions/$trials collided")
+  }
+
+  test("multimodal stubs are deterministic and size-bounded") {
+    val payload = "hello world, this is a payload of moderate length".getBytes("UTF-8")
+    val (w1, h1) = Multimodal.decodeStub(payload)
+    val (w2, h2) = Multimodal.decodeStub(payload)
+    assert((w1, h1) == (w2, h2))
+    assert(w1 >= 64 && w1 < 512 && h1 >= 64 && h1 < 512)
+    val big = Array.fill(10000)(42.toByte)
+    assert(Multimodal.resizeStub(big, 256).length <= 256 + 1)
+    assert(Multimodal.frameSampleStub(big, 4096) == 2)
+  }
+}
