@@ -28,6 +28,7 @@ object GraftFunctions {
     */
   def indexShape(geomStr: String, res: Int): Array[String] = {
     if (geomStr == null) return null
+    indexShapeCalls.incrementAndGet()
     val g = parseGeom(geomStr)
     indexGeometry(g, res).map(H3Index.toHexString)
   }
@@ -80,13 +81,61 @@ object GraftFunctions {
   /** Planar ratio numerator/denominator in one JVM call:
     * area(g ∩ hex) / area(g) — the PCT_AREA ratio (h3_indexer.py:257-263).
     */
+  /** scratch diagnostics (cheap atomic bumps; used by tools.TimeOne) */
+  val ratioAreaCalls = new java.util.concurrent.atomic.AtomicLong()
+  val indexShapeCalls = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Small per-thread LRU of parsed feature geometries: the (feature, cell)
+    * rows repeat each feature's WKT once per covering cell.
+    */
+  private val parsedCache = ThreadLocal.withInitial[java.util.LinkedHashMap[String, Geometry]](
+    () => new java.util.LinkedHashMap[String, Geometry](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Geometry]): Boolean =
+        size() > 48
+    })
+
+  def parseGeomCached(s: String): Geometry = {
+    val c = parsedCache.get()
+    val hit = c.get(s)
+    if (hit != null) hit
+    else {
+      val g = parseGeom(s)
+      c.put(s, g)
+      g
+    }
+  }
+
   def ratioArea(geomWkt: String, hexWkt: String): java.lang.Double = {
     if (geomWkt == null || hexWkt == null) return null
-    val g = parseGeom(geomWkt)
+    ratioAreaCalls.incrementAndGet()
+    val g = parseGeomCached(geomWkt)
     val denom = g.getArea
     if (denom == 0.0) return 0.0
     g.intersection(parseGeom(hexWkt)).getArea / denom
   }
+
+  /** ratio against a cell given by index: the hexagon boundary comes from
+    * the per-executor memo, so no hexagon WKT travels through the rows.
+    */
+  def ratioAreaCell(geomWkt: String, cell: String): java.lang.Double = {
+    if (geomWkt == null || cell == null) return null
+    ratioAreaCalls.incrementAndGet()
+    val g = parseGeomCached(geomWkt)
+    val denom = g.getArea
+    if (denom == 0.0) return 0.0
+    g.intersection(parseGeom(H3Geo.cellInfoCached(cell)._1)).getArea / denom
+  }
+
+  def ratioLengthCell(geomWkt: String, cell: String): java.lang.Double = {
+    if (geomWkt == null || cell == null) return null
+    val g = parseGeomCached(geomWkt)
+    val denom = g.getLength
+    if (denom == 0.0) return 0.0
+    g.intersection(parseGeom(H3Geo.cellInfoCached(cell)._1)).getLength / denom
+  }
+
+  def cellAreaKm2Cached(cell: String): java.lang.Double =
+    if (cell == null) null else H3Geo.cellInfoCached(cell)._2
 
   /** length(g ∩ hex) / length(g) — the PCT_LENGTH ratio
     * (h3_indexer.py:193-199).
@@ -120,10 +169,15 @@ object GraftFunctions {
       if (ix == null) null else H3.cellToParentString(ix, res))
     u.register("h3_to_wkt", (ix: String) => cellToWkt(ix))
     u.register("h3_cell_area_km2", (ix: String) => cellAreaKm2(ix))
+    u.register("h3_cell_info", (ix: String) =>
+      if (ix == null) null else H3Geo.cellInfo(ix))
     u.register("h3_latlng_cell",
       (lat: java.lang.Double, lng: java.lang.Double, res: Int) => latLngCell(lat, lng, res))
     u.register("st_ratio_area", (a: String, b: String) => ratioArea(a, b))
     u.register("st_ratio_length", (a: String, b: String) => ratioLength(a, b))
+    u.register("st_ratio_area_cell", (a: String, c: String) => ratioAreaCell(a, c))
+    u.register("st_ratio_length_cell", (a: String, c: String) => ratioLengthCell(a, c))
+    u.register("h3_cell_area_cached", (c: String) => cellAreaKm2Cached(c))
     u.register("st_area_spheroid_km2", (s: String) => areaSpheroidKm2(s))
     u.register("st_length_spheroid_km", (s: String) => lengthSpheroidKm(s))
     u.register("st_astext", (s: String) =>

@@ -97,37 +97,48 @@ object Indexer {
   def index(spark: SparkSession, in: VectorInput, validated: DataFrame,
             res: Int): DataFrame = {
     val attrs = in.inputColumns.map(col)
-    val base = validated.select(
+    val selected = validated.select(
       (col(in.uniqueId) +: col(Cols.GeomWkt) +: attrs): _*)
+    // The polyfill/ratio stages are CPU-bound per row, but a small input
+    // (one parquet file) scans as one partition and AQE only rebalances
+    // after a shuffle — so fan the rows out first when the scan has fewer
+    // partitions than cores. At cluster scale inputs have splits >> cores
+    // and this is a no-op.
+    val parallelism = spark.sparkContext.defaultParallelism
+    val base =
+      if (selected.rdd.getNumPartitions < parallelism)
+        selected.repartition(parallelism)
+      else selected
 
-    val exploded = base
-      .withColumn(Cols.H3Index,
-        explode(callUDF("h3_index_shape", col(Cols.GeomWkt), lit(res))))
+    // Per-feature totals are geometry-only: compute them BEFORE the explode
+    // (once per feature, not once per (feature,cell) pair — the reference
+    // recomputes per pair, h3_indexer.py:202-204/266-268; values identical).
+    val withTotal = in.geometryType match {
+      case GT.Point => base.withColumn(Cols.TotalCount, lit(1))
+      case GT.Line => base.withColumn(Cols.TotalLengthKm,
+        callUDF("st_length_spheroid_km", col(Cols.GeomWkt)))
+      case GT.Polygon => base.withColumn(Cols.TotalAreaKm2,
+        callUDF("st_area_spheroid_km2", col(Cols.GeomWkt)))
+    }
 
-    // distinct-cell dimension: boundary WKT + geodesic area once per cell
-    val cellDim = exploded.select(Cols.H3Index).distinct()
-      .withColumn(Cols.H3Geom, callUDF("h3_to_wkt", col(Cols.H3Index)))
-      .withColumn(Cols.H3AreaKm2, callUDF("h3_cell_area_km2", col(Cols.H3Index)))
+    val exploded = withTotal.withColumn(Cols.H3Index,
+      explode(callUDF("h3_index_shape", col(Cols.GeomWkt), lit(res))))
 
-    val joined = exploded.join(cellDim, Seq(Cols.H3Index), "left")
-
+    // Hexagon boundary + area come from a bounded per-executor memo keyed by
+    // h3_index (H3Geo.cellInfoCached) instead of the reference's
+    // distinct+join cell dimension (h3_indexer.py:116-124): same
+    // compute-once-per-cell effect, but zero extra shuffles and no hexagon
+    // WKT travelling through the rows. (The reference needed the dim join
+    // because its per-row compute ran in isolated Python workers.)
     val withRatio = in.geometryType match {
       case GT.Point =>
-        joined
-          .withColumn(Cols.Ratio, lit(1.0))
-          .withColumn(Cols.TotalCount, lit(1))
+        exploded.withColumn(Cols.Ratio, lit(1.0))
       case GT.Line =>
-        joined
-          .withColumn(Cols.Ratio,
-            callUDF("st_ratio_length", col(Cols.GeomWkt), col(Cols.H3Geom)))
-          .withColumn(Cols.TotalLengthKm,
-            callUDF("st_length_spheroid_km", col(Cols.GeomWkt)))
+        exploded.withColumn(Cols.Ratio,
+          callUDF("st_ratio_length_cell", col(Cols.GeomWkt), col(Cols.H3Index)))
       case GT.Polygon =>
-        joined
-          .withColumn(Cols.Ratio,
-            callUDF("st_ratio_area", col(Cols.GeomWkt), col(Cols.H3Geom)))
-          .withColumn(Cols.TotalAreaKm2,
-            callUDF("st_area_spheroid_km2", col(Cols.GeomWkt)))
+        exploded.withColumn(Cols.Ratio,
+          callUDF("st_ratio_area_cell", col(Cols.GeomWkt), col(Cols.H3Index)))
     }
 
     val totalCol = in.geometryType match {
@@ -138,6 +149,7 @@ object Indexer {
 
     // epilogue (h3_indexer.py:31-81)
     withRatio
+      .withColumn(Cols.H3AreaKm2, callUDF("h3_cell_area_cached", col(Cols.H3Index)))
       .withColumn(Cols.H3R3Parent, callUDF("h3_parent_res3", col(Cols.H3Index)))
       .withColumn(Cols.H3Resolution, lit(res))
       .select((Seq(Cols.H3Index, Cols.H3Resolution, Cols.H3R3Parent,

@@ -18,6 +18,11 @@ import com.fasterxml.jackson.databind.node.ArrayNode
   */
 object GeoIO {
 
+  // OverlayNG before any JTS overlay class loads — same robustness fix the
+  // reference applies cluster-wide (spark.py:104-107, apache/sedona#1612);
+  // JTS 1.20 still defaults to the legacy overlay without it
+  System.setProperty("jts.overlay", "ng")
+
   private val gf = new GeometryFactory(new PrecisionModel, 4326)
   private val wktReader = ThreadLocal.withInitial[WKTReader](() => new WKTReader(gf))
   private val wktWriter = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter())

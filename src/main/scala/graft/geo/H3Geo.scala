@@ -24,7 +24,24 @@ object H3Geo {
     GeoIO.factory.createPolygon(cs)
   }
 
-  def cellToWkt(cell: Long): String = GeoIO.toWkt(cellPolygon(cell))
+  /** Fast WKT writer for cell boundary polygons (JTS WKTWriter's decimal
+    * formatting costs ~30µs/cell; a direct StringBuilder with
+    * Double.toString is ~10× cheaper and WKT-parseable identically).
+    */
+  private def boundaryWkt(b: Array[graft.h3.LatLng]): String = {
+    val sb = new java.lang.StringBuilder(b.length * 44 + 16)
+    sb.append("POLYGON ((")
+    var i = 0
+    while (i <= b.length) {
+      val v = b(i % b.length)
+      if (i > 0) sb.append(", ")
+      sb.append(math.toDegrees(v.lng)).append(' ').append(math.toDegrees(v.lat))
+      i += 1
+    }
+    sb.append("))").toString
+  }
+
+  def cellToWkt(cell: Long): String = boundaryWkt(H3.cellToBoundary(cell))
   def cellToWkt(cell: String): String = cellToWkt(H3Index.fromHexString(cell))
 
   /** Hexagon area in km² via the geodesic area of its boundary
@@ -34,6 +51,45 @@ object H3Geo {
     Geodesic.areaSqMeters(cellPolygon(cell)) / 1e6
 
   def cellAreaKm2(cell: String): Double = cellAreaKm2(H3Index.fromHexString(cell))
+
+  /** Bounded per-executor memo of cell → (boundary WKT, area km²). Rows
+    * arrive feature-clustered, so hit rate ≈ 1 − distinct/pairs; on a
+    * cluster each executor holds its own memo (worst case: distinct cells ×
+    * executors recomputes of ~10µs — bounded and shuffle-free, unlike a
+    * distinct+join dimension which shuffles every pair twice).
+    */
+  private val CacheCap = 262144
+  private val infoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Double)]()
+
+  def cellInfoCached(cell: String): (String, Double) = {
+    val hit = infoCache.get(cell)
+    if (hit != null) return hit
+    val v = cellInfo(cell)
+    if (infoCache.size >= CacheCap) infoCache.clear() // crude, rare eviction
+    infoCache.put(cell, v)
+    v
+  }
+
+  /** Boundary WKT + geodesic area in one boundary computation — the
+    * distinct-cell dimension needs both (Indexer), and computing the
+    * boundary once halves the dominant per-cell cost.
+    */
+  def cellInfo(cell: String): (String, Double) = {
+    val h = H3Index.fromHexString(cell)
+    val b = H3.cellToBoundary(h)
+    val poly = {
+      val cs = new Array[Coordinate](b.length + 1)
+      var i = 0
+      while (i < b.length) {
+        cs(i) = new Coordinate(math.toDegrees(b(i).lng), math.toDegrees(b(i).lat))
+        i += 1
+      }
+      cs(b.length) = cs(0)
+      GeoIO.factory.createPolygon(cs)
+    }
+    (boundaryWkt(b), Geodesic.areaSqMeters(poly) / 1e6)
+  }
 
   /** Resolution-3 ancestor as hex string (U2, the partition key). */
   def parentRes3(cell: String): String = H3.cellToParentString(cell, 3)

@@ -25,8 +25,7 @@ object AnnLsh {
   /** Band signatures: Bands values, each an 8-bit hyperplane sign pattern
     * tagged with the band index (so different bands never collide).
     */
-  def bandSignatures(v: Seq[Float]): Array[Long] = {
-    val arr = v.toArray
+  def bandSignatures(arr: Array[Float]): Array[Long] = {
     Array.tabulate(Bands) { b =>
       var sig = 0L
       var i = 0
@@ -43,7 +42,7 @@ object AnnLsh {
     }
   }
 
-  def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -55,7 +54,7 @@ object AnnLsh {
     if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  def cosineD(a: Seq[Double], b: Seq[Double]): Double = {
+  def cosineD(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -69,9 +68,10 @@ object AnnLsh {
 
   def register(spark: SparkSession): Unit = {
     val u = spark.udf
-    u.register("ann_band_sigs", (v: Seq[Float]) => bandSignatures(v))
-    u.register("cosine_f", (a: Seq[Float], b: Seq[Float]) => cosine(a, b))
-    u.register("cosine_d", (a: Seq[Double], b: Seq[Double]) => cosineD(a, b))
+    // primitive-array signatures: Spark passes array<float/double> unboxed
+    u.register("ann_band_sigs", (v: Array[Float]) => bandSignatures(v))
+    u.register("cosine_f", (a: Array[Float], b: Array[Float]) => cosine(a, b))
+    u.register("cosine_d", (a: Array[Double], b: Array[Double]) => cosineD(a, b))
     ()
   }
 }

@@ -74,6 +74,9 @@ object DedupQueries {
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
             col("x.text").as("ta"), col("y.text").as("tb"))
           .distinct()
+          // AQE coalesces the small candidate shuffle to ~1 partition; the
+          // exact-jaccard verify is CPU-bound, so fan it back out
+          .repartition(s.sparkContext.defaultParallelism)
         pairs
           .withColumn("jaccard", round(callUDF("shingle_jaccard", col("ta"), col("tb")), 6))
           .where(col("jaccard") >= 0.5)
@@ -108,7 +111,10 @@ object DedupQueries {
       (s, d) => {
         AnnLsh.register(s)
         val e = embWithDups(s, d)
-        e.select(col("vec_id").as("a"), col("ve").as("va")).as("x")
+        // the nested-loop pair evaluation is CPU-bound: spread the streamed
+        // side across cores (the broadcast side is tiny)
+        e.select(col("vec_id").as("a"), col("ve").as("va"))
+          .repartition(s.sparkContext.defaultParallelism).as("x")
           .join(e.select(col("vec_id").as("b"), col("ve").as("vb")).as("y"),
             col("a") < col("b"))
           .withColumn("cos", round(callUDF("cosine_d", col("va"), col("vb")), 6))
@@ -135,13 +141,21 @@ object DedupQueries {
         AnnLsh.register(s)
         val e = embWithDups(s, d)
           .select(col("vec_id"), col("ve").cast("array<float>").as("vf"))
-          .withColumn("sigs", callUDF("ann_band_sigs", col("vf")))
-        val buckets = e.select(col("vec_id"), col("vf"), explode(col("sigs")).as("sig"))
-        buckets.as("x").join(buckets.as("y"),
+        val buckets = e
+          .withColumn("sig", explode(callUDF("ann_band_sigs", col("vf"))))
+          .select("vec_id", "sig")
+        // candidates carry ids ONLY through the bucket join + distinct
+        // (shuffling the vectors with every band collision is the cost at
+        // scale); the vector table is joined back afterwards — broadcast
+        // here, an id-partitioned shuffle join on a large cluster
+        val cand = buckets.as("x").join(buckets.as("y"),
             col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-            col("x.vf").as("va"), col("y.vf").as("vb"))
+          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
           .distinct()
+          .repartition(s.sparkContext.defaultParallelism)
+        cand
+          .join(broadcast(e.select(col("vec_id").as("a"), col("vf").as("va"))), "a")
+          .join(broadcast(e.select(col("vec_id").as("b"), col("vf").as("vb"))), "b")
           .withColumn("cos", round(callUDF("cosine_f", col("va"), col("vb")), 6))
           .where(col("cos") >= 0.9)
           .select("a", "b", "cos")

@@ -55,10 +55,10 @@ class DedupSpec extends AnyFunSuite {
       val norm = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
       val vn = v.map(_ / norm)
       val perturbed = vn.map(x => x + 0.05f)
-      val sa = AnnLsh.bandSignatures(vn.toSeq)
-      val sb = AnnLsh.bandSignatures(perturbed.toSeq)
+      val sa = AnnLsh.bandSignatures(vn)
+      val sb = AnnLsh.bandSignatures(perturbed)
       if (sa.zip(sb).exists { case (x, y) => x == y }) collisions += 1
-      assert(AnnLsh.cosine(vn.toSeq, perturbed.toSeq) > 0.9)
+      assert(AnnLsh.cosine(vn, perturbed) > 0.9)
     }
     assert(collisions >= trials * 8 / 10, s"only $collisions/$trials collided")
   }
