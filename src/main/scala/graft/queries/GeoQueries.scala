@@ -99,11 +99,16 @@ object GeoQueries {
     QueryDef("h3_sql_surface",
       (s, d) => {
         GraftFunctions.register(s)
+        graft.engine.Expressions.register(s)
         pointsDf(s, d).limit(1000)
           .withColumn("cell", expr(s"h3_latlng_cell(latitude, longitude, $Res)"))
           .selectExpr(
             "point_id", "cell",
+            // codegen-native expressions must agree with the UDF surface
+            s"h3_latlng_cell_native(latitude, longitude, $Res) AS cell_native",
             "h3_parent(cell, 3) AS parent",
+            "h3_parent_native(cell, 3) AS parent_native",
+            "h3_resolution_native(cell) AS res_native",
             "h3_cell_area_km2(cell) AS area_km2",
             "st_length(h3_to_wkt(cell)) AS boundary_len_deg",
             "st_isvalid(h3_to_wkt(cell)) AS boundary_valid")

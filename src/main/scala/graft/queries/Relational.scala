@@ -213,6 +213,18 @@ object Relational {
              |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       headline = true
+    ),
+
+    // Structured Streaming twin of the rollup: readStream → watermark →
+    // window agg → memory sink, driven to completion (AvailableNow); same
+    // oracle as the batch query.
+    QueryDef(
+      "events_hourly_rollup_stream",
+      (s, d) => graft.streaming.EventStream.hourlyRollup(s, d),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+             |event_type, count(*) AS n,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     )
   )
 }
