@@ -77,10 +77,19 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  // explicit input coercion at build time (AbstractDataType/ExpectsInputTypes
+  // is not public API in Spark 4, so the builders cast instead)
+  private def asD(e: Expression) =
+    org.apache.spark.sql.catalyst.expressions.Cast(e, DoubleType)
+  private def asI(e: Expression) =
+    org.apache.spark.sql.catalyst.expressions.Cast(e, IntegerType)
+  private def asS(e: Expression) =
+    org.apache.spark.sql.catalyst.expressions.Cast(e, StringType)
+
   private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "h3_latlng_cell_native" -> (es => H3LatLngCellExpr(es(0), es(1), es(2))),
-    "h3_parent_native" -> (es => H3ParentExpr(es(0), es(1))),
-    "h3_resolution_native" -> (es => H3ResolutionExpr(es.head))
+    "h3_latlng_cell_native" -> (es => H3LatLngCellExpr(asD(es(0)), asD(es(1)), asI(es(2)))),
+    "h3_parent_native" -> (es => H3ParentExpr(asS(es(0)), asI(es(1)))),
+    "h3_resolution_native" -> (es => H3ResolutionExpr(asS(es.head)))
   )
 
   def register(spark: SparkSession): Unit =
