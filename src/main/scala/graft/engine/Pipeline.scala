@@ -94,8 +94,13 @@ object Validator {
   */
 object Indexer {
 
+  /** @param forWrite when true (the S5 sink path) the output is
+    *   repartitioned by h3_r3_parent to match the partitioned write layout;
+    *   the resolver path skips it (the group-by reshuffles on h3_index
+    *   anyway, so the parent shuffle would be pure waste).
+    */
   def index(spark: SparkSession, in: VectorInput, validated: DataFrame,
-            res: Int): DataFrame = {
+            res: Int, forWrite: Boolean = true): DataFrame = {
     val attrs = in.inputColumns.map(col)
     val selected = validated.select(
       (col(in.uniqueId) +: col(Cols.GeomWkt) +: attrs): _*)
@@ -148,14 +153,14 @@ object Indexer {
     }
 
     // epilogue (h3_indexer.py:31-81)
-    withRatio
+    val out = withRatio
       .withColumn(Cols.H3AreaKm2, callUDF("h3_cell_area_cached", col(Cols.H3Index)))
       .withColumn(Cols.H3R3Parent, callUDF("h3_parent_res3", col(Cols.H3Index)))
       .withColumn(Cols.H3Resolution, lit(res))
       .select((Seq(Cols.H3Index, Cols.H3Resolution, Cols.H3R3Parent,
         Cols.H3AreaKm2, in.uniqueId).map(col) ++ Seq(col(Cols.Ratio), col(totalCol)) ++
         attrs): _*)
-      .repartition(col(Cols.H3R3Parent))
+    if (forWrite) out.repartition(col(Cols.H3R3Parent)) else out
   }
 }
 

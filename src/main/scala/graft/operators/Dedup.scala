@@ -16,8 +16,11 @@ import org.apache.spark.sql.SparkSession
 object Dedup {
 
   val NumHashes = 64
-  val Bands = 16
-  val RowsPerBand: Int = NumHashes / Bands // 4
+  // 8 bands × 8 rows: candidate probability = 1-(1-j^8)^8 — near-1 for
+  // jaccard ≥ 0.85, negligible below ~0.6. (4-row bands admit far too many
+  // moderately-similar candidates on repetitive corpora.)
+  val Bands = 8
+  val RowsPerBand: Int = NumHashes / Bands // 8
 
   /** FNV-1a 64-bit string hash (deterministic across JVMs). */
   def fnv64(s: String): Long = {
@@ -89,10 +92,31 @@ object Dedup {
     eq.toDouble / a.length
   }
 
+  /** Per-thread LRU of shingle sets: candidate pairs repeat each document
+    * once per similar partner, so the set is rebuilt O(partners) times
+    * without it.
+    */
+  private val shingleCache = ThreadLocal.withInitial[java.util.LinkedHashMap[String, Set[Long]]](
+    () => new java.util.LinkedHashMap[String, Set[Long]](128, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Set[Long]]): Boolean =
+        size() > 96
+    })
+
+  private def shingleSet(t: String): Set[Long] = {
+    val c = shingleCache.get()
+    val hit = c.get(t)
+    if (hit != null) hit
+    else {
+      val s = shingleHashes(t).toSet
+      c.put(t, s)
+      s
+    }
+  }
+
   /** Exact Jaccard over hashed shingle sets. */
   def shingleJaccard(ta: String, tb: String): Double = {
-    val a = shingleHashes(ta).toSet
-    val b = shingleHashes(tb).toSet
+    val a = shingleSet(ta)
+    val b = shingleSet(tb)
     if (a.isEmpty && b.isEmpty) 1.0
     else (a & b).size.toDouble / (a | b).size
   }

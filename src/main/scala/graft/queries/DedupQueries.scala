@@ -64,20 +64,23 @@ object DedupQueries {
     QueryDef("dedup_minhash_lsh",
       (s, d) => {
         Dedup.register(s)
-        val sigs = docsWithDups(s, d)
+        val docs = docsWithDups(s, d)
+        val buckets = docs
           .withColumn("bands", callUDF("minhash_bands", col("text")))
-        val buckets = sigs
-          .select(col("doc_id"), col("text"), posexplode(col("bands")).as(Seq("band", "bh")))
-        val pairs = buckets.as("x").join(buckets.as("y"),
+          .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+        // candidates carry ids only (texts re-join afterwards — broadcast
+        // here, id-partitioned join at cluster scale)
+        val cand = buckets.as("x").join(buckets.as("y"),
             col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
             col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-            col("x.text").as("ta"), col("y.text").as("tb"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .distinct()
           // AQE coalesces the small candidate shuffle to ~1 partition; the
           // exact-jaccard verify is CPU-bound, so fan it back out
           .repartition(s.sparkContext.defaultParallelism)
-        pairs
+        cand
+          .join(broadcast(docs.select(col("doc_id").as("a"), col("text").as("ta"))), "a")
+          .join(broadcast(docs.select(col("doc_id").as("b"), col("text").as("tb"))), "b")
           .withColumn("jaccard", round(callUDF("shingle_jaccard", col("ta"), col("tb")), 6))
           .where(col("jaccard") >= 0.5)
           .select("a", "b", "jaccard")

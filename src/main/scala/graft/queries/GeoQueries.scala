@@ -67,9 +67,10 @@ object GeoQueries {
     "geo_id", GeometryType.Polygon, Some("geometry"), None, None,
     Method.PctArea, Seq("balance"))
 
-  private def indexed(s: SparkSession, in: VectorInput, data: DataFrame): DataFrame = {
+  private def indexed(s: SparkSession, in: VectorInput, data: DataFrame,
+                      forWrite: Boolean = true): DataFrame = {
     GraftFunctions.register(s)
-    Indexer.index(s, in, Validator.validate(s, in, data), Res)
+    Indexer.index(s, in, Validator.validate(s, in, data), Res, forWrite)
   }
 
   val qs: Seq[QueryDef] = Seq(
@@ -89,8 +90,10 @@ object GeoQueries {
     // full resolver: two inputs, value×ratio group-sum, full-outer fold
     QueryDef("h3_resolve_multi",
       (s, d) => {
-        val p = Resolver.resolveInput(indexed(s, pointsInput, pointsDf(s, d)), Seq("qty"))
-        val g = Resolver.resolveInput(indexed(s, polysInput, polysDf(s, d)), Seq("balance"))
+        val p = Resolver.resolveInput(
+          indexed(s, pointsInput, pointsDf(s, d), forWrite = false), Seq("qty"))
+        val g = Resolver.resolveInput(
+          indexed(s, polysInput, polysDf(s, d), forWrite = false), Seq("balance"))
         Resolver.resolve(s, Seq(p, g), Res).orderBy("h3_index")
       },
       headline = true),

@@ -215,6 +215,24 @@ object Relational {
       headline = true
     ),
 
+    // Exact interpolated percentiles per group (distribution statistics).
+    QueryDef(
+      "stats_percentiles",
+      (s, d) =>
+        T(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("percentile(l_quantity, 0.25)").as("p25"),
+            expr("percentile(l_quantity, 0.5)").as("p50"),
+            expr("percentile(l_quantity, 0.75)").as("p75"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |quantile_cont(l_quantity, 0.25) AS p25,
+             |quantile_cont(l_quantity, 0.5) AS p50,
+             |quantile_cont(l_quantity, 0.75) AS p75
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
     // Structured Streaming twin of the rollup: readStream → watermark →
     // window agg → memory sink, driven to completion (AvailableNow); same
     // oracle as the batch query.

@@ -103,6 +103,26 @@ object TextOps {
       Some("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id")
     ),
 
+    // BPE-ish regex tokenization: letter runs / digit runs / single
+    // punctuation marks, the pre-tokenization shape BPE vocabularies use.
+    QueryDef(
+      "text_bpe_tokens",
+      (s, d) =>
+        T(s, d, "documents")
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("text"),
+              lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_pieces"),
+            size(array_distinct(regexp_extract_all(col("text"),
+              lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))).cast("long").as("n_vocab")
+          )
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_pieces,
+             |len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS n_vocab
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
     // Exact dedup: hash-groupBy on normalized content; keep min doc_id.
     // At scale this is one shuffle on the 128-bit fingerprint.
     QueryDef(
