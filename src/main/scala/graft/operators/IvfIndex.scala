@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: a coarse k-means
+  * quantizer partitions the corpus into cells; queries probe only the
+  * `nprobe` nearest cells and rerank exactly. The second scale path next to
+  * hyperplane LSH (AnnLsh): at 100 TB the corpus is scanned once to assign
+  * cluster ids (map-only, centroids broadcast), stored partitioned by
+  * cluster, and a query touches nprobe/k of the data.
+  *
+  * Training is deterministic: centroids initialize from evenly-spaced corpus
+  * ids and Lloyd iterations are plain DataFrame aggregations (distributed;
+  * only the k×dim centroid matrix ever reaches the driver).
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def nearest(v: Seq[Double], n: Int): Array[Int] =
+      centroids.indices
+        .map(i => i -> IvfIndex.cosineDist(centroids(i), v))
+        .sortBy(_._2).take(n).map(_._1).toArray
+  }
+
+  private[operators] def cosineDist(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 1.0 else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Train the coarse quantizer. `emb` needs columns (id: long, v:
+    * array<double>).
+    */
+  def train(spark: SparkSession, emb: DataFrame, k: Int, iters: Int): Model = {
+    import spark.implicits._
+    val n = emb.count()
+    val stride = math.max(1, n / k)
+    // deterministic init: evenly spaced ids (corpus order is stable)
+    var centroids = emb
+      .withColumn("_rank", expr("id"))
+      .where(pmod(col("_rank"), lit(stride)) === 0)
+      .orderBy("id").limit(k)
+      .select("v").as[Seq[Double]].collect().map(_.toArray)
+
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assign = udf((v: Seq[Double]) =>
+        bc.value.indices.minBy(i => cosineDist(bc.value(i), v)))
+      val sums = emb
+        .withColumn("c", assign(col("v")))
+        .groupBy("c")
+        .agg(count(lit(1)).as("n"),
+          expr("aggregate(collect_list(v), " +
+            "cast(array() as array<double>), (acc, x) -> " +
+            "CASE WHEN size(acc) = 0 THEN x ELSE zip_with(acc, x, (p, q) -> p + q) END)")
+            .as("sum"))
+        .collect()
+      val next = centroids.clone()
+      sums.foreach { r =>
+        val c = r.getAs[Int]("c")
+        val cnt = r.getAs[Long]("n").toDouble
+        next(c) = r.getAs[Seq[Double]]("sum").map(_ / cnt).toArray
+      }
+      centroids = next
+    }
+    Model(centroids)
+  }
+
+  /** Top-k nearest neighbors for each query id, probing nprobe IVF cells. */
+  def search(spark: SparkSession, emb: DataFrame, queryIds: Seq[Long],
+             model: Model, nprobe: Int, topK: Int): DataFrame = {
+    AnnLsh.register(spark)
+    val bc = spark.sparkContext.broadcast(model)
+    val assignOne = udf((v: Seq[Double]) => bc.value.nearest(v, 1)(0))
+    val assignProbe = udf((v: Seq[Double]) => bc.value.nearest(v, nprobe))
+
+    val corpus = emb
+      .withColumn("cluster", assignOne(col("v")))
+      .select(col("id").as("nid"), col("cluster"), col("v").as("nv"))
+    val queries = emb.where(col("id").isin(queryIds: _*))
+      .withColumn("cluster", explode(assignProbe(col("v"))))
+      .select(col("id").as("qid"), col("cluster"), col("v").as("qv"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("nid"))
+    queries.join(corpus, "cluster")
+      .withColumn("score",
+        round(lit(1.0) - udf((a: Seq[Double], b: Seq[Double]) => cosineDist(a, b))
+          .apply(col("qv"), col("nv")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= topK)
+      .select(col("qid"), col("nid"), col("score"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+}

@@ -166,6 +166,17 @@ object DedupQueries {
       },
       headline = true),
 
+    // IVF ANN: coarse k-means quantizer + nprobe search (second scale path
+    // next to hyperplane LSH; recall vs. brute force asserted in DedupSpec)
+    QueryDef("sim_ann_ivf",
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+        val model = graft.operators.IvfIndex.train(s, e, k = 8, iters = 3)
+        graft.operators.IvfIndex.search(s, e, Seq(0L, 1L, 2L, 3L, 4L), model,
+          nprobe = 3, topK = 10)
+      }),
+
     // multimodal: binary payload + stubbed decode through mapPartitions
     QueryDef("multimodal_features",
       (s, d) => Multimodal.extractFeatures(s, Multimodal.mediaTable(s, d))
