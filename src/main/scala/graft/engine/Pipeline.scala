@@ -204,8 +204,12 @@ object Resolver {
 /** Whole-job orchestration (reference main.py:101-155). */
 object GraftJob {
 
+  /** S1/S2/S3: extension-routed scan — .shp via the shapefile reader,
+    * everything else parquet (spark/spark.py:26-42).
+    */
   def loadInput(spark: SparkSession, in: VectorInput): DataFrame = in.path match {
-    case Some(p) => spark.read.parquet(p) // S1/S3 (extension routing: parquet)
+    case Some(p) if p.endsWith(".shp") => graft.sources.Shapefile.read(spark, p)
+    case Some(p) => spark.read.parquet(p)
     case None =>
       // S4: catalog table + pushed-down predicate (validator.py:73-94)
       val t = spark.table(s"${in.catalogDatabase.get}.${in.catalogTable.get}")
