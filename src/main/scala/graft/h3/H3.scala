@@ -164,9 +164,11 @@ object H3 {
     CoordIJK(0, 1, 5), CoordIJK(4, 0, 5), CoordIJK(5, 0, 1))
 
   /** Cell boundary vertices (lat/lng, counter-clockwise). Hexagons have 6
-    * vertices, pentagons 5; no extra icosahedron-edge-crossing vertices are
-    * inserted (a small boundary shape difference vs. h3's Class III cells
-    * that straddle icosa edges — documented divergence).
+    * vertices, pentagons 5, plus — for Class III cells straddling an
+    * icosahedron edge — the edge-crossing "distortion" vertices where the
+    * cell edge bends between the two face projections (the published
+    * boundary semantics; Class II cells have vertices on face edges and
+    * never need them).
     */
   def cellToBoundary(h: Long): Array[LatLng] = {
     val fijk = h3ToFaceIjk(h)
@@ -177,19 +179,52 @@ object H3 {
     var adjRes = res0
     if (isResClassIII(res0)) { center = center.downAp7r; adjRes += 1 }
     val verts = if (isResClassIII(res0)) vertsCIII else vertsCII
-    val out = mutable.ArrayBuffer.empty[LatLng]
-    val startVert = if (pent) 1 else 0 // pentagons drop the k-axis vertex
-    var v = 0
     val nVerts = if (pent) 5 else 6
-    var vi = 0
-    while (vi < nVerts) {
-      v = (vi + startVert) % 6
-      var vert = FaceIJK(fijk.face, (center + verts(v)).normalize)
-      val (adj, _) = Icosa.adjustOverageClassII(vert, adjRes, pentLeading4 = false,
-        substrate = true)
-      vert = adj
-      out += Icosa.hex2dToGeo(vert.coord.toHex2d, vert.face, adjRes, substrate = true)
-      vi += 1
+    val startVert = if (pent) 1 else 0 // pentagons drop the k-axis vertex
+    val substrateVerts = Array.tabulate(nVerts) { vi =>
+      val v = (vi + startVert) % 6
+      FaceIJK(fijk.face, (center + verts(v)).normalize)
+    }
+
+    val out = mutable.ArrayBuffer.empty[LatLng]
+    var lastFace = -1
+    var lastOverage: Icosa.Overage = Icosa.NoOverage
+    // one extra iteration tests the closing edge for a distortion vertex
+    var vert = 0
+    while (vert < nVerts + 1) {
+      val vi = vert % nVerts
+      val orig = substrateVerts(vi)
+      val (adj, overage) = Icosa.adjustOverageClassII(orig, adjRes,
+        pentLeading4 = false, substrate = true)
+      // a Class III cell edge crossing between two face projections bends
+      // at the icosahedron edge: insert that intersection point
+      if (isResClassIII(res0) && vert > 0 && adj.face != lastFace &&
+          lastOverage != Icosa.FaceEdge) {
+        val a = substrateVerts((vi + nVerts - 1) % nVerts).coord.toHex2d
+        val b = orig.coord.toHex2d
+        val maxDim = Icosa.maxDimByCIIres(adjRes).toDouble
+        // the center face's triangle corners in substrate hex2d space
+        val c0 = Vec2d(3.0 * maxDim, 0.0)
+        val c1 = Vec2d(-1.5 * maxDim, 3.0 * Sqrt3_2 * maxDim)
+        val c2 = Vec2d(-1.5 * maxDim, -3.0 * Sqrt3_2 * maxDim)
+        val face2 = if (lastFace == fijk.face) adj.face else lastFace
+        val (e0, e1) = Icosa.adjacentFaceDir(fijk.face)(face2) match {
+          case Icosa.IJQuad => (c0, c1)
+          case Icosa.JKQuad => (c1, c2)
+          case Icosa.KIQuad => (c2, c0)
+          case _ => (c0, c1) // unreachable for true neighbors
+        }
+        val inter = Icosa.v2dIntersect(a, b, e0, e1)
+        val dupA = math.abs(inter.x - a.x) < 1e-9 && math.abs(inter.y - a.y) < 1e-9
+        val dupB = math.abs(inter.x - b.x) < 1e-9 && math.abs(inter.y - b.y) < 1e-9
+        if (!dupA && !dupB)
+          out += Icosa.hex2dToGeo(inter, fijk.face, adjRes, substrate = true)
+      }
+      if (vert < nVerts)
+        out += Icosa.hex2dToGeo(adj.coord.toHex2d, adj.face, adjRes, substrate = true)
+      lastFace = adj.face
+      lastOverage = overage
+      vert += 1
     }
     out.toArray
   }

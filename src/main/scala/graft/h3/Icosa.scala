@@ -161,6 +161,25 @@ object Icosa {
     )
   }
 
+  /** Which overage quadrant (IJ/KI/JK) leads from face f to adjacent face g;
+    * -1 when not adjacent. Derived from faceNeighbors.
+    */
+  val adjacentFaceDir: Array[Array[Int]] = {
+    val arr = Array.fill(20, 20)(-1)
+    for (f <- 0 until 20; q <- 1 to 3)
+      arr(f)(faceNeighbors(f)(q).face) = q
+    arr
+  }
+
+  /** Intersection of lines (p0,p1) and (p2,p3) in 2D (assumed to cross). */
+  def v2dIntersect(p0: Vec2d, p1: Vec2d, p2: Vec2d, p3: Vec2d): Vec2d = {
+    val s1 = Vec2d(p1.x - p0.x, p1.y - p0.y)
+    val s2 = Vec2d(p3.x - p2.x, p3.y - p2.y)
+    val t = (s2.x * (p0.y - p2.y) - s2.y * (p0.x - p2.x)) /
+      (-s2.x * s1.y + s1.x * s2.y)
+    Vec2d(p0.x + t * s1.x, p0.y + t * s1.y)
+  }
+
   /** Max IJK coordinate sum on a face, by Class II resolution: 2·7^(res/2). */
   def maxDimByCIIres(res: Int): Int = 2 * unitScaleByCIIres(res)
 

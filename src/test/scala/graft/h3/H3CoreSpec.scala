@@ -98,14 +98,22 @@ class H3CoreSpec extends AnyFunSuite {
 
   test("boundary encloses centroid; vertex counts correct") {
     val rnd = new Random(7)
+    var distorted = 0
     for (_ <- 1 to 300) {
       val lat = math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))
       val lng = rnd.nextDouble() * 360 - 180
       val res = rnd.nextInt(9)
       val cell = H3.latLngToCell(lat, lng, res)
       val b = H3.cellToBoundary(cell)
-      val expected = if (H3Index.isPentagon(cell)) 5 else 6
-      assert(b.length == expected, s"${H3Index.toHexString(cell)}: ${b.length} verts")
+      val base = if (H3Index.isPentagon(cell)) 5 else 6
+      if (graft.h3.Constants.isResClassIII(res)) {
+        // Class III cells straddling an icosa edge gain distortion vertices
+        assert(b.length >= base && b.length <= base + 4,
+          s"${H3Index.toHexString(cell)}: ${b.length} verts")
+        if (b.length > base) distorted += 1
+      } else {
+        assert(b.length == base, s"${H3Index.toHexString(cell)}: ${b.length} verts")
+      }
       val c = H3.cellToLatLng(cell)
       // every vertex is within ~1.3 edge lengths of the centroid
       b.foreach { v =>
@@ -114,6 +122,8 @@ class H3CoreSpec extends AnyFunSuite {
           s"vertex dist $d vs edge ${H3.hexEdgeLengthRads(res)} for ${H3Index.toHexString(cell)}")
       }
     }
+    // coarse Class III cells are large enough that the sample hits several
+    assert(distorted > 0, "no distortion vertices observed in 300 samples")
   }
 
   test("neighbors are symmetric and correctly counted") {
