@@ -8,7 +8,8 @@ object SparkEntry {
 
   /** Every registered query, in declaration order. */
   def registry: Seq[QueryDef] =
-    Relational.qs ++ TextOps.qs ++ SimilarityQ.qs ++ GeoQueries.qs ++ DedupQueries.qs
+    Relational.qs ++ TextOps.qs ++ SimilarityQ.qs ++ GeoQueries.qs ++
+      DedupQueries.qs ++ EventOps.qs
 
   /** Flagship: the full H3 pipeline (validate → index → resolve) on
     * sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics beyond the reference's batch surface:
+  * gap-based sessionization, as-of alignment, and JSON payload extraction —
+  * the window/stateful patterns a training-data pipeline needs over event
+  * logs. All arithmetic is in epoch microseconds (exact integers in both
+  * engines) so the DuckDB oracles hash-match.
+  */
+object EventOps {
+
+  private val GapMicros = 1800L * 1000000L // 30 min
+
+  val qs: Seq[QueryDef] = Seq(
+    // gap-based sessionization: lag → break flag → running session index →
+    // per-session aggregate. One shuffle on user_id; at scale this is the
+    // same plan shape regardless of row count per user (no collect).
+    QueryDef(
+      "events_sessionize",
+      (s, d) => {
+        val order = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts)").as("tsu"),
+            col("value").cast("decimal(18,2)").as("v"))
+          .withColumn("brk",
+            when(col("tsu") - lag("tsu", 1).over(order) > GapMicros ||
+              lag("tsu", 1).over(order).isNull, 1).otherwise(0))
+          .withColumn("session_idx", sum("brk").over(running))
+          .groupBy("user_id", "session_idx")
+          .agg(count(lit(1)).as("n_events"),
+            min("tsu").as("start_us"), max("tsu").as("end_us"),
+            sum("v").cast("double").as("sum_value"))
+          .orderBy("user_id", "session_idx")
+      },
+      Some(s"""WITH o AS (
+              |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+              |         CAST(value AS DECIMAL(18,2)) AS v,
+              |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS ptsu
+              |  FROM events),
+              |m AS (SELECT *, CASE WHEN ptsu IS NULL OR tsu - ptsu > ${GapMicros} THEN 1 ELSE 0 END AS brk FROM o),
+              |x AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+              |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM m)
+              |SELECT user_id, session_idx, count(*) AS n_events,
+              |       min(tsu) AS start_us, max(tsu) AS end_us,
+              |       CAST(sum(v) AS DOUBLE) AS sum_value
+              |FROM x GROUP BY user_id, session_idx
+              |ORDER BY user_id, session_idx""".stripMargin),
+      headline = true
+    ),
+
+    // as-of alignment: each error event joined to the most recent preceding
+    // click by the same user (running max over the ordered window — no
+    // range/theta join needed).
+    QueryDef(
+      "events_asof_last_click",
+      (s, d) => {
+        val running = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("unix_micros(ts)").as("tsu"))
+          .withColumn("last_click_us",
+            max(when(col("event_type") === "click", col("tsu"))).over(running))
+          .where(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"),
+            (col("tsu") - col("last_click_us")).as("us_since_click"))
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,
+             |         max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+             |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             |                 ROWS UNBOUNDED PRECEDING) AS last_click_us
+             |  FROM events)
+             |SELECT event_id, user_id, tsu - last_click_us AS us_since_click
+             |FROM o WHERE event_type = 'error' ORDER BY event_id""".stripMargin)
+    ),
+
+    // JSON payload extraction + aggregate (props is a JSON string column).
+    QueryDef(
+      "events_json_extract",
+      (s, d) =>
+        T.events(s, d)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), min("k").as("min_k"),
+            max("k").as("max_k"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             |max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    )
+  )
+}
