@@ -167,7 +167,7 @@ object BaseCells {
     * center distance; ambiguity (two centers comparably close) is an init
     * error rather than a silent wrong grid.
     */
-  private val invLookup: Array[Int] = {
+  private def deriveInv(): Array[Int] = {
     val arr = Array.fill(20 * 27)(-1)
     for (face <- 0 until 20; i <- 0 to 2; j <- 0 to 2; k <- 0 to 2) {
       val ijk = CoordIJK(i, j, k)
@@ -217,7 +217,7 @@ object BaseCells {
     * 72° apart, not 60°. Positions no geographic point can aggregate to are
     * marked unreachable (-1).
     */
-  private val rotLookup: Array[Int] = {
+  private def deriveRot(inv: Array[Int]): Array[Int] = {
     val arr = Array.fill(20 * 27)(-1)
     val calibRes = 4
 
@@ -245,7 +245,7 @@ object BaseCells {
     val cellRadius = H3.hexEdgeLengthRads(calibRes)
     for (face <- 0 until 20; i <- 0 to 2; j <- 0 to 2; k <- 0 to 2) {
       val idx = face * 27 + i * 9 + j * 3 + k
-      val bc = invLookup(idx)
+      val bc = inv(idx)
       if (bc >= 0) {
         val p = CoordIJK(i, j, k)
         val cellCenter = Icosa.faceIjkToGeo(FaceIJK(face, p), 0)
@@ -291,6 +291,19 @@ object BaseCells {
     }
     arr
   }
+
+  /** Re-run the geometric derivation (used by DumpTables and the spec that
+    * validates GeneratedLookups against it).
+    */
+  def deriveLookups(): (Array[Int], Array[Int]) = {
+    val inv = deriveInv()
+    (inv, deriveRot(inv))
+  }
+
+  // literals generated from deriveLookups (graft.tools.DumpTables) — skips
+  // ~800 ms of per-JVM derivation; BaseCellsSpec asserts they still match
+  private val invLookup: Array[Int] = GeneratedLookups.inv
+  private val rotLookup: Array[Int] = GeneratedLookups.rot.clone() // learnRotation mutates
 
   def faceIjkToBaseCellCCWrot60(fijk: FaceIJK): Int = {
     val c = fijk.coord
