@@ -1,10 +1,18 @@
 package graft
 
 /** Benchmark main: times every headline query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line for the driver's BENCH_r{N}.json. */
+  * prints one JSON line for the driver's BENCH_r{N}.json.
+  *
+  * Each query runs `reps` times (default 3) and reports the minimum — the
+  * sbt/JIT/host-contention path shows up to 10x swings on single shots, and
+  * min-of-N is the standard defense. A query that throws is recorded with
+  * status "failed" and excluded from the total, and the process exits
+  * non-zero so a broken build can't masquerade as a fast one.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = Sessions.local()
     val defs = SparkEntry.registry.filter(_.headline)
     // warm the JVM/codegen once on the smallest SF so measured times are
@@ -14,15 +22,35 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val results = defs.map { q =>
-      val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] ${q.name} FAILED: ${t.getClass.getName}: ${t.getMessage}")
+            None
+        }
+      }
+      (q.name, times.minOption, times.size)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Some(v), _) => "\"" + k + "\":" + v
+      case (k, None, _)    => "\"" + k + "\":null"
+    }.mkString("{", ",", "}")
+    val statuses = results.map {
+      case (k, Some(_), n) => "\"" + k + "\":\"ok(" + n + "/" + reps + ")\""
+      case (k, None, _)    => "\"" + k + "\":\"failed\""
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    val sc = spark.sparkContext
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$statuses,""" +
+      s""""master":"${sc.master}","parallelism":${sc.defaultParallelism},""" +
+      s""""heap_gb":${f"$heapGb%.1f"},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._2.isEmpty)) sys.exit(1)
   }
 }

@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   * minus the Sedona/Kryo/Arrow pieces our all-JVM engine doesn't need.
   */
 object Sessions {
-  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
+  def local(cpus: String = sys.env.getOrElse(
+              "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString),
             shufflePartitions: Option[String] = None): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -101,6 +101,21 @@ object Indexer {
     */
   def index(spark: SparkSession, in: VectorInput, validated: DataFrame,
             res: Int, forWrite: Boolean = true): DataFrame = {
+    // Dispatch on METHOD, not geometry type. The reference guards the ratio
+    // stage on method (h3_indexer.py:129/194/257: `if input.method == ...`);
+    // for the declared-but-unimplemented PASS_THROUGH/CENTROID the ratio
+    // column is never added and the final `select(*subset_columns)`
+    // (h3_indexer.py:76) then fails on the missing 'ratio'. We surface the
+    // same outcome as a typed error instead of silently indexing a
+    // PASS_THROUGH line as PCT_LENGTH.
+    in.method match {
+      case Method.PassThrough | Method.Centroid =>
+        throw ValidationError(
+          s"input ${in.name}: method ${in.method} is declared but has no indexer " +
+          "implementation (reference h3_indexer.py guards ratio on method and the " +
+          "final projection requires it)")
+      case _ => ()
+    }
     val attrs = in.inputColumns.map(col)
     val selected = validated.select(
       (col(in.uniqueId) +: col(Cols.GeomWkt) +: attrs): _*)
@@ -135,15 +150,17 @@ object Indexer {
     // compute-once-per-cell effect, but zero extra shuffles and no hexagon
     // WKT travelling through the rows. (The reference needed the dim join
     // because its per-row compute ran in isolated Python workers.)
-    val withRatio = in.geometryType match {
-      case GT.Point =>
+    val withRatio = in.method match {
+      case Method.Within =>
         exploded.withColumn(Cols.Ratio, lit(1.0))
-      case GT.Line =>
+      case Method.PctLength =>
         exploded.withColumn(Cols.Ratio,
           callUDF("st_ratio_length_cell", col(Cols.GeomWkt), col(Cols.H3Index)))
-      case GT.Polygon =>
+      case Method.PctArea =>
         exploded.withColumn(Cols.Ratio,
           callUDF("st_ratio_area_cell", col(Cols.GeomWkt), col(Cols.H3Index)))
+      case other =>
+        throw ValidationError(s"method $other has no ratio implementation") // unreachable
     }
 
     val totalCol = in.geometryType match {

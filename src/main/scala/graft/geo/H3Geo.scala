@@ -57,19 +57,35 @@ object H3Geo {
     * cluster each executor holds its own memo (worst case: distinct cells ×
     * executors recomputes of ~10µs — bounded and shuffle-free, unlike a
     * distinct+join dimension which shuffles every pair twice).
+    *
+    * The memo is striped into [[MemoStripes]] independent maps keyed by the
+    * cell hash; when a stripe reaches its cap only THAT stripe is cleared, so
+    * one miss evicts at most 1/128 of the memo. (Round-1 shipped a single map
+    * with clear-at-cap, which wiped all 262k entries for every thread the
+    * moment distinct cells crossed the cap — measured 5× degradation on
+    * h3_index_lines once earlier queries had filled it.)
     */
-  private val CacheCap = 262144
-  private val infoCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Double)]()
+  private[graft] val MemoStripes = 128
+  private[graft] var memoStripeCap = {
+    val total = sys.env.get("SPARK_GRAFT_H3_MEMO_CAP").map(_.toInt).getOrElse(524288)
+    math.max(64, total / MemoStripes)
+  }
+  private val stripes = Array.fill(MemoStripes)(
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Double)]())
 
   def cellInfoCached(cell: String): (String, Double) = {
-    val hit = infoCache.get(cell)
+    val m = stripes((cell.hashCode & 0x7fffffff) % MemoStripes)
+    val hit = m.get(cell)
     if (hit != null) return hit
     val v = cellInfo(cell)
-    if (infoCache.size >= CacheCap) infoCache.clear() // crude, rare eviction
-    infoCache.put(cell, v)
+    if (m.size >= memoStripeCap) m.clear() // partial eviction: one stripe only
+    m.put(cell, v)
     v
   }
+
+  /** Total entries across stripes (test/diagnostics only). */
+  private[graft] def memoSize: Int = { var s = 0; var i = 0; while (i < MemoStripes) { s += stripes(i).size; i += 1 }; s }
+  private[graft] def memoClear(): Unit = stripes.foreach(_.clear())
 
   /** Boundary WKT + geodesic area in one boundary computation — the
     * distinct-cell dimension needs both (Indexer), and computing the

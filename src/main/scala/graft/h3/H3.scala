@@ -30,16 +30,63 @@ object H3 {
     if (numRots >= 0) applyBaseRotation(hDigits, bc, fijkBC.face, numRots)
     else {
       // rare position missed by eager calibration (thin sliver near a face
-      // vertex): calibrate with the point itself — the correct rotation is
-      // the one whose decoded center actually contains it — and remember it
-      val cands = (0 until 6).map(r => applyBaseRotation(hDigits, bc, fijkBC.face, r))
-      val dists = cands.map(c => cellToLatLng(c).distRads(g))
-      val best = dists.indices.minBy(dists)
-      require(dists(best) < 2 * hexEdgeLengthRads(res),
-        s"lazy rotation calibration failed at $fijkBC: $dists")
-      BaseCells.learnRotation(fijkBC, best)
-      cands(best)
+      // vertex). The correct rotation is the one whose decoded cell actually
+      // CONTAINS the point — nearest-center can pick a wrong neighbor under
+      // gnomonic distortion (adjacent centers sit only ~1.73 edge lengths
+      // apart), and learning a wrong rotation would miscell every later
+      // point at this (face, position). Validate by containment; learn the
+      // rotation only when the point is unambiguously interior.
+      val cands = (0 until 6).map(r => r -> applyBaseRotation(hDigits, bc, fijkBC.face, r))
+      val boundaries = cands.map { case (_, c) => cellToBoundary(c) }
+      val containing = cands.indices.filter(i => boundaryContains(boundaries(i), g))
+      val containingCells = containing.map(i => cands(i)._2).distinct
+      if (containingCells.length == 1) {
+        val ci = containing.head
+        // unambiguously interior = containment stable under ~1%-of-an-edge
+        // perturbation in all four compass directions
+        val eps = hexEdgeLengthRads(res) * 0.01
+        val stable = containing.length == 1 &&
+          Seq((eps, 0.0), (-eps, 0.0), (0.0, eps), (0.0, -eps)).forall {
+            case (dLat, dLng) => boundaryContains(boundaries(ci),
+              LatLng(g.lat + dLat, LatLng.constrainLng(g.lng + dLng)))
+          }
+        if (stable) BaseCells.learnRotation(fijkBC, cands(ci)._1)
+        containingCells.head
+      } else {
+        // edge/vertex tie or numeric degeneracy: answer by nearest center
+        // WITHOUT learning, so one ambiguous point can't poison the table
+        val dists = cands.map { case (_, c) => cellToLatLng(c).distRads(g) }
+        val best = dists.indices.minBy(dists)
+        require(dists(best) < 2 * hexEdgeLengthRads(res),
+          s"lazy rotation calibration failed at $fijkBC: $dists")
+        cands(best)._2
+      }
     }
+  }
+
+  /** Even-odd containment of g in a cell boundary ring, antimeridian-safe
+    * (vertex longitudes recentered to within π of g's longitude).
+    */
+  private def boundaryContains(b: Array[LatLng], g: LatLng): Boolean = {
+    def adjLng(l: Double): Double = {
+      var x = l
+      while (x - g.lng > math.Pi) x -= 2 * math.Pi
+      while (x - g.lng < -math.Pi) x += 2 * math.Pi
+      x
+    }
+    var inside = false
+    var i = 0
+    var j = b.length - 1
+    while (i < b.length) {
+      val aLat = b(i).lat; val aLng = adjLng(b(i).lng)
+      val bLat = b(j).lat; val bLng = adjLng(b(j).lng)
+      if ((aLng > g.lng) != (bLng > g.lng) &&
+          g.lat < (bLat - aLat) * (g.lng - aLng) / (bLng - aLng) + aLat)
+        inside = !inside
+      j = i
+      i += 1
+    }
+    inside
   }
 
   def latLngToCell(latDeg: Double, lngDeg: Double, res: Int): Long =

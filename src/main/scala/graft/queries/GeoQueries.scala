@@ -81,11 +81,13 @@ object GeoQueries {
 
     // §2.7 LINE/PCT_LENGTH recipe (path cells, planar length ratio, F10)
     QueryDef("h3_index_lines",
-      (s, d) => indexed(s, linesInput, linesDf(s, d)).orderBy("h3_index", "route_id")),
+      (s, d) => indexed(s, linesInput, linesDf(s, d)).orderBy("h3_index", "route_id"),
+      headline = true),
 
     // §2.7 POLYGON/PCT_AREA recipe (centroid polyfill, area ratio, F11)
     QueryDef("h3_index_polygons",
-      (s, d) => indexed(s, polysInput, polysDf(s, d)).orderBy("h3_index", "geo_id")),
+      (s, d) => indexed(s, polysInput, polysDf(s, d)).orderBy("h3_index", "geo_id"),
+      headline = true),
 
     // full resolver: two inputs, value×ratio group-sum, full-outer fold
     QueryDef("h3_resolve_multi",

@@ -72,9 +72,8 @@ object Shapefile {
         val parts = readParts(b)
         if (parts.length == 1) s"LINESTRING (${ring(parts.head)})"
         else s"MULTILINESTRING (${parts.map(p => s"(${ring(p)})").mkString(", ")})"
-      case 5 | 15 | 25 => // Polygon: first ring = shell, rest = holes
-        val parts = readParts(b)
-        s"POLYGON (${parts.map(p => s"(${ring(p)})").mkString(", ")})"
+      case 5 | 15 | 25 => // Polygon: rings classified by winding (see polygonWkt)
+        polygonWkt(readParts(b))
       case other =>
         throw new IllegalArgumentException(s"unsupported shape type $other")
     }
@@ -95,6 +94,69 @@ object Shapefile {
 
   private def ring(pts: Array[(Double, Double)]): String =
     pts.map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }.mkString(", ")
+
+  /** Twice the signed shoelace area; negative = clockwise. The shapefile
+    * spec encodes outer rings clockwise and holes counterclockwise — a
+    * multi-island polygon is ONE record with several CW rings, so "first
+    * ring = shell, rest = holes" (round-1 behavior) turned the second
+    * island into a hole of the first.
+    */
+  private def signedArea2(pts: Array[(Double, Double)]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < pts.length) {
+      val (x1, y1) = pts(i)
+      val (x2, y2) = pts((i + 1) % pts.length)
+      s += x1 * y2 - x2 * y1
+      i += 1
+    }
+    s
+  }
+
+  /** Even-odd ray cast of point p against a ring. */
+  private def ringContains(r: Array[(Double, Double)], p: (Double, Double)): Boolean = {
+    var inside = false
+    var i = 0
+    var j = r.length - 1
+    while (i < r.length) {
+      val (xi, yi) = r(i)
+      val (xj, yj) = r(j)
+      if ((yi > p._2) != (yj > p._2) &&
+          p._1 < (xj - xi) * (p._2 - yi) / (yj - yi) + xi) inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  /** Classify rings by winding (CW = shell, CCW = hole), assign each hole to
+    * the shell containing it, emit POLYGON or MULTIPOLYGON accordingly.
+    */
+  private def polygonWkt(parts: Array[Array[(Double, Double)]]): String = {
+    if (parts.isEmpty) return null
+    val shells = mutable.ArrayBuffer.empty[(Array[(Double, Double)], mutable.ArrayBuffer[Array[(Double, Double)]])]
+    val holes = mutable.ArrayBuffer.empty[Array[(Double, Double)]]
+    parts.foreach { p =>
+      if (signedArea2(p) < 0) shells += ((p, mutable.ArrayBuffer.empty))
+      else holes += p
+    }
+    if (shells.isEmpty) {
+      // degenerate winding (nonconformant writer): fall back to
+      // first-ring-shell so the record still surfaces
+      shells += ((parts.head, mutable.ArrayBuffer.empty))
+      holes.clear()
+      parts.tail.foreach(holes += _)
+    }
+    holes.foreach { h =>
+      val owner = shells.find { case (s, _) => ringContains(s, h.head) }
+        .getOrElse(shells.head)
+      owner._2 += h
+    }
+    def rings(s: (Array[(Double, Double)], mutable.ArrayBuffer[Array[(Double, Double)]])): String =
+      (s._1 +: s._2).map(r => s"(${ring(r)})").mkString(", ")
+    if (shells.length == 1) s"POLYGON (${rings(shells.head)})"
+    else s"MULTIPOLYGON (${shells.map(s => s"(${rings(s)})").mkString(", ")})"
+  }
 
   // ------------------------------------------------------------------ .dbf
 

@@ -117,6 +117,22 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1 > 0.7 && s1 < 1.0001, s"g1 ratio sum $s1")
   }
 
+  test("PASS_THROUGH/CENTROID validate but are not indexed (method dispatch)") {
+    // the reference guards ratio on method and its final projection then
+    // fails on the missing column — a PASS_THROUGH line must NOT be
+    // silently indexed as PCT_LENGTH (h3_indexer.py:194, vector.py:33-44)
+    val (in, data) = linesInput
+    val pt = in.copy(method = Method.PassThrough)
+    val validated = Validator.validate(spark, pt, data) // validation passes
+    val e = intercept[ValidationError](Indexer.index(spark, pt, validated, 6))
+    assert(e.getMessage.contains("PassThrough"))
+    val (pin, pdata) = polysInput
+    val cen = pin.copy(method = Method.Centroid)
+    val pvalidated = Validator.validate(spark, cen, pdata)
+    val e2 = intercept[ValidationError](Indexer.index(spark, cen, pvalidated, 6))
+    assert(e2.getMessage.contains("Centroid"))
+  }
+
   test("resolver: two-input full-outer fold conserves weighted sums") {
     val (pin, pdata) = polysInput
     val (lin, ldata) = linesInput

@@ -116,4 +116,22 @@ class ShapefileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g.getGeometryType == "Polygon")
     assert(math.abs(g.getArea - 15.0) < 1e-9) // 16 - 1 hole
   }
+
+  test("two-island record becomes MULTIPOLYGON, hole assigned to its shell") {
+    val dir: Path = Files.createTempDirectory("shp")
+    // two CW outer rings in ONE record (the spec's multipolygon encoding)
+    // plus a CCW hole inside the second island
+    val island1 = Seq((0.0, 0.0), (0.0, 2.0), (2.0, 2.0), (2.0, 0.0), (0.0, 0.0)) // CW, area 4
+    val island2 = Seq((10.0, 0.0), (10.0, 4.0), (14.0, 4.0), (14.0, 0.0), (10.0, 0.0)) // CW, area 16
+    val hole2 = Seq((11.0, 1.0), (12.0, 1.0), (12.0, 2.0), (11.0, 2.0), (11.0, 1.0)) // CCW, area 1
+    Files.write(dir.resolve("multi.shp"),
+      shpFile(Seq(polygonRec(Seq(island1, island2, hole2)))))
+    val df = Shapefile.read(spark, dir.resolve("multi.shp").toString)
+    val wkt = df.head().getString(0)
+    val g = graft.geo.GeoIO.fromWkt(wkt)
+    assert(g.getGeometryType == "MultiPolygon", s"got $wkt")
+    assert(g.getNumGeometries == 2)
+    assert(math.abs(g.getArea - (4.0 + 16.0 - 1.0)) < 1e-9)
+    assert(g.isValid, s"invalid multipolygon from $wkt")
+  }
 }
