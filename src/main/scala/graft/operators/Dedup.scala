@@ -157,6 +157,23 @@ object Dedup {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Broadcast a verify-stage corpus side only when it is provably small.
+    *
+    * The LSH plans re-join id-only candidate pairs to the corpus to fetch
+    * payloads; broadcasting the corpus is right at test scale and impossible
+    * at 100 TB. The probe is a capped count (limit maxRows+1 → count), so
+    * deciding costs one bounded scan; above the cap the caller gets the bare
+    * frame and the join shuffles both sides on the id — the only plan that
+    * survives an unbroadcastable corpus. Callers probe once per corpus and
+    * reuse the decision for both join sides.
+    */
+  def fitsBroadcast(df: org.apache.spark.sql.DataFrame,
+                    maxRows: Long = 2000000L): Boolean =
+    df.limit((maxRows + 1).min(Int.MaxValue).toInt).count() <= maxRows
+
+  def hintIf(df: org.apache.spark.sql.DataFrame, small: Boolean): org.apache.spark.sql.DataFrame =
+    if (small) org.apache.spark.sql.functions.broadcast(df) else df
+
   def register(spark: SparkSession): Unit = {
     val u = spark.udf
     u.register("minhash_bands", (t: String) => minHashBands(t))

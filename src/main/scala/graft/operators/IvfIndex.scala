@@ -49,20 +49,23 @@ object IvfIndex {
       val bc = spark.sparkContext.broadcast(centroids)
       val assign = udf((v: Seq[Double]) =>
         bc.value.indices.minBy(i => cosineDist(bc.value(i), v)))
+      // per-(cluster, dim) partial sums: the aggregation buffer is a single
+      // double per key, so no cluster's member vectors ever materialize in
+      // one row (round-1's collect_list variant OOMed by construction at
+      // large cluster sizes). Only k×dim tiny rows reach the driver.
       val sums = emb
         .withColumn("c", assign(col("v")))
-        .groupBy("c")
-        .agg(count(lit(1)).as("n"),
-          expr("aggregate(collect_list(v), " +
-            "cast(array() as array<double>), (acc, x) -> " +
-            "CASE WHEN size(acc) = 0 THEN x ELSE zip_with(acc, x, (p, q) -> p + q) END)")
-            .as("sum"))
+        .select(col("c"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("c", "d")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
         .collect()
       val next = centroids.clone()
-      sums.foreach { r =>
-        val c = r.getAs[Int]("c")
-        val cnt = r.getAs[Long]("n").toDouble
-        next(c) = r.getAs[Seq[Double]]("sum").map(_ / cnt).toArray
+      sums.groupBy(_.getAs[Int]("c")).foreach { case (c, rs) =>
+        val arr = new Array[Double](centroids(c).length)
+        rs.foreach { r =>
+          arr(r.getAs[Int]("d")) = r.getAs[Double]("sx") / r.getAs[Long]("n")
+        }
+        next(c) = arr
       }
       centroids = next
     }

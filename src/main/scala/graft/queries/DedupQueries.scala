@@ -68,8 +68,9 @@ object DedupQueries {
         val buckets = docs
           .withColumn("bands", callUDF("minhash_bands", col("text")))
           .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
-        // candidates carry ids only (texts re-join afterwards — broadcast
-        // here, id-partitioned join at cluster scale)
+        // candidates carry ids only; texts re-join afterwards. The corpus is
+        // broadcast only when a capped row probe proves it small — above the
+        // cap both sides shuffle on the id (the only 100 TB-viable plan)
         val cand = buckets.as("x").join(buckets.as("y"),
             col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -78,9 +79,10 @@ object DedupQueries {
           // AQE coalesces the small candidate shuffle to ~1 partition; the
           // exact-jaccard verify is CPU-bound, so fan it back out
           .repartition(s.sparkContext.defaultParallelism)
+        val small = Dedup.fitsBroadcast(docs)
         cand
-          .join(broadcast(docs.select(col("doc_id").as("a"), col("text").as("ta"))), "a")
-          .join(broadcast(docs.select(col("doc_id").as("b"), col("text").as("tb"))), "b")
+          .join(Dedup.hintIf(docs.select(col("doc_id").as("a"), col("text").as("ta")), small), "a")
+          .join(Dedup.hintIf(docs.select(col("doc_id").as("b"), col("text").as("tb")), small), "b")
           .withColumn("jaccard", round(callUDF("shingle_jaccard", col("ta"), col("tb")), 6))
           .where(col("jaccard") >= 0.5)
           .select("a", "b", "jaccard")
@@ -149,16 +151,18 @@ object DedupQueries {
           .select("vec_id", "sig")
         // candidates carry ids ONLY through the bucket join + distinct
         // (shuffling the vectors with every band collision is the cost at
-        // scale); the vector table is joined back afterwards — broadcast
-        // here, an id-partitioned shuffle join on a large cluster
+        // scale); the vector table joins back afterwards — broadcast only
+        // when the capped probe proves it small, else an id-partitioned
+        // shuffle join (the only 100 TB-viable plan)
         val cand = buckets.as("x").join(buckets.as("y"),
             col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
           .distinct()
           .repartition(s.sparkContext.defaultParallelism)
+        val small = Dedup.fitsBroadcast(e)
         cand
-          .join(broadcast(e.select(col("vec_id").as("a"), col("vf").as("va"))), "a")
-          .join(broadcast(e.select(col("vec_id").as("b"), col("vf").as("vb"))), "b")
+          .join(Dedup.hintIf(e.select(col("vec_id").as("a"), col("vf").as("va")), small), "a")
+          .join(Dedup.hintIf(e.select(col("vec_id").as("b"), col("vf").as("vb")), small), "b")
           .withColumn("cos", round(callUDF("cosine_f", col("va"), col("vb")), 6))
           .where(col("cos") >= 0.9)
           .select("a", "b", "cos")
