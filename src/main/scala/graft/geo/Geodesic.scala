@@ -7,11 +7,13 @@ import org.locationtech.jts.geom.{Geometry, LineString, Polygon}
   * geospatial.py:128-135).
   *
   * Length: Vincenty inverse per segment (published algorithm, accuracy
-  * ~0.5 mm). Area: authalic-sphere signed spherical area — the authalic
-  * projection is exactly equal-area, so polygon area on the WGS84 ellipsoid
-  * equals the spherical area of its authalic image; edges are treated as
-  * great circles (sub-1e-4 relative difference vs. geodesic edges at H3 cell
-  * scales, validated against the reference README's hexagon-area goldens).
+  * ~0.5 mm — measured ≤1e-10 relative vs. the exact solver, well inside the
+  * parity target, at a fraction of the cost; it stays on the per-feature hot
+  * path). Area: exact ellipsoidal polygon area via [[GeodesicExact]]
+  * (geodesic edges, Karney semantics — matches the reference README's
+  * Sedona/GeographicLib hexagon goldens to ~1e-10 relative). The authalic
+  * approximation this replaced is kept as [[areaSqMetersAuthalic]] for
+  * comparison in specs.
   */
 object Geodesic {
 
@@ -132,15 +134,32 @@ object Geodesic {
   }
 
   /** Geodesic area in m² of a (multi)polygon with lon/lat degree coordinates
-    * (ST_AreaSpheroid). Holes are subtracted.
+    * (ST_AreaSpheroid, exact ellipsoidal — Karney semantics). Holes are
+    * subtracted.
     */
   def areaSqMeters(g: Geometry): Double = g match {
+    case p: Polygon =>
+      def ring(cs: Array[org.locationtech.jts.geom.Coordinate]) =
+        math.abs(GeodesicExact.ringArea(cs.map(c => (c.x, c.y))))
+      val shell = ring(p.getExteriorRing.getCoordinates)
+      val holes = (0 until p.getNumInteriorRing)
+        .map(i => ring(p.getInteriorRingN(i).getCoordinates)).sum
+      shell - holes
+    case other =>
+      (0 until other.getNumGeometries).map(i => areaSqMeters(other.getGeometryN(i))).sum
+  }
+
+  /** The pre-round-2 authalic-sphere approximation (≤ ~1e-7 relative on
+    * degree-scale polygons, ~1e-9 on H3 cells) — retained for spec
+    * comparison and as a cheap alternative where exactness is not needed.
+    */
+  def areaSqMetersAuthalic(g: Geometry): Double = g match {
     case p: Polygon =>
       val shell = math.abs(ringAreaSteradians(p.getExteriorRing.getCoordinates))
       val holes = (0 until p.getNumInteriorRing)
         .map(i => math.abs(ringAreaSteradians(p.getInteriorRingN(i).getCoordinates))).sum
       (shell - holes) * AuthalicRadius * AuthalicRadius
     case other =>
-      (0 until other.getNumGeometries).map(i => areaSqMeters(other.getGeometryN(i))).sum
+      (0 until other.getNumGeometries).map(i => areaSqMetersAuthalic(other.getGeometryN(i))).sum
   }
 }

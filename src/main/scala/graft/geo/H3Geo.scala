@@ -44,11 +44,14 @@ object H3Geo {
   def cellToWkt(cell: Long): String = boundaryWkt(H3.cellToBoundary(cell))
   def cellToWkt(cell: String): String = cellToWkt(H3Index.fromHexString(cell))
 
-  /** Hexagon area in km² via the geodesic area of its boundary
+  /** Hexagon area in km² via the exact geodesic area of its boundary
     * (geospatial.py:117-137: ST_AreaSpheroid(h3_to_wkt(ix)) / 1e6).
     */
-  def cellAreaKm2(cell: Long): Double =
-    Geodesic.areaSqMeters(cellPolygon(cell)) / 1e6
+  def cellAreaKm2(cell: Long): Double = {
+    val b = H3.cellToBoundary(cell)
+    math.abs(GeodesicExact.ringArea(
+      b.map(v => (math.toDegrees(v.lng), math.toDegrees(v.lat))))) / 1e6
+  }
 
   def cellAreaKm2(cell: String): Double = cellAreaKm2(H3Index.fromHexString(cell))
 
@@ -94,17 +97,9 @@ object H3Geo {
   def cellInfo(cell: String): (String, Double) = {
     val h = H3Index.fromHexString(cell)
     val b = H3.cellToBoundary(h)
-    val poly = {
-      val cs = new Array[Coordinate](b.length + 1)
-      var i = 0
-      while (i < b.length) {
-        cs(i) = new Coordinate(math.toDegrees(b(i).lng), math.toDegrees(b(i).lat))
-        i += 1
-      }
-      cs(b.length) = cs(0)
-      GeoIO.factory.createPolygon(cs)
-    }
-    (boundaryWkt(b), Geodesic.areaSqMeters(poly) / 1e6)
+    val areaKm2 = math.abs(GeodesicExact.ringArea(
+      b.map(v => (math.toDegrees(v.lng), math.toDegrees(v.lat))))) / 1e6
+    (boundaryWkt(b), areaKm2)
   }
 
   /** Resolution-3 ancestor as hex string (U2, the partition key). */

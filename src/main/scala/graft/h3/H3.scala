@@ -214,23 +214,21 @@ object H3 {
     * vertices, pentagons 5, plus — for Class III cells straddling an
     * icosahedron edge — the edge-crossing "distortion" vertices where the
     * cell edge bends between the two face projections (the published
-    * boundary semantics; Class II cells have vertices on face edges and
-    * never need them).
+    * boundary semantics; Class II hexagons have vertices on face edges and
+    * never need them). Pentagons take the dedicated path below.
     */
   def cellToBoundary(h: Long): Array[LatLng] = {
     val fijk = h3ToFaceIjk(h)
     val res0 = H3Index.resolution(h)
-    val pent = H3Index.isPentagon(h)
+    if (H3Index.isPentagon(h)) return pentBoundary(fijk, res0)
     // move the center to the substrate (aperture 3/3r [+7r]) grid
     var center = fijk.coord.downAp3.downAp3r
     var adjRes = res0
     if (isResClassIII(res0)) { center = center.downAp7r; adjRes += 1 }
     val verts = if (isResClassIII(res0)) vertsCIII else vertsCII
-    val nVerts = if (pent) 5 else 6
-    val startVert = if (pent) 1 else 0 // pentagons drop the k-axis vertex
+    val nVerts = 6
     val substrateVerts = Array.tabulate(nVerts) { vi =>
-      val v = (vi + startVert) % 6
-      FaceIJK(fijk.face, (center + verts(v)).normalize)
+      FaceIJK(fijk.face, (center + verts(vi)).normalize)
     }
 
     val out = mutable.ArrayBuffer.empty[LatLng]
@@ -271,6 +269,92 @@ object H3 {
         out += Icosa.hex2dToGeo(adj.coord.toHex2d, adj.face, adjRes, substrate = true)
       lastFace = adj.face
       lastOverage = overage
+      vert += 1
+    }
+    out.toArray
+  }
+
+  /** Pentagon cell boundary. Pentagons sit astride an icosahedron vertex, so
+    * their five boundary vertices land on five different faces at EVERY
+    * resolution: vertex overage must iterate across faces with the
+    * deleted-k-subsequence (pentLeading4) adjustment, and at Class III
+    * resolutions each edge crosses an icosahedron edge mid-edge — the
+    * crossing is found by mapping the current vertex into the previous
+    * vertex's face frame and intersecting with that face's triangle side.
+    * (Class II pentagon vertices lie ON face edges, so no extra points.)
+    *
+    * Vertex construction: all six hexagon offsets are settled across faces;
+    * exactly one settles onto the same physical point as its predecessor
+    * (the deleted-subsequence ghost — WHICH index duplicates depends on the
+    * grid class) and is dropped, leaving five distinct vertices in ring
+    * order on ring-adjacent faces. Validated by the res-0 audit (every cell
+    * edge shared by exactly two cells, Σ areas = the WGS84 ellipsoid area
+    * to 12 digits) and per-class probes at res 1-8.
+    */
+  private def pentBoundary(fijk: FaceIJK, res0: Int): Array[LatLng] = {
+    var center = fijk.coord.downAp3.downAp3r
+    var adjRes = res0
+    if (isResClassIII(res0)) { center = center.downAp7r; adjRes += 1 }
+    val verts = if (isResClassIII(res0)) vertsCIII else vertsCII
+
+    // settle all six offsets onto their faces (pentLeading4 k-subsequence
+    // adjustment on the first hop), keeping the geo position for dedup
+    val settled = Array.tabulate(6) { vi =>
+      var f = FaceIJK(fijk.face, (center + verts(vi)).normalize)
+      var ov: Icosa.Overage = Icosa.NewFace
+      var steps = 0
+      while (ov == Icosa.NewFace && steps < 8) {
+        val (a, o) = Icosa.adjustOverageClassII(f, adjRes,
+          pentLeading4 = steps == 0, substrate = true)
+        f = a; ov = o; steps += 1
+      }
+      require(ov != Icosa.NewFace, s"pentagon vertex overage did not settle: $f")
+      (f, Icosa.hex2dToGeo(f.coord.toHex2d, f.face, adjRes, substrate = true))
+    }
+    // drop the one offset that lands on its predecessor's position
+    val kept = mutable.ArrayBuffer.empty[(FaceIJK, LatLng)]
+    settled.foreach { case (f, g) =>
+      val dup = kept.lastOption.exists { case (_, pg) =>
+        math.abs(pg.lat - g.lat) < 1e-11 && math.abs(pg.lng - g.lng) < 1e-11
+      }
+      if (!dup) kept += ((f, g))
+    }
+    require(kept.length == 5, s"pentagon boundary has ${kept.length} distinct vertices")
+
+    val out = mutable.ArrayBuffer.empty[LatLng]
+    var vert = 0
+    while (vert < 5 + 1) { // extra iteration closes the last edge
+      val (f, geo) = kept(vert % 5)
+      val (lastF, _) = kept((vert + 4) % 5)
+      // at Class III every pentagon edge crosses the icosahedron edge
+      // between the two vertices' (ring-adjacent) faces: find the crossing
+      // by mapping the current vertex into the previous vertex's face frame
+      // and intersecting with that face's triangle side
+      if (isResClassIII(res0) && vert > 0 && f.face != lastF.face) {
+        val orig2d0 = lastF.coord.toHex2d
+        val currentToLastDir = Icosa.adjacentFaceDir(f.face)(lastF.face)
+        require(currentToLastDir >= 0,
+          s"pentagon vertices on non-adjacent faces ${f.face}/${lastF.face}")
+        val orient = Icosa.faceNeighbors(f.face)(currentToLastDir)
+        var ijk = f.coord
+        var r = 0
+        while (r < orient.ccwRot60) { ijk = ijk.rotate60ccw; r += 1 }
+        ijk = (ijk + orient.translate * (Icosa.unitScaleByCIIres(adjRes) * 3)).normalize
+        val orig2d1 = ijk.toHex2d
+        val maxDim = Icosa.maxDimByCIIres(adjRes).toDouble
+        val c0 = Vec2d(3.0 * maxDim, 0.0)
+        val c1 = Vec2d(-1.5 * maxDim, 3.0 * Sqrt3_2 * maxDim)
+        val c2 = Vec2d(-1.5 * maxDim, -3.0 * Sqrt3_2 * maxDim)
+        val (e0, e1) = Icosa.adjacentFaceDir(orient.face)(f.face) match {
+          case Icosa.IJQuad => (c0, c1)
+          case Icosa.JKQuad => (c1, c2)
+          case Icosa.KIQuad => (c2, c0)
+          case _ => (c0, c1) // unreachable for true neighbors
+        }
+        val inter = Icosa.v2dIntersect(orig2d0, orig2d1, e0, e1)
+        out += Icosa.hex2dToGeo(inter, orient.face, adjRes, substrate = true)
+      }
+      if (vert < 5) out += geo
       vert += 1
     }
     out.toArray

@@ -92,10 +92,19 @@ object GeoQueries {
     // full resolver: two inputs, value×ratio group-sum, full-outer fold
     QueryDef("h3_resolve_multi",
       (s, d) => {
+        // localCheckpoint the small POST-aggregation frames: the orderBy's
+        // range-partitioning sample pass would otherwise re-execute both
+        // full indexing pipelines (validate → polyfill → ratio) a second
+        // time. Checkpointing after the group-sum truncates lineage at the
+        // cheapest point — h3_index + sums, not the wide exploded frames
+        // (round-1 finding: persisting string-heavy frames costs more than
+        // recomputing with the memo).
         val p = Resolver.resolveInput(
           indexed(s, pointsInput, pointsDf(s, d), forWrite = false), Seq("qty"))
+          .localCheckpoint()
         val g = Resolver.resolveInput(
           indexed(s, polysInput, polysDf(s, d), forWrite = false), Seq("balance"))
+          .localCheckpoint()
         Resolver.resolve(s, Seq(p, g), Res).orderBy("h3_index")
       },
       headline = true),
