@@ -8,6 +8,20 @@ import org.apache.spark.sql.SparkSession
   * minus the Sedona/Kryo/Arrow pieces our all-JVM engine doesn't need.
   */
 object Sessions {
+
+  /** The reference's resolution-scaled shuffle-partition envelope
+    * (spark/spark.py:14-23): higher H3 resolutions explode to more rows, so
+    * shuffles need more partitions. Applied per-job by GraftJob.run; local
+    * test sessions keep partitions = cores (a 32-thread JVM gains nothing
+    * from 8000 partitions — documented divergence for local mode only).
+    */
+  val PartitionMapping: Map[Int, Int] = Map(
+    3 -> 100, 4 -> 200, 5 -> 400, 6 -> 800,
+    7 -> 1200, 8 -> 2000, 9 -> 4000, 10 -> 8000)
+
+  def shufflePartitionsFor(h3Resolution: Int): Int =
+    PartitionMapping.getOrElse(h3Resolution,
+      PartitionMapping(h3Resolution.max(3).min(10)))
   def local(cpus: String = sys.env.getOrElse(
               "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString),
             shufflePartitions: Option[String] = None): SparkSession = {

@@ -45,7 +45,7 @@ object Main {
           println(s"[validated] ${in.name}: $n rows")
         }
       case _ =>
-        val (indexed, resolved) = GraftJob.run(spark, job)
+        val (indexed, resolved, state) = GraftJob.run(spark, job)
         indexed.foreach { case (name, df) =>
           GraftJob.write(df, s"${job.outputPath}/indexed/$name")
           println(s"[indexed] $name written")
@@ -54,6 +54,7 @@ object Main {
           GraftJob.write(resolved, s"${job.outputPath}/resolved")
           println(s"[resolved] written")
         }
+        println(s"[job ${state.id}] status=${state.status}")
     }
     spark.stop()
   }

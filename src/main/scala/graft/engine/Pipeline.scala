@@ -31,7 +31,8 @@ object Validator {
   private val NumericTypes: Set[DataType] =
     Set(IntegerType, LongType, FloatType, DoubleType, ShortType, ByteType)
 
-  def validate(spark: SparkSession, in: VectorInput, df: DataFrame): DataFrame = {
+  def validate(spark: SparkSession, in: VectorInput, df: DataFrame,
+               withGeoJson: Boolean = false): DataFrame = {
     // PK uniqueness (validator.py:15-36) — one aggregate pass, not two scans
     val Array(nRows: Long, nKeys: Long) = df
       .agg(count(lit(1)), count_distinct(col(in.uniqueId))).head()
@@ -70,10 +71,16 @@ object Validator {
     }
 
     // drop nulls, repair invalid, drop irreparable (geospatial.py:140-166)
-    withGeom
+    val cleaned = withGeom
       .filter(col(Cols.GeomWkt).isNotNull)
       .withColumn(Cols.GeomWkt, callUDF("st_makevalid", col(Cols.GeomWkt)))
       .filter(col(Cols.GeomWkt).isNotNull)
+    // compatibility opt-in: the reference always materializes BOTH
+    // geometry_geojson and geom_wkt (vector.py:119-124); our operators
+    // consume geom_wkt only, so the second column is derived on request
+    if (withGeoJson)
+      cleaned.withColumn("geometry_geojson", callUDF("st_asgeojson", col(Cols.GeomWkt)))
+    else cleaned
   }
 }
 
@@ -221,35 +228,96 @@ object Resolver {
 /** Whole-job orchestration (reference main.py:101-155). */
 object GraftJob {
 
-  /** S1/S2/S3: extension-routed scan — .shp via the shapefile reader,
-    * everything else parquet (spark/spark.py:26-42).
+  /** S4: the JDBC read options exactly as the reference wires them
+    * (validator.py:73-94): Simba Athena driver, default credentials chain,
+    * read-only workgroup, and the user's where-clause pushed down inside the
+    * `query` option (evaluated by Athena, not Spark). Pure so the wiring is
+    * unit-testable offline; `jdbcLoad` performs the actual `format("jdbc")`
+    * read when an endpoint is reachable.
+    */
+  def jdbcOptions(in: VectorInput,
+                  url: String = "jdbc:awsathena://athena.us-east-1.amazonaws.com:443",
+                  driver: String = "com.simba.athena.jdbc.Driver"): Map[String, String] = {
+    val where = in.whereClause.map(w => s" WHERE $w").getOrElse("")
+    Map(
+      "driver" -> driver,
+      "AwsCredentialsProviderClass" ->
+        "com.simba.athena.amazonaws.auth.DefaultAWSCredentialsProviderChain",
+      "url" -> url,
+      "WorkGroup" -> "ReadOnlyWorkGroup",
+      "query" ->
+        s"""SELECT * FROM ${in.catalogDatabase.get}."${in.catalogTable.get}"$where""")
+  }
+
+  def jdbcLoad(spark: SparkSession, in: VectorInput, url: String): DataFrame =
+    jdbcOptions(in, url).foldLeft(spark.read.format("jdbc")) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
+
+  /** S1/S2/S3/S4: extension-routed scan — .shp via the shapefile reader,
+    * everything else parquet; catalog inputs go through JDBC when an
+    * endpoint is configured (SPARK_GRAFT_JDBC_URL — unreachable offline),
+    * else through the session catalog with the predicate applied by Spark
+    * (same rows; the JDBC path pushes it to the warehouse instead).
     */
   def loadInput(spark: SparkSession, in: VectorInput): DataFrame = in.path match {
     case Some(p) if p.endsWith(".shp") => graft.sources.Shapefile.read(spark, p)
     case Some(p) => spark.read.parquet(p)
     case None =>
-      // S4: catalog table + pushed-down predicate (validator.py:73-94)
-      val t = spark.table(s"${in.catalogDatabase.get}.${in.catalogTable.get}")
-      in.whereClause.map(t.where).getOrElse(t)
+      sys.env.get("SPARK_GRAFT_JDBC_URL") match {
+        case Some(url) => jdbcLoad(spark, in, url)
+        case None =>
+          val t = spark.table(s"${in.catalogDatabase.get}.${in.catalogTable.get}")
+          in.whereClause.map(t.where).getOrElse(t)
+      }
   }
 
-  /** Validate → Index → Resolve; returns (per-input indexed, resolved). */
-  def run(spark: SparkSession, job: Job): (Map[String, DataFrame], DataFrame) = {
-    GraftFunctions.register(spark)
-    val indexed = job.inputs.map { in =>
-      val df = Validator.validate(spark, in, loadInput(spark, in))
-      in.name -> Indexer.index(spark, in, df, job.h3Resolution).persist()
-    }.toMap
-    val resolved =
-      if (job.inputs.size == 1)
-        Resolver.resolveSingle(spark, indexed.values.head,
-          job.inputs.head.inputColumns, job.h3Resolution)
-      else
-        Resolver.resolve(spark,
-          job.inputs.map(in => Resolver.resolveInput(indexed(in.name), in.inputColumns)),
-          job.h3Resolution)
-    (indexed, resolved)
+  /** Validate → Index → Resolve; returns (per-input indexed, resolved,
+    * final job state). Status transitions mirror the reference
+    * (main.py:48-98): Pending → Validated → RunningIndexer →
+    * CompletedIndexer → RunningResolver → CompletedResolver, or Failed with
+    * the error message captured.
+    */
+  def run(spark: SparkSession, job: Job): (Map[String, DataFrame], DataFrame, JobState) = {
+    var state = JobState.fresh()
+    try {
+      GraftFunctions.register(spark)
+      // resolution-scaled shuffle partitions (reference spark.py:14-23,115);
+      // local[] sessions keep partitions = cores — 8000 partitions on a
+      // 32-thread JVM only adds scheduling overhead
+      if (!spark.sparkContext.master.startsWith("local"))
+        spark.conf.set("spark.sql.shuffle.partitions",
+          graft.Sessions.shufflePartitionsFor(job.h3Resolution).toString)
+      val validated = job.inputs.map { in =>
+        in.name -> Validator.validate(spark, in, loadInput(spark, in),
+          withGeoJson = job.materializeGeoJson)
+      }.toMap
+      state = state.advance(JobStatus.Validated)
+      state = state.advance(JobStatus.RunningIndexer)
+      val indexed = job.inputs.map { in =>
+        in.name -> Indexer.index(spark, in, validated(in.name), job.h3Resolution).persist()
+      }.toMap
+      state = state.advance(JobStatus.CompletedIndexer)
+      state = state.advance(JobStatus.RunningResolver)
+      val resolved =
+        if (job.inputs.size == 1)
+          Resolver.resolveSingle(spark, indexed.values.head,
+            job.inputs.head.inputColumns, job.h3Resolution)
+        else
+          Resolver.resolve(spark,
+            job.inputs.map(in => Resolver.resolveInput(indexed(in.name), in.inputColumns)),
+            job.h3Resolution)
+      state = state.advance(JobStatus.CompletedResolver)
+      (indexed, resolved, state)
+    } catch {
+      case e: Throwable =>
+        state = state.fail(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        throw JobFailed(state, e)
+    }
   }
+
+  final case class JobFailed(state: JobState, cause: Throwable)
+    extends RuntimeException(state.errorMessage.getOrElse("job failed"), cause)
 
   /** S5: partitioned snappy parquet (spark/spark.py:154-196). */
   def write(df: DataFrame, path: String): Unit =

@@ -65,7 +65,41 @@ final case class Job(
     version: String,
     h3Resolution: Int,
     outputPath: String,
-    inputs: Seq[VectorInput])
+    inputs: Seq[VectorInput],
+    /** also materialize the reference's geometry_geojson canonical column
+      * next to geom_wkt (vector.py:119-124); off by default — our polyfill
+      * sniffs encodings itself, so the column is a compatibility opt-in
+      */
+    materializeGeoJson: Boolean = false)
+
+/** Job lifecycle (reference data_model/job.py:19-28, main.py:48-98): the
+  * metadata an orchestrator polls. Immutable; each transition returns a new
+  * state with updatedAt advanced.
+  */
+object JobStatus extends Enumeration {
+  val Pending, Validated, RunningIndexer, CompletedIndexer,
+      RunningResolver, CompletedResolver, Failed = Value
+}
+
+final case class JobState(
+    id: String,
+    status: JobStatus.Value,
+    errorMessage: Option[String],
+    createdAt: java.time.Instant,
+    updatedAt: Option[java.time.Instant]) {
+  def advance(to: JobStatus.Value): JobState =
+    copy(status = to, updatedAt = Some(java.time.Instant.now()))
+  def fail(message: String): JobState =
+    copy(status = JobStatus.Failed, errorMessage = Some(message),
+      updatedAt = Some(java.time.Instant.now()))
+}
+
+object JobState {
+  def fresh(): JobState = JobState(
+    id = java.util.UUID.randomUUID().toString.replace("-", "").take(12),
+    status = JobStatus.Pending, errorMessage = None,
+    createdAt = java.time.Instant.now(), updatedAt = None)
+}
 
 object JobConfig {
 
@@ -101,7 +135,9 @@ object JobConfig {
         case Left(es) => errs ++= es.map(x => s"input ${e.getKey}: $x"); None
       }
     }
-    if (errs.isEmpty) Right(Job(name, version, res, out, inputs)) else Left(errs.toList)
+    val geoJson = Option(root.get("materialize_geojson")).exists(_.asBoolean(false))
+    if (errs.isEmpty) Right(Job(name, version, res, out, inputs, geoJson))
+    else Left(errs.toList)
   }
 
   private def parseInput(name: String, n: JsonNode): Either[List[String], VectorInput] = {
