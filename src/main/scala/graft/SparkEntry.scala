@@ -8,7 +8,7 @@ object SparkEntry {
 
   /** Every registered query, in declaration order. */
   def registry: Seq[QueryDef] =
-    Relational.qs ++ TextOps.qs ++ SimilarityQ.qs ++ GeoQueries.qs ++
+    Relational.qs ++ SetOps.qs ++ TextOps.qs ++ SimilarityQ.qs ++ GeoQueries.qs ++
       DedupQueries.qs ++ EventOps.qs
 
   /** Flagship: the full H3 pipeline (validate → index → resolve) on

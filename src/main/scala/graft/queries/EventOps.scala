@@ -13,6 +13,21 @@ object EventOps {
 
   private val GapMicros = 1800L * 1000000L // 30 min
 
+  private val SessionizeOracle =
+    s"""WITH o AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+       |         CAST(value AS DECIMAL(18,2)) AS v,
+       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS ptsu
+       |  FROM events),
+       |m AS (SELECT *, CASE WHEN ptsu IS NULL OR tsu - ptsu > ${GapMicros} THEN 1 ELSE 0 END AS brk FROM o),
+       |x AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM m)
+       |SELECT user_id, session_idx, count(*) AS n_events,
+       |       min(tsu) AS start_us, max(tsu) AS end_us,
+       |       CAST(sum(v) AS DOUBLE) AS sum_value
+       |FROM x GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
   val qs: Seq[QueryDef] = Seq(
     // gap-based sessionization: lag → break flag → running session index →
     // per-session aggregate. One shuffle on user_id; at scale this is the
@@ -36,20 +51,18 @@ object EventOps {
             sum("v").cast("double").as("sum_value"))
           .orderBy("user_id", "session_idx")
       },
-      Some(s"""WITH o AS (
-              |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
-              |         CAST(value AS DECIMAL(18,2)) AS v,
-              |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS ptsu
-              |  FROM events),
-              |m AS (SELECT *, CASE WHEN ptsu IS NULL OR tsu - ptsu > ${GapMicros} THEN 1 ELSE 0 END AS brk FROM o),
-              |x AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-              |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM m)
-              |SELECT user_id, session_idx, count(*) AS n_events,
-              |       min(tsu) AS start_us, max(tsu) AS end_us,
-              |       CAST(sum(v) AS DOUBLE) AS sum_value
-              |FROM x GROUP BY user_id, session_idx
-              |ORDER BY user_id, session_idx""".stripMargin),
+      Some(SessionizeOracle),
       headline = true
+    ),
+
+    // the SAME sessionization as a per-key streaming state machine
+    // (flatMapGroupsWithState: O(1) state per user, gap rule applied as
+    // events arrive) — driven to completion and checked against the
+    // identical DuckDB oracle as the batch window-function version
+    QueryDef(
+      "events_sessionize_stream",
+      (s, d) => graft.streaming.EventStream.sessionize(s, d, GapMicros),
+      Some(SessionizeOracle)
     ),
 
     // as-of alignment: each error event joined to the most recent preceding

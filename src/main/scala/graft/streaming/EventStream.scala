@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming surface: event-time windowed aggregation with a
   * watermark over the events table, consumed as a file stream.
@@ -52,5 +52,100 @@ object EventStream {
       .start()
     q.awaitTermination()
     spark.table(sinkName).orderBy("h", "event_type")
+  }
+
+  // ------------------------------------------------- stateful sessionization
+
+  final case class Ev(user_id: Long, event_id: Long, tsu: Long,
+                      v: java.math.BigDecimal)
+  final case class OpenSess(startUs: Long, endUs: Long, n: Long,
+                            sum: java.math.BigDecimal)
+  final case class SessState(nextIdx: Long, open: Option[OpenSess])
+  final case class SessOut(user_id: Long, session_idx: Long, n_events: Long,
+                           start_us: Long, end_us: Long, sum_value: Double)
+
+  /** Custom per-key streaming state machine (flatMapGroupsWithState): keeps
+    * each user's open session in state, emits a session the moment a gap
+    * larger than `gapMicros` is observed. State per key is O(1) (one open
+    * session + a counter) regardless of history length — the 100 TB-safe
+    * shape; the watermark/timeout bounds how long an idle key is retained.
+    *
+    * Here the stream is driven to completion with AvailableNow; per-user
+    * sentinel events 10 gaps past the global max timestamp flush every
+    * still-open session through the same gap rule (sentinels never start a
+    * session), so the emitted set equals the batch window-function query
+    * events_sessionize and shares its DuckDB oracle.
+    */
+  private def sessionFn(gapMicros: Long)(
+      user: Long, events: Iterator[Ev], state: GroupState[SessState]): Iterator[SessOut] = {
+    val evs = events.toArray.sortBy(e => (e.tsu, e.event_id))
+    var st = state.getOption.getOrElse(SessState(1L, None))
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+    evs.foreach { e =>
+      val sentinel = e.event_id < 0
+      st.open match {
+        case Some(o) if !sentinel && e.tsu - o.endUs <= gapMicros =>
+          st = st.copy(open = Some(OpenSess(o.startUs, math.max(o.endUs, e.tsu),
+            o.n + 1, o.sum.add(e.v))))
+        case Some(o) =>
+          out += SessOut(user, st.nextIdx, o.n, o.startUs, o.endUs, o.sum.doubleValue)
+          st = SessState(st.nextIdx + 1,
+            if (sentinel) None else Some(OpenSess(e.tsu, e.tsu, 1L, e.v)))
+        case None =>
+          if (!sentinel) st = st.copy(open = Some(OpenSess(e.tsu, e.tsu, 1L, e.v)))
+      }
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  def sessionize(spark: SparkSession, dir: String, gapMicros: Long): DataFrame = {
+    import spark.implicits._
+    val batchRaw = spark.read.parquet(s"$dir/events.parquet")
+    val batch = batchRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        batchRaw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => batchRaw
+    }
+    // stage source dir in a uniform normalized schema (the driver's
+    // events.parquet carries TIMESTAMP(NANOS), which a file stream can't mix
+    // with the micros sentinels): the real events, plus one sentinel per
+    // user far past the global max timestamp (flushes the final open
+    // sessions through the ordinary gap rule)
+    val srcDir = Files.createTempDirectory("graft_sess_src")
+    srcDir.toFile.deleteOnExit()
+    val normalized = batch.select(col("user_id").cast("long"),
+      col("event_id").cast("long"), col("ts"), col("value").cast("double"))
+    normalized.write.mode("overwrite").parquet(srcDir.resolve("00_events").toString)
+    val maxTs = batch.agg(max(expr("unix_micros(ts)"))).head().getLong(0)
+    normalized.select("user_id").distinct()
+      .select(col("user_id"), lit(-1L).as("event_id"),
+        expr(s"timestamp_micros(${maxTs + 10 * gapMicros}L)").as("ts"),
+        lit(0.0).as("value"))
+      .write.mode("overwrite").parquet(srcDir.resolve("zz_sentinel").toString)
+
+    val raw = spark.readStream
+      .schema(normalized.schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir.toString)
+    val evs = raw.select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("tsu"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .as[Ev]
+
+    val sessions = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        sessionFn(gapMicros))
+
+    val sinkName = s"graft_stream_sess_${math.abs(dir.hashCode)}"
+    val q = sessions.toDF().writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_sess_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).orderBy("user_id", "session_idx")
   }
 }
