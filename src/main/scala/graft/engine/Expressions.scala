@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import graft.h3.{H3, H3Index}
@@ -59,6 +60,149 @@ object Expressions {
         l: Expression, r: Expression): Expression = copy(l, r)
   }
 
+  // ---- the LONG hot path: cells as raw int64 end-to-end (hex only at
+  // output). These carry the indexer's per-(feature,cell) work, so each is a
+  // real codegen Expression — no ScalaUDF closure, no UTF8String→String per
+  // cell, no boxing of the cell key.
+
+  /** Static bridges invoked from generated code. */
+  def indexShapeArray(geom: UTF8String, res: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      GraftFunctions.indexGeometry(GraftFunctions.parseGeomCached(geom.toString), res))
+
+  def ratioAreaCell(geom: UTF8String, cell: Long): Double =
+    GraftFunctions.ratioAreaCell(geom.toString, cell).doubleValue
+
+  def ratioLengthCell(geom: UTF8String, cell: Long): Double =
+    GraftFunctions.ratioLengthCell(geom.toString, cell).doubleValue
+
+  /** h3_index_shape_native(geom STRING, res INT) → ARRAY<LONG> — U1 as a
+    * codegen expression feeding the built-in `explode` (GenerateExec stays
+    * inside whole-stage codegen; the array is an UnsafeArrayData of
+    * primitive longs, never boxed).
+    */
+  case class H3IndexShapeExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "h3_index_shape_native"
+
+    override protected def nullSafeEval(geom: Any, res: Any): Any =
+      Expressions.indexShapeArray(geom.asInstanceOf[UTF8String], res.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (geom, res) =>
+        s"graft.engine.Expressions.indexShapeArray($geom, $res)")
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** h3_parent_long(cell LONG, res INT) → LONG (pure bit math, codegen). */
+  case class H3ParentLongExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "h3_parent_long"
+
+    override protected def nullSafeEval(cell: Any, res: Any): Any =
+      H3Index.toParent(cell.asInstanceOf[Long], res.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (cell, res) =>
+        s"graft.h3.H3Index.toParent($cell, $res)")
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** h3_hex(cell LONG) → STRING — the one place a cell becomes text. */
+  case class H3HexExpr(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = StringType
+    override def prettyName: String = "h3_hex"
+
+    override protected def nullSafeEval(cell: Any): Any =
+      UTF8String.fromString(java.lang.Long.toHexString(cell.asInstanceOf[Long]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, cell =>
+        "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"java.lang.Long.toHexString($cell))")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** h3_unhex(cell STRING) → LONG — parse a hex cell back to int64. */
+  case class H3UnhexExpr(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "h3_unhex"
+
+    override protected def nullSafeEval(cell: Any): Any =
+      H3Index.fromHexString(cell.asInstanceOf[UTF8String].toString)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, cell =>
+        s"graft.h3.H3Index.fromHexString($cell.toString())")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** st_ratio_area_cell_native(geom STRING, cell LONG) → DOUBLE — the
+    * PCT_AREA ratio against the memoized cell polygon.
+    */
+  case class RatioAreaCellExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "st_ratio_area_cell_native"
+
+    override protected def nullSafeEval(geom: Any, cell: Any): Any =
+      Expressions.ratioAreaCell(geom.asInstanceOf[UTF8String], cell.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (geom, cell) =>
+        s"graft.engine.Expressions.ratioAreaCell($geom, $cell)")
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** st_ratio_length_cell_native(geom STRING, cell LONG) → DOUBLE. */
+  case class RatioLengthCellExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "st_ratio_length_cell_native"
+
+    override protected def nullSafeEval(geom: Any, cell: Any): Any =
+      Expressions.ratioLengthCell(geom.asInstanceOf[UTF8String], cell.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (geom, cell) =>
+        s"graft.engine.Expressions.ratioLengthCell($geom, $cell)")
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** h3_cell_area_cached_native(cell LONG) → DOUBLE (memoized exact area). */
+  case class CellAreaCachedExpr(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "h3_cell_area_cached_native"
+
+    override protected def nullSafeEval(cell: Any): Any =
+      GraftFunctions.cellAreaKm2Cached(cell.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, cell =>
+        s"graft.engine.GraftFunctions.cellAreaKm2Cached($cell)")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
   /** h3_resolution_native(cell STRING) → INT (bit extraction). */
   case class H3ResolutionExpr(child: Expression)
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -85,11 +229,20 @@ object Expressions {
     org.apache.spark.sql.catalyst.expressions.Cast(e, IntegerType)
   private def asS(e: Expression) =
     org.apache.spark.sql.catalyst.expressions.Cast(e, StringType)
+  private def asL(e: Expression) =
+    org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)
 
   private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "h3_latlng_cell_native" -> (es => H3LatLngCellExpr(asD(es(0)), asD(es(1)), asI(es(2)))),
     "h3_parent_native" -> (es => H3ParentExpr(asS(es(0)), asI(es(1)))),
-    "h3_resolution_native" -> (es => H3ResolutionExpr(asS(es.head)))
+    "h3_resolution_native" -> (es => H3ResolutionExpr(asS(es.head))),
+    "h3_index_shape_native" -> (es => H3IndexShapeExpr(asS(es(0)), asI(es(1)))),
+    "h3_parent_long" -> (es => H3ParentLongExpr(asL(es(0)), asI(es(1)))),
+    "h3_hex" -> (es => H3HexExpr(asL(es.head))),
+    "h3_unhex" -> (es => H3UnhexExpr(asS(es.head))),
+    "st_ratio_area_cell_native" -> (es => RatioAreaCellExpr(asS(es(0)), asL(es(1)))),
+    "st_ratio_length_cell_native" -> (es => RatioLengthCellExpr(asS(es(0)), asL(es(1)))),
+    "h3_cell_area_cached_native" -> (es => CellAreaCachedExpr(asL(es.head)))
   )
 
   def register(spark: SparkSession): Unit =

@@ -34,6 +34,7 @@ object GraftFunctions {
   }
 
   def indexGeometry(g: Geometry, res: Int): Array[Long] = {
+    indexGeometryCalls.incrementAndGet()
     import org.locationtech.jts.geom._
     g match {
       case p: Point =>
@@ -83,7 +84,9 @@ object GraftFunctions {
     */
   /** scratch diagnostics (cheap atomic bumps; used by tools.TimeOne) */
   val ratioAreaCalls = new java.util.concurrent.atomic.AtomicLong()
+  val ratioLengthCalls = new java.util.concurrent.atomic.AtomicLong()
   val indexShapeCalls = new java.util.concurrent.atomic.AtomicLong()
+  val indexGeometryCalls = new java.util.concurrent.atomic.AtomicLong()
 
   /** Small per-thread LRU of parsed feature geometries: the (feature, cell)
     * rows repeat each feature's WKT once per covering cell.
@@ -114,28 +117,30 @@ object GraftFunctions {
     g.intersection(parseGeom(hexWkt)).getArea / denom
   }
 
-  /** ratio against a cell given by index: the hexagon boundary comes from
-    * the per-executor memo, so no hexagon WKT travels through the rows.
+  /** ratio against a cell given by raw long index: the hexagon boundary
+    * comes from the per-executor memo as a parsed JTS polygon — no hexagon
+    * WKT is built or parsed per (feature, cell) pair, and no hex string
+    * travels through the rows.
     */
-  def ratioAreaCell(geomWkt: String, cell: String): java.lang.Double = {
-    if (geomWkt == null || cell == null) return null
+  def ratioAreaCell(geomWkt: String, cell: Long): java.lang.Double = {
+    if (geomWkt == null) return null
     ratioAreaCalls.incrementAndGet()
     val g = parseGeomCached(geomWkt)
     val denom = g.getArea
     if (denom == 0.0) return 0.0
-    g.intersection(parseGeom(H3Geo.cellInfoCached(cell)._1)).getArea / denom
+    g.intersection(H3Geo.cellInfoCached(cell).poly).getArea / denom
   }
 
-  def ratioLengthCell(geomWkt: String, cell: String): java.lang.Double = {
-    if (geomWkt == null || cell == null) return null
+  def ratioLengthCell(geomWkt: String, cell: Long): java.lang.Double = {
+    if (geomWkt == null) return null
+    ratioLengthCalls.incrementAndGet()
     val g = parseGeomCached(geomWkt)
     val denom = g.getLength
     if (denom == 0.0) return 0.0
-    g.intersection(parseGeom(H3Geo.cellInfoCached(cell)._1)).getLength / denom
+    g.intersection(H3Geo.cellInfoCached(cell).poly).getLength / denom
   }
 
-  def cellAreaKm2Cached(cell: String): java.lang.Double =
-    if (cell == null) null else H3Geo.cellInfoCached(cell)._2
+  def cellAreaKm2Cached(cell: Long): Double = H3Geo.cellInfoCached(cell).areaKm2
 
   /** length(g ∩ hex) / length(g) — the PCT_LENGTH ratio
     * (h3_indexer.py:193-199).
@@ -160,8 +165,12 @@ object GraftFunctions {
 
   // --------------------------------------------------------- registration
 
-  /** Register every function for SQL/expr use (Sedona-registry parity). */
+  /** Register every function for SQL/expr use (Sedona-registry parity).
+    * Also injects the native codegen expressions so the whole surface is
+    * available from one call.
+    */
   def register(spark: SparkSession): Unit = {
+    Expressions.register(spark)
     val u = spark.udf
     u.register("h3_index_shape", (g: String, res: Int) => indexShape(g, res))
     u.register("h3_parent_res3", (ix: String) => parentRes3(ix))
@@ -175,9 +184,12 @@ object GraftFunctions {
       (lat: java.lang.Double, lng: java.lang.Double, res: Int) => latLngCell(lat, lng, res))
     u.register("st_ratio_area", (a: String, b: String) => ratioArea(a, b))
     u.register("st_ratio_length", (a: String, b: String) => ratioLength(a, b))
-    u.register("st_ratio_area_cell", (a: String, c: String) => ratioAreaCell(a, c))
-    u.register("st_ratio_length_cell", (a: String, c: String) => ratioLengthCell(a, c))
-    u.register("h3_cell_area_cached", (c: String) => cellAreaKm2Cached(c))
+    u.register("st_ratio_area_cell", (a: String, c: java.lang.Long) =>
+      if (c == null) null else ratioAreaCell(a, c.longValue))
+    u.register("st_ratio_length_cell", (a: String, c: java.lang.Long) =>
+      if (c == null) null else ratioLengthCell(a, c.longValue))
+    u.register("h3_cell_area_cached", (c: java.lang.Long) =>
+      if (c == null) null else java.lang.Double.valueOf(cellAreaKm2Cached(c.longValue)))
     u.register("st_area_spheroid_km2", (s: String) => areaSpheroidKm2(s))
     u.register("st_length_spheroid_km", (s: String) => lengthSpheroidKm(s))
     u.register("st_astext", (s: String) =>

@@ -53,28 +53,44 @@ object Validator {
         s"input ${in.name}: column '$c' is ${f.dataType.simpleString}, not numeric")
     }
 
+    // Fan the rows out BEFORE the per-row geometry chain: a small input
+    // (one parquet file) scans as one partition, and the narrow
+    // parse→repair pipeline below would otherwise run serially inside that
+    // single task (measured: 4.7 s of the 6.7 s h3_index_lines wall at
+    // sf0.1 was this one task). At cluster scale inputs have splits >>
+    // cores and this is a no-op.
+    val parallelism = spark.sparkContext.defaultParallelism
+    val fanned =
+      if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)
+      else df
+
     // canonical geometry column: geom_wkt (vector.py:105-126). The reference
     // also materializes geometry_geojson for the polyfill UDF; our U1 sniffs
     // encodings itself, so one canonical column suffices.
-    val withGeom = (in.geometryColumn, in.latColumn, in.lonColumn) match {
+    // st_makevalid is the fused sniff-parse → repair → WKT step; null
+    // source or irreparable geometry → null (geospatial.py:140-166).
+    val geomExpr = (in.geometryColumn, in.latColumn, in.lonColumn) match {
       case (Some(g), _, _) =>
-        df.schema(g).dataType match {
-          case BinaryType =>
-            df.withColumn(Cols.GeomWkt, callUDF("st_astext", hex(col(g))))
-          case _ =>
-            df.withColumn(Cols.GeomWkt, callUDF("st_astext", col(g).cast("string")))
+        fanned.schema(g).dataType match {
+          case BinaryType => callUDF("st_makevalid", hex(col(g)))
+          case _ => callUDF("st_makevalid", col(g).cast("string"))
         }
       case (None, Some(la), Some(lo)) =>
-        df.withColumn(Cols.GeomWkt,
+        callUDF("st_makevalid",
           callUDF("st_point", col(lo).cast("double"), col(la).cast("double")))
       case _ => throw ValidationError(s"input ${in.name}: no geometry source")
     }
 
-    // drop nulls, repair invalid, drop irreparable (geospatial.py:140-166)
-    val cleaned = withGeom
-      .filter(col(Cols.GeomWkt).isNotNull)
-      .withColumn(Cols.GeomWkt, callUDF("st_makevalid", col(Cols.GeomWkt)))
-      .filter(col(Cols.GeomWkt).isNotNull)
+    // Drop the null/irreparable rows via explode(array_compact(array(…)))
+    // rather than isNotNull filters: PushDownPredicates would substitute a
+    // filter's condition below the fan-out exchange and re-run the whole
+    // parse→repair chain serially inside the single scan task (measured:
+    // 2 × 3.4 s single-task stages on h3_index_lines at sf0.1). A Generate
+    // cannot be pushed through an Exchange, so the chain runs exactly once,
+    // after the fan-out, and an empty array drops the row exactly like the
+    // reference's dropna (geospatial.py:150-166).
+    val cleaned = fanned.withColumn(Cols.GeomWkt,
+      explode(array_compact(array(geomExpr))))
     // compatibility opt-in: the reference always materializes BOTH
     // geometry_geojson and geom_wkt (vector.py:119-124); our operators
     // consume geom_wkt only, so the second column is derived on request
@@ -105,9 +121,12 @@ object Indexer {
     *   repartitioned by h3_r3_parent to match the partitioned write layout;
     *   the resolver path skips it (the group-by reshuffles on h3_index
     *   anyway, so the parent shuffle would be pure waste).
+    * @param asHex when true the output h3_index/h3_r3_parent are hex text
+    *   (the reference's output schema); the resolver path passes false to
+    *   keep them LONG through its group-by/fold and converts after.
     */
   def index(spark: SparkSession, in: VectorInput, validated: DataFrame,
-            res: Int, forWrite: Boolean = true): DataFrame = {
+            res: Int, forWrite: Boolean = true, asHex: Boolean = true): DataFrame = {
     // Dispatch on METHOD, not geometry type. The reference guards the ratio
     // stage on method (h3_indexer.py:129/194/257: `if input.method == ...`);
     // for the declared-but-unimplemented PASS_THROUGH/CENTROID the ratio
@@ -148,24 +167,31 @@ object Indexer {
         callUDF("st_area_spheroid_km2", col(Cols.GeomWkt)))
     }
 
+    // Cells travel as raw int64 from here to the final projection: the
+    // polyfill generator emits ARRAY<LONG>, ratio/area/parent consume the
+    // long, and hex text exists only in the output columns. Every cell
+    // function on this path is a native codegen Expression (Expressions.scala)
+    // — the explode + ratio + epilogue stay inside one whole-stage-codegen
+    // span with no ScalaUDF closure per row.
     val exploded = withTotal.withColumn(Cols.H3Index,
-      explode(callUDF("h3_index_shape", col(Cols.GeomWkt), lit(res))))
+      explode(expr(s"h3_index_shape_native(${Cols.GeomWkt}, $res)")))
 
     // Hexagon boundary + area come from a bounded per-executor memo keyed by
-    // h3_index (H3Geo.cellInfoCached) instead of the reference's
-    // distinct+join cell dimension (h3_indexer.py:116-124): same
-    // compute-once-per-cell effect, but zero extra shuffles and no hexagon
-    // WKT travelling through the rows. (The reference needed the dim join
-    // because its per-row compute ran in isolated Python workers.)
+    // the long cell (H3Geo.cellInfoCached, stores the parsed JTS polygon)
+    // instead of the reference's distinct+join cell dimension
+    // (h3_indexer.py:116-124): same compute-once-per-cell effect, but zero
+    // extra shuffles and no hexagon WKT travelling through the rows. (The
+    // reference needed the dim join because its per-row compute ran in
+    // isolated Python workers.)
     val withRatio = in.method match {
       case Method.Within =>
         exploded.withColumn(Cols.Ratio, lit(1.0))
       case Method.PctLength =>
         exploded.withColumn(Cols.Ratio,
-          callUDF("st_ratio_length_cell", col(Cols.GeomWkt), col(Cols.H3Index)))
+          expr(s"st_ratio_length_cell_native(${Cols.GeomWkt}, ${Cols.H3Index})"))
       case Method.PctArea =>
         exploded.withColumn(Cols.Ratio,
-          callUDF("st_ratio_area_cell", col(Cols.GeomWkt), col(Cols.H3Index)))
+          expr(s"st_ratio_area_cell_native(${Cols.GeomWkt}, ${Cols.H3Index})"))
       case other =>
         throw ValidationError(s"method $other has no ratio implementation") // unreachable
     }
@@ -176,15 +202,21 @@ object Indexer {
       case GT.Polygon => Cols.TotalAreaKm2
     }
 
-    // epilogue (h3_indexer.py:31-81)
+    // epilogue (h3_indexer.py:31-81); parent stays LONG for the repartition
+    // (hashing an int64 beats hashing a 15-char string) and both cell
+    // columns become hex text in the final projection only
     val out = withRatio
-      .withColumn(Cols.H3AreaKm2, callUDF("h3_cell_area_cached", col(Cols.H3Index)))
-      .withColumn(Cols.H3R3Parent, callUDF("h3_parent_res3", col(Cols.H3Index)))
+      .withColumn(Cols.H3AreaKm2, expr(s"h3_cell_area_cached_native(${Cols.H3Index})"))
+      .withColumn(Cols.H3R3Parent, expr(s"h3_parent_long(${Cols.H3Index}, 3)"))
       .withColumn(Cols.H3Resolution, lit(res))
-      .select((Seq(Cols.H3Index, Cols.H3Resolution, Cols.H3R3Parent,
-        Cols.H3AreaKm2, in.uniqueId).map(col) ++ Seq(col(Cols.Ratio), col(totalCol)) ++
+    val parted = if (forWrite) out.repartition(col(Cols.H3R3Parent)) else out
+    def cellOut(c: String) = if (asHex) expr(s"h3_hex($c)").as(c) else col(c)
+    parted.select((Seq(
+        cellOut(Cols.H3Index),
+        col(Cols.H3Resolution),
+        cellOut(Cols.H3R3Parent),
+        col(Cols.H3AreaKm2), col(in.uniqueId)) ++ Seq(col(Cols.Ratio), col(totalCol)) ++
         attrs): _*)
-    if (forWrite) out.repartition(col(Cols.H3R3Parent)) else out
   }
 }
 
@@ -206,17 +238,28 @@ object Resolver {
   /** Fold per-input resolved tables on h3_index (J4, full outer), then
     * re-derive the epilogue columns (h3_resolver.py:71-96: parent/area/res
     * are recomputed after the aggregation, in the same order).
+    *
+    * Accepts h3_index as either LONG (the `asHex = false` indexer path —
+    * the group-by and fold then hash int64 keys) or hex STRING (persisted
+    * indexed outputs); LONG inputs become hex text in the final projection.
     */
   def resolve(spark: SparkSession, perInput: Seq[DataFrame], res: Int): DataFrame = {
     val folded = perInput.reduce(_.join(_, Seq(Cols.H3Index), "full_outer"))
-    folded
-      .withColumn(Cols.H3Resolution, lit(res))
-      .withColumn(Cols.H3R3Parent, callUDF("h3_parent_res3", col(Cols.H3Index)))
-      .withColumn(Cols.H3AreaKm2, callUDF("h3_cell_area_km2", col(Cols.H3Index)))
-      .select((Seq(Cols.H3Index, Cols.H3Resolution, Cols.H3R3Parent, Cols.H3AreaKm2)
-        .map(col) ++
+    val isLong = folded.schema(Cols.H3Index).dataType == LongType
+    val withEpilogue =
+      if (isLong) folded
+        .withColumn(Cols.H3Resolution, lit(res))
+        .withColumn(Cols.H3R3Parent, expr(s"h3_parent_long(${Cols.H3Index}, 3)"))
+        .withColumn(Cols.H3AreaKm2, expr(s"h3_cell_area_cached_native(${Cols.H3Index})"))
+      else folded
+        .withColumn(Cols.H3Resolution, lit(res))
+        .withColumn(Cols.H3R3Parent, callUDF("h3_parent_res3", col(Cols.H3Index)))
+        .withColumn(Cols.H3AreaKm2, callUDF("h3_cell_area_km2", col(Cols.H3Index)))
+    val parted = withEpilogue.repartition(col(Cols.H3R3Parent))
+    def cellOut(c: String) = if (isLong) expr(s"h3_hex($c)").as(c) else col(c)
+    parted.select((Seq(cellOut(Cols.H3Index), col(Cols.H3Resolution),
+        cellOut(Cols.H3R3Parent), col(Cols.H3AreaKm2)) ++
         folded.columns.filter(_.startsWith("sum_")).map(col)): _*)
-      .repartition(col(Cols.H3R3Parent))
   }
 
   /** Single-input fast path (main.py:78-85, h3_resolver.py:101-160). */

@@ -55,11 +55,19 @@ object H3Geo {
 
   def cellAreaKm2(cell: String): Double = cellAreaKm2(H3Index.fromHexString(cell))
 
-  /** Bounded per-executor memo of cell → (boundary WKT, area km²). Rows
-    * arrive feature-clustered, so hit rate ≈ 1 − distinct/pairs; on a
-    * cluster each executor holds its own memo (worst case: distinct cells ×
-    * executors recomputes of ~10µs — bounded and shuffle-free, unlike a
-    * distinct+join dimension which shuffles every pair twice).
+  /** Per-cell derived data the indexer needs once per covering cell: the
+    * boundary as a parsed JTS polygon (for the ratio intersections — storing
+    * the WKT string instead would re-parse it for every (feature, cell)
+    * pair) and the exact geodesic area.
+    */
+  final case class CellInfo(poly: Polygon, areaKm2: Double)
+
+  /** Bounded per-executor memo of cell → [[CellInfo]], keyed by the raw long
+    * index (no hex strings in the hot path). Rows arrive feature-clustered,
+    * so hit rate ≈ 1 − distinct/pairs; on a cluster each executor holds its
+    * own memo (worst case: distinct cells × executors recomputes of ~10µs —
+    * bounded and shuffle-free, unlike a distinct+join dimension which
+    * shuffles every pair twice).
     *
     * The memo is striped into [[MemoStripes]] independent maps keyed by the
     * cell hash; when a stripe reaches its cap only THAT stripe is cleared, so
@@ -68,21 +76,45 @@ object H3Geo {
     * moment distinct cells crossed the cap — measured 5× degradation on
     * h3_index_lines once earlier queries had filled it.)
     */
+  private[graft] val memoMisses = new java.util.concurrent.atomic.AtomicLong()
   private[graft] val MemoStripes = 128
   private[graft] var memoStripeCap = {
     val total = sys.env.get("SPARK_GRAFT_H3_MEMO_CAP").map(_.toInt).getOrElse(524288)
     math.max(64, total / MemoStripes)
   }
   private val stripes = Array.fill(MemoStripes)(
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Double)]())
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, CellInfo]())
 
-  def cellInfoCached(cell: String): (String, Double) = {
-    val m = stripes((cell.hashCode & 0x7fffffff) % MemoStripes)
-    val hit = m.get(cell)
+  /** 64-bit finalizer mix (splitmix64): raw H3 longs have near-constant low
+    * bits (unused digits are all 1s), so Long.hashCode % stripes would skew
+    * badly and over-evict hot stripes.
+    */
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  def cellInfoCached(cell: Long): CellInfo = {
+    val boxed = java.lang.Long.valueOf(cell)
+    val m = stripes((mix(cell).toInt & 0x7fffffff) % MemoStripes)
+    val hit = m.get(boxed)
     if (hit != null) return hit
-    val v = cellInfo(cell)
+    memoMisses.incrementAndGet()
+    val b = H3.cellToBoundary(cell)
+    val areaKm2 = math.abs(GeodesicExact.ringArea(
+      b.map(v => (math.toDegrees(v.lng), math.toDegrees(v.lat))))) / 1e6
+    val cs = new Array[Coordinate](b.length + 1)
+    var i = 0
+    while (i < b.length) {
+      cs(i) = new Coordinate(math.toDegrees(b(i).lng), math.toDegrees(b(i).lat))
+      i += 1
+    }
+    cs(b.length) = cs(0)
+    val v = CellInfo(GeoIO.factory.createPolygon(cs), areaKm2)
     if (m.size >= memoStripeCap) m.clear() // partial eviction: one stripe only
-    m.put(cell, v)
+    m.put(boxed, v)
     v
   }
 
@@ -90,9 +122,8 @@ object H3Geo {
   private[graft] def memoSize: Int = { var s = 0; var i = 0; while (i < MemoStripes) { s += stripes(i).size; i += 1 }; s }
   private[graft] def memoClear(): Unit = stripes.foreach(_.clear())
 
-  /** Boundary WKT + geodesic area in one boundary computation — the
-    * distinct-cell dimension needs both (Indexer), and computing the
-    * boundary once halves the dominant per-cell cost.
+  /** Boundary WKT + geodesic area in one boundary computation (the string
+    * surface of the memo, kept for the registered `h3_cell_info` UDF).
     */
   def cellInfo(cell: String): (String, Double) = {
     val h = H3Index.fromHexString(cell)

@@ -68,9 +68,9 @@ object GeoQueries {
     Method.PctArea, Seq("balance"))
 
   private def indexed(s: SparkSession, in: VectorInput, data: DataFrame,
-                      forWrite: Boolean = true): DataFrame = {
+                      forWrite: Boolean = true, asHex: Boolean = true): DataFrame = {
     GraftFunctions.register(s)
-    Indexer.index(s, in, Validator.validate(s, in, data), Res, forWrite)
+    Indexer.index(s, in, Validator.validate(s, in, data), Res, forWrite, asHex)
   }
 
   val qs: Seq[QueryDef] = Seq(
@@ -100,11 +100,11 @@ object GeoQueries {
         // (round-1 finding: persisting string-heavy frames costs more than
         // recomputing with the memo).
         val p = Resolver.resolveInput(
-          indexed(s, pointsInput, pointsDf(s, d), forWrite = false), Seq("qty"))
-          .localCheckpoint()
+          indexed(s, pointsInput, pointsDf(s, d), forWrite = false, asHex = false),
+          Seq("qty")).localCheckpoint()
         val g = Resolver.resolveInput(
-          indexed(s, polysInput, polysDf(s, d), forWrite = false), Seq("balance"))
-          .localCheckpoint()
+          indexed(s, polysInput, polysDf(s, d), forWrite = false, asHex = false),
+          Seq("balance")).localCheckpoint()
         Resolver.resolve(s, Seq(p, g), Res).orderBy("h3_index")
       },
       headline = true),

@@ -51,6 +51,43 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT h3_parent_native(CAST(NULL AS STRING), 3) p").head()
     assert(r.isNullAt(0))
   }
+
+  test("long hot-path natives: shape/parent/hex round-trip and ratio sums to 1") {
+    // hex ↔ long round-trip and parent bit math vs the string surface
+    val row = spark.sql(
+      """SELECT h3_hex(h3_unhex('8928308280fffff')) rt,
+        |h3_hex(h3_parent_long(h3_unhex('8928308280fffff'), 3)) p""".stripMargin).head()
+    assert(row.getString(0) == "8928308280fffff")
+    assert(row.getString(1) == H3GoldenHelper.parent)
+
+    // index_shape_native over a polygon: explode to cells, PCT_AREA ratios
+    // sum to area(g ∩ ∪cells)/area(g) — ≤ 1 exactly, and close to 1 since
+    // centroid polyfill only misses boundary slivers whose cell centroid
+    // falls outside
+    val wkt = "POLYGON ((-122.46 37.73, -122.38 37.73, -122.38 37.81, " +
+      "-122.46 37.81, -122.46 37.73))"
+    val cells = spark.sql(
+      s"""SELECT cell, st_ratio_area_cell_native('$wkt', cell) ratio,
+         |h3_cell_area_cached_native(cell) area
+         |FROM (SELECT explode(h3_index_shape_native('$wkt', 8)) cell)""".stripMargin)
+      .collect()
+    assert(cells.length > 5)
+    val ratioSum = cells.map(_.getDouble(1)).sum
+    assert(ratioSum > 0.85 && ratioSum <= 1.0 + 1e-9,
+      s"PCT_AREA ratios sum to $ratioSum")
+    cells.foreach(r => assert(r.getDouble(2) > 0.3 && r.getDouble(2) < 1.5,
+      s"res-8 cell area ${r.getDouble(2)} km2 out of range"))
+
+    // the long surface agrees with the string UDF surface
+    val both = spark.sql(
+      s"""SELECT h3_hex(l.cell) hx, s.cell sc FROM
+         |(SELECT explode(h3_index_shape_native('$wkt', 8)) cell) l
+         |FULL OUTER JOIN
+         |(SELECT explode(h3_index_shape('$wkt', 8)) cell) s
+         |ON h3_hex(l.cell) = s.cell""".stripMargin).collect()
+    both.foreach(r => assert(!r.isNullAt(0) && !r.isNullAt(1),
+      "long and string index_shape surfaces disagree"))
+  }
 }
 
 object H3GoldenHelper {

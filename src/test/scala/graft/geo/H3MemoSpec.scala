@@ -1,6 +1,6 @@
 package graft.geo
 
-import graft.h3.{H3, H3Index}
+import graft.h3.H3
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The cell-info memo must evict partially (one stripe at a time), never
@@ -9,14 +9,14 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class H3MemoSpec extends AnyFunSuite {
 
-  private def distinctCells(n: Int): Seq[String] = {
+  private def distinctCells(n: Int): Seq[Long] = {
     // deterministic spread of res-6 cells across the globe
-    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
     var i = 0
     while (out.size < n && i < n * 50) {
       val lat = math.toRadians((i * 17 % 14000) / 100.0 - 70 + 0.005)
       val lng = math.toRadians((i * 13 % 35000) / 100.0 - 175 + 0.005)
-      out += H3Index.toHexString(H3.latLngToCell(lat, lng, 6))
+      out += H3.latLngToCell(lat, lng, 6)
       i += 1
     }
     out.toSeq
