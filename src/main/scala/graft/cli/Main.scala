@@ -40,9 +40,12 @@ object Main {
     GraftFunctions.register(spark)
     mode match {
       case "validate" =>
-        job.inputs.foreach { in =>
-          val n = Validator.validate(spark, in, GraftJob.loadInput(spark, in)).count()
-          println(s"[validated] ${in.name}: $n rows")
+        job.inputs.foreach {
+          case in: graft.model.VectorInput =>
+            val n = Validator.validate(spark, in, GraftJob.loadInput(spark, in)).count()
+            println(s"[validated] ${in.name}: $n rows")
+          case r: graft.model.RasterInput =>
+            println(s"[validated] ${r.name}: raster (${r.s3Uri}) — not indexed")
         }
       case _ =>
         val (indexed, resolved, state) = GraftJob.run(spark, job)

@@ -304,7 +304,11 @@ object GraftJob {
     * (same rows; the JDBC path pushes it to the warehouse instead).
     */
   def loadInput(spark: SparkSession, in: VectorInput): DataFrame = in.path match {
-    case Some(p) if p.endsWith(".shp") => graft.sources.Shapefile.read(spark, p)
+    // .shp routes through the DataSource V2 split reader (parallel record
+    // ranges via .shx); graft.sources.Shapefile.read remains as the
+    // driver-side fallback surface
+    case Some(p) if p.endsWith(".shp") =>
+      spark.read.format("shapefile").load(p)
     case Some(p) => spark.read.parquet(p)
     case None =>
       sys.env.get("SPARK_GRAFT_JDBC_URL") match {
@@ -331,24 +335,27 @@ object GraftJob {
       if (!spark.sparkContext.master.startsWith("local"))
         spark.conf.set("spark.sql.shuffle.partitions",
           graft.Sessions.shufflePartitionsFor(job.h3Resolution).toString)
-      val validated = job.inputs.map { in =>
+      // only vector inputs are dispatched; validated raster inputs are
+      // silently skipped exactly like the reference (main.py:52)
+      val vectors = job.inputs.collect { case v: VectorInput => v }
+      val validated = vectors.map { in =>
         in.name -> Validator.validate(spark, in, loadInput(spark, in),
           withGeoJson = job.materializeGeoJson)
       }.toMap
       state = state.advance(JobStatus.Validated)
       state = state.advance(JobStatus.RunningIndexer)
-      val indexed = job.inputs.map { in =>
+      val indexed = vectors.map { in =>
         in.name -> Indexer.index(spark, in, validated(in.name), job.h3Resolution).persist()
       }.toMap
       state = state.advance(JobStatus.CompletedIndexer)
       state = state.advance(JobStatus.RunningResolver)
       val resolved =
-        if (job.inputs.size == 1)
+        if (vectors.size == 1)
           Resolver.resolveSingle(spark, indexed.values.head,
-            job.inputs.head.inputColumns, job.h3Resolution)
+            vectors.head.inputColumns, job.h3Resolution)
         else
           Resolver.resolve(spark,
-            job.inputs.map(in => Resolver.resolveInput(indexed(in.name), in.inputColumns)),
+            vectors.map(in => Resolver.resolveInput(indexed(in.name), in.inputColumns)),
             job.h3Resolution)
       state = state.advance(JobStatus.CompletedResolver)
       (indexed, resolved, state)

@@ -42,6 +42,14 @@ object Method {
   }
 }
 
+/** A declared job input: vector tables are indexed; raster files validate
+  * (s3_uri shape, raster.py:10-38) but are silently skipped by the indexer
+  * exactly like the reference (main.py:52 dispatches only
+  * `type == 'vector'`; README.md:161 says rasters must be pre-converted to
+  * point centroids).
+  */
+sealed trait JobInput { def name: String }
+
 /** One vector input (data_model/vector.py:59-97). Source is either a path
   * (parquet) or a catalog table (+ optional where clause) — mutually
   * exclusive (vector.py:138-179).
@@ -58,14 +66,19 @@ final case class VectorInput(
     latColumn: Option[String],
     lonColumn: Option[String],
     method: Method,
-    inputColumns: Seq[String])
+    inputColumns: Seq[String]) extends JobInput
+
+/** A raster input: validated, carried in the job, never indexed
+  * (data_model/raster.py:10-38).
+  */
+final case class RasterInput(name: String, s3Uri: String) extends JobInput
 
 final case class Job(
     name: String,
     version: String,
     h3Resolution: Int,
     outputPath: String,
-    inputs: Seq[VectorInput],
+    inputs: Seq[JobInput],
     /** also materialize the reference's geometry_geojson canonical column
       * next to geom_wkt (vector.py:119-124); off by default — our polyfill
       * sniffs encodings itself, so the column is a compatibility opt-in
@@ -140,12 +153,20 @@ object JobConfig {
     else Left(errs.toList)
   }
 
-  private def parseInput(name: String, n: JsonNode): Either[List[String], VectorInput] = {
+  private def parseInput(name: String, n: JsonNode): Either[List[String], JobInput] = {
     val errs = scala.collection.mutable.ListBuffer.empty[String]
     val typ = opt(n, "type").getOrElse("vector")
-    // raster declared but not enabled (main.py:52, README.md:161)
-    if (typ == "raster") errs += "raster inputs are not enabled; convert to point centroids"
-    else if (typ != "vector") errs += s"unknown input type '$typ'"
+    // raster inputs VALIDATE (s3_uri must be s3://, raster.py:29-38) and are
+    // then skipped by the indexer — matching main.py:52, not an error here
+    if (typ == "raster") {
+      val uri = opt(n, "s3_uri")
+      return uri match {
+        case Some(u) if u.startsWith("s3://") => Right(RasterInput(name, u))
+        case Some(u) => Left(List(s"S3 URI must start with s3://: $u"))
+        case None => Left(List("raster input requires s3_uri"))
+      }
+    }
+    if (typ != "vector") errs += s"unknown input type '$typ' (must be 'vector' or 'raster')"
 
     val path = opt(n, "s3_path").orElse(opt(n, "path"))
       // s3:// normalized to s3a:// (vector.py:181-200)

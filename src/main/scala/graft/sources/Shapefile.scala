@@ -57,7 +57,7 @@ object Shapefile {
   private def fmt(d: Double): String =
     if (d == d.toLong.toDouble) d.toLong.toString else d.toString
 
-  private def parseRecord(b: ByteBuffer): String = {
+  private[sources] def parseRecord(b: ByteBuffer): String = {
     val shapeType = b.getInt
     shapeType match {
       case 0 => null // null shape
@@ -160,26 +160,14 @@ object Shapefile {
 
   // ------------------------------------------------------------------ .dbf
 
-  private def readDbf(path: String): (Seq[StructField], Seq[Seq[Any]]) = {
-    val bytes = Files.readAllBytes(Paths.get(path))
-    val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    val numRecords = le.getInt(4)
-    val headerSize = le.getShort(8).toInt & 0xffff
-    val recordSize = le.getShort(10).toInt & 0xffff
+  final case class DbfField(name: String, typ: Char, len: Int, dec: Int)
 
-    final case class Field(name: String, typ: Char, len: Int, dec: Int)
-    val fields = mutable.ArrayBuffer.empty[Field]
-    var off = 32
-    while (off + 32 <= headerSize && bytes(off) != 0x0d) {
-      val name = new String(bytes, off, 11, "ASCII").takeWhile(_ != 0).trim
-      val typ = bytes(off + 11).toChar
-      val len = bytes(off + 16) & 0xff
-      val dec = bytes(off + 17) & 0xff
-      fields += Field(name, typ, len, dec)
-      off += 32
-    }
-
-    val schema = fields.map { f =>
+  /** dBASE III header metadata + per-record decoder — shared by the
+    * driver-side reader and the DataSource V2 split reader.
+    */
+  final case class DbfMeta(fields: Seq[DbfField], headerSize: Int,
+                           recordSize: Int, numRecords: Int) {
+    def schema: Seq[StructField] = fields.map { f =>
       val dt = f.typ match {
         case 'N' if f.dec == 0 && f.len < 19 => LongType
         case 'N' | 'F' => DoubleType
@@ -187,12 +175,13 @@ object Shapefile {
         case _ => StringType // C, D, and anything exotic
       }
       StructField(f.name, dt, nullable = true)
-    }.toSeq
+    }
 
-    val rows = (0 until numRecords).map { r =>
-      var p = headerSize + r * recordSize + 1 // +1 skips the deletion flag
+    /** Decode one record given its raw bytes (including the deletion flag). */
+    def decode(rec: Array[Byte]): Seq[Any] = {
+      var p = 1 // skip the deletion flag
       fields.map { f =>
-        val raw = new String(bytes, p, f.len, "ASCII").trim
+        val raw = new String(rec, p, f.len, "ASCII").trim
         p += f.len
         f.typ match {
           case 'N' if f.dec == 0 && f.len < 19 =>
@@ -206,8 +195,36 @@ object Shapefile {
           }
           case _ => if (raw.isEmpty) null else raw
         }
-      }.toSeq
+      }
     }
-    (schema, rows)
+  }
+
+  /** Parse a .dbf header from its leading bytes (≥ 32 + 32·nFields). */
+  private[sources] def dbfMeta(bytes: Array[Byte]): DbfMeta = {
+    val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val numRecords = le.getInt(4)
+    val headerSize = le.getShort(8).toInt & 0xffff
+    val recordSize = le.getShort(10).toInt & 0xffff
+    val fields = mutable.ArrayBuffer.empty[DbfField]
+    var off = 32
+    while (off + 32 <= headerSize && bytes(off) != 0x0d) {
+      val name = new String(bytes, off, 11, "ASCII").takeWhile(_ != 0).trim
+      val typ = bytes(off + 11).toChar
+      val len = bytes(off + 16) & 0xff
+      val dec = bytes(off + 17) & 0xff
+      fields += DbfField(name, typ, len, dec)
+      off += 32
+    }
+    DbfMeta(fields.toSeq, headerSize, recordSize, numRecords)
+  }
+
+  private[sources] def readDbf(path: String): (Seq[StructField], Seq[Seq[Any]]) = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val meta = dbfMeta(bytes)
+    val rows = (0 until meta.numRecords).map { r =>
+      val start = meta.headerSize + r * meta.recordSize
+      meta.decode(java.util.Arrays.copyOfRange(bytes, start, start + meta.recordSize))
+    }
+    (meta.schema, rows)
   }
 }

@@ -182,7 +182,8 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         |    input_columns: [population]
         |""".stripMargin
     val job = JobConfig.fromYaml(yaml).toOption.get
-    assert(job.inputs.head.path.contains("s3a://bucket/points.parquet"))
+    assert(job.inputs.head.asInstanceOf[graft.model.VectorInput]
+      .path.contains("s3a://bucket/points.parquet"))
     assert(job.h3Resolution == 6)
 
     def errsOf(y: String) = JobConfig.fromYaml(y).left.getOrElse(Nil).mkString("; ")

@@ -95,6 +95,41 @@ class JobLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Validator.validate(spark, in, data).columns.contains("geometry_geojson"))
   }
 
+  test("raster inputs validate then no-op, exactly like the reference") {
+    // a valid raster input parses (s3_uri checked) …
+    val yaml =
+      """name: j
+        |version: 1.0.0
+        |h3_resolution: 6
+        |output_path: /tmp/x
+        |inputs:
+        |  dem:
+        |    type: raster
+        |    s3_uri: s3://bucket/dem.tif
+        |""".stripMargin
+    val job = JobConfig.fromYaml(yaml).toOption.get
+    assert(job.inputs == Seq(RasterInput("dem", "s3://bucket/dem.tif")))
+
+    // … a malformed s3_uri is a validation error (raster.py:29-38) …
+    val bad = JobConfig.fromYaml(yaml.replace("s3://bucket/dem.tif", "/local/dem.tif"))
+    assert(bad.swap.toOption.get.exists(_.contains("S3 URI must start with s3://")))
+
+    // … and a mixed job indexes ONLY the vector input (main.py:52): the
+    // raster is carried but silently skipped, not an error
+    val dir = java.nio.file.Files.createTempDirectory("graftraster")
+    val data = df("pid BIGINT, lat DOUBLE, lon DOUBLE, v DOUBLE", Seq(
+      R(1L, 37.7, -122.4, 10.0), R(2L, 37.8, -122.3, 5.0)))
+    data.write.mode("overwrite").parquet(s"$dir/pts.parquet")
+    val mixed = Job("j", "1.0.0", 6, s"$dir/out", Seq(
+      VectorInput("pts", Some(s"$dir/pts.parquet"), None, None, None, "pid",
+        GeometryType.Point, None, Some("lat"), Some("lon"), Method.Within, Seq("v")),
+      RasterInput("dem", "s3://bucket/dem.tif")))
+    val (indexed, resolved, state) = GraftJob.run(spark, mixed)
+    assert(indexed.keySet == Set("pts"))
+    assert(resolved.count() == 2)
+    assert(state.status == JobStatus.CompletedResolver)
+  }
+
   test("yaml config parses materialize_geojson") {
     val yaml =
       """name: j
@@ -114,6 +149,7 @@ class JobLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
         |""".stripMargin
     val job = JobConfig.fromYaml(yaml).toOption.get
     assert(job.materializeGeoJson)
-    assert(job.inputs.head.path.contains("s3a://b/p.parquet"))
+    assert(job.inputs.head.asInstanceOf[graft.model.VectorInput]
+      .path.contains("s3a://b/p.parquet"))
   }
 }
