@@ -58,9 +58,11 @@ object H3Geo {
   /** Per-cell derived data the indexer needs once per covering cell: the
     * boundary as a parsed JTS polygon (for the ratio intersections — storing
     * the WKT string instead would re-parse it for every (feature, cell)
-    * pair) and the exact geodesic area.
+    * pair), the exact geodesic area, and the convex-clip region (Some for
+    * the ~all cells whose planar ring is convex, None → JTS overlay).
     */
-  final case class CellInfo(poly: Polygon, areaKm2: Double)
+  final case class CellInfo(poly: Polygon, areaKm2: Double,
+                            clip: Option[ConvexClip.Region])
 
   /** Bounded per-executor memo of cell → [[CellInfo]], keyed by the raw long
     * index (no hex strings in the hot path). Rows arrive feature-clustered,
@@ -112,7 +114,8 @@ object H3Geo {
       i += 1
     }
     cs(b.length) = cs(0)
-    val v = CellInfo(GeoIO.factory.createPolygon(cs), areaKm2)
+    val poly = GeoIO.factory.createPolygon(cs)
+    val v = CellInfo(poly, areaKm2, ConvexClip.fromPolygon(poly))
     if (m.size >= memoStripeCap) m.clear() // partial eviction: one stripe only
     m.put(boxed, v)
     v
