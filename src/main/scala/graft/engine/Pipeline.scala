@@ -244,7 +244,23 @@ object Resolver {
     * indexed outputs); LONG inputs become hex text in the final projection.
     */
   def resolve(spark: SparkSession, perInput: Seq[DataFrame], res: Int): DataFrame = {
-    val folded = perInput.reduce(_.join(_, Seq(Cols.H3Index), "full_outer"))
+    // A mixed fold (a LONG asHex=false frame joined with a persisted
+    // hex-string frame) would let Spark coerce the join keys — hex strings
+    // cast to numeric become null — silently mismatching every row, so
+    // normalize string keys to the int64 cell before the reduce.
+    val keyTypes = perInput.map(_.schema(Cols.H3Index).dataType).distinct
+    val frames =
+      if (keyTypes.size <= 1) perInput
+      else perInput.map { df =>
+        df.schema(Cols.H3Index).dataType match {
+          case LongType => df
+          case StringType =>
+            df.withColumn(Cols.H3Index, expr(s"h3_unhex(${Cols.H3Index})"))
+          case other => throw ValidationError(
+            s"h3_index must be LONG or hex STRING, got ${other.simpleString}")
+        }
+      }
+    val folded = frames.reduce(_.join(_, Seq(Cols.H3Index), "full_outer"))
     val isLong = folded.schema(Cols.H3Index).dataType == LongType
     val withEpilogue =
       if (isLong) folded

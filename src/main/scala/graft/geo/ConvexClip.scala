@@ -141,6 +141,7 @@ object ConvexClip {
     * closed coordinate ring (first == last).
     */
   def ringAreaIn(r: Region, ring: Array[org.locationtech.jts.geom.Coordinate]): Double = {
+    if (ring.length < 4) return 0.0 // empty/degenerate ring (e.g. POLYGON EMPTY component)
     var subjX = new Array[Double](ring.length - 1)
     var subjY = new Array[Double](ring.length - 1)
     var m = ring.length - 1

@@ -33,17 +33,23 @@ class ShapefileV2 extends TableProvider with DataSourceRegister {
 
   private def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
     val single = Option(options.get("path")).toSeq
-    val multi = Option(options.get("paths")).toSeq.flatMap(
-      _.split(",").map(_.trim).filter(_.nonEmpty))
+    // DataFrameReader.load(p1, p2, ...) passes the multi-path form as a
+    // JSON-encoded array in the 'paths' option, not a comma list
+    val multi = Option(options.get("paths")).toSeq.flatMap { raw =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(raw, classOf[Array[String]]).toSeq
+    }
     val all = (single ++ multi).flatMap { p =>
       val path = Paths.get(p)
-      if (Files.isDirectory(path))
-        Files.list(path).iterator().asScala.toSeq
-          .filter(_.toString.endsWith(".shp")).map(_.toString).sorted
-      else Seq(p)
+      if (Files.isDirectory(path)) {
+        val listing = Files.list(path)
+        try listing.iterator().asScala
+          .filter(_.toString.endsWith(".shp")).map(_.toString).toSeq.sorted
+        finally listing.close()
+      } else Seq(p)
     }
     require(all.nonEmpty, "shapefile source requires a .shp path")
-    all.map(_.toString)
+    all
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -109,7 +115,16 @@ final class ShapefileScan(full: StructType, required: StructType,
   override def toBatch: Batch = this
   override def description(): String = s"shapefile ${paths.mkString(",")}"
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // every reader decodes records with its own file's .dbf layout and maps
+    // values positionally into the table schema — a heterogeneous directory
+    // would silently misalign columns, so fail loudly up front
+    paths.foreach { shp =>
+      val s = ShapefileV2.schemaFor(shp)
+      require(s == full,
+        s"shapefile $shp schema ${s.simpleString} does not match table schema " +
+          s"${full.simpleString}; mixed-layout directories are not supported")
+    }
     paths.toArray.flatMap { shp =>
       val shx = Paths.get(shp.replaceAll("\\.shp$", ".shx"))
       if (Files.exists(shx)) {
@@ -119,6 +134,7 @@ final class ShapefileScan(full: StructType, required: StructType,
           ShapefileSplit(shp, s, math.min(s + step, records)))
       } else Seq(ShapefileSplit(shp, 0, -1)) // sequential fallback
     }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ShapefileReaderFactory(full, required)

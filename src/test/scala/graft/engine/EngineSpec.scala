@@ -155,6 +155,26 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(resolved.count() == resolved.select(Cols.H3Index).distinct().count())
   }
 
+  test("resolver normalizes mixed LONG/hex-string h3_index keys before the fold") {
+    val (pin, pdata) = polysInput
+    val (lin, ldata) = linesInput
+    // hex-string frame (a persisted indexed output) + LONG frame (asHex=false)
+    val pHex = Indexer.index(spark, pin, Validator.validate(spark, pin, pdata), 6)
+    val lLong = Indexer.index(spark, lin, Validator.validate(spark, lin, ldata), 6,
+      forWrite = false, asHex = false)
+    val mixed = Resolver.resolve(spark, Seq(
+      Resolver.resolveInput(pHex, Seq("POPESTIMAT")),
+      Resolver.resolveInput(lLong, Seq("emissions"))), 6)
+    val pLong = Indexer.index(spark, pin, Validator.validate(spark, pin, pdata), 6,
+      forWrite = false, asHex = false)
+    val uniform = Resolver.resolve(spark, Seq(
+      Resolver.resolveInput(pLong, Seq("POPESTIMAT")),
+      Resolver.resolveInput(lLong, Seq("emissions"))), 6)
+    // a mixed fold must not coerce keys to null — same rows as the uniform fold
+    assert(mixed.count() == uniform.count())
+    assert(mixed.collect().toSet == uniform.collect().toSet)
+  }
+
   test("single-input fast path equals general path") {
     val (in, data) = polysInput
     val idx = Indexer.index(spark, in, Validator.validate(spark, in, data), 6)

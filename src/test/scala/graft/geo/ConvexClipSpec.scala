@@ -104,4 +104,18 @@ class ConvexClipSpec extends AnyFunSuite {
     assert(ConvexClip.lengthIn(r, info.poly).isNaN)
     assert(ConvexClip.areaIn(r, tiny).isNaN)
   }
+
+  test("empty polygon components contribute 0 area instead of throwing") {
+    val info = H3Geo.cellInfoCached(H3.latLngToCell(math.toRadians(37.77),
+      math.toRadians(-122.42), 6))
+    val r = info.clip.get
+    assert(ConvexClip.areaIn(r, GeoIO.fromWkt("POLYGON EMPTY")) == 0.0)
+    val c = info.poly.getCentroid
+    val h = 1e-4
+    val square = s"POLYGON ((${c.getX - h} ${c.getY - h}, ${c.getX + h} ${c.getY - h}, " +
+      s"${c.getX + h} ${c.getY + h}, ${c.getX - h} ${c.getY + h}, ${c.getX - h} ${c.getY - h}))"
+    val mixed = GeoIO.fromWkt(s"GEOMETRYCOLLECTION (POLYGON EMPTY, $square)")
+    val alone = ConvexClip.areaIn(r, GeoIO.fromWkt(square))
+    assert(ConvexClip.areaIn(r, mixed) == alone && alone > 0.0)
+  }
 }

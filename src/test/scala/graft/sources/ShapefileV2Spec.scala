@@ -26,7 +26,8 @@ class ShapefileV2Spec extends AnyFunSuite with BeforeAndAfterAll {
   /** Write pts.shp / pts.shx / pts.dbf with N point records whose
     * coordinates and id are derived from the record index.
     */
-  private def writeTrio(dir: Path, withShx: Boolean): Unit = {
+  private def writeTrio(dir: Path, withShx: Boolean,
+                        fieldName: String = "id"): Unit = {
     val recBytes = 20 // point record content: int type + 2 doubles
     val shp = ByteBuffer.allocate(100 + N * (8 + recBytes))
     shp.order(ByteOrder.BIG_ENDIAN)
@@ -62,7 +63,7 @@ class ShapefileV2Spec extends AnyFunSuite with BeforeAndAfterAll {
     dbf.putInt(4, N)
     dbf.putShort(8, headerSize.toShort)
     dbf.putShort(10, recordSize.toShort)
-    "id".getBytes("ASCII").zipWithIndex.foreach { case (c, j) => dbf.put(32 + j, c) }
+    fieldName.getBytes("ASCII").zipWithIndex.foreach { case (c, j) => dbf.put(32 + j, c) }
     dbf.put(32 + 11, 'N'.toByte)
     dbf.put(32 + 16, 9.toByte)
     dbf.put(headerSize - 1, 0x0d.toByte)
@@ -103,6 +104,30 @@ class ShapefileV2Spec extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("geometry#"), plan)
     assert(ids.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
       == N.toLong * (N - 1) / 2)
+  }
+
+  test("multi-path load parses the JSON-encoded paths option") {
+    val d1 = Files.createTempDirectory("shpv2m1")
+    val d2 = Files.createTempDirectory("shpv2m2")
+    writeTrio(d1, withShx = true)
+    writeTrio(d2, withShx = true)
+    val df = spark.read.format("shapefile")
+      .load(d1.resolve("pts.shp").toString, d2.resolve("pts.shp").toString)
+    assert(df.count() == 2L * N)
+    assert(df.rdd.getNumPartitions == 6, "3 splits per file")
+  }
+
+  test("heterogeneous sibling .dbf layouts fail loudly, not misalign") {
+    val dir = Files.createTempDirectory("shpv2h")
+    writeTrio(dir, withShx = true)
+    val sub = Files.createDirectory(dir.resolve("b"))
+    writeTrio(sub, withShx = true, fieldName = "uid")
+    Files.move(sub.resolve("pts.shp"), dir.resolve("zz.shp"))
+    Files.move(sub.resolve("pts.shx"), dir.resolve("zz.shx"))
+    Files.move(sub.resolve("pts.dbf"), dir.resolve("zz.dbf"))
+    val df = spark.read.format("shapefile").load(dir.toString)
+    val err = intercept[Exception](df.count())
+    assert(err.getMessage.contains("does not match table schema"), err.getMessage)
   }
 
   test("missing .shx falls back to one sequential partition with same rows") {
