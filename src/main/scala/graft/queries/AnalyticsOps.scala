@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Beyond-parity analytics operators a large-scale pipeline needs that the
+  * round-1/2 registry did not yet exercise as first-class, DuckDB-oracled
+  * queries: window functions (ranked top-k per group, running aggregates),
+  * semi/anti joins, non-equi range joins, pivot, histogram binning,
+  * global top-k, deterministic hash sampling, and a multi-stage corpus
+  * curation rollup.
+  *
+  * Scale notes (100 TB):
+  *   - window queries shuffle once on the partition key; no driver loops;
+  *   - semi/anti joins let Spark pick broadcast-hash when the filtered
+  *     build side is small (asserted in JoinStrategySpec for the dim case);
+  *   - the range join broadcasts the tiny tier table (BroadcastNestedLoop
+  *     over 4 rows — the fact side never shuffles);
+  *   - hash sampling is a pure map-side filter: no shuffle at all;
+  *   - top-k uses a partial sort + limit (TakeOrderedAndProject), not a
+  *     global sort of the corpus.
+  */
+object AnalyticsOps {
+
+  val qs: Seq[QueryDef] = Seq(
+    // Ranked top-k per group: row_number window, deterministic tie-break on
+    // the table PK. One shuffle on the partition key.
+    QueryDef(
+      "w1_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        T(s, d, "lineitem")
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .where(col("rnk") <= 3)
+          .select("l_returnflag", "rnk", "l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy("l_returnflag", "rnk")
+      },
+      Some("""SELECT l_returnflag, rnk, l_orderkey, l_linenumber, l_extendedprice FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+             |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
+             |  FROM lineitem) WHERE rnk <= 3
+             |ORDER BY l_returnflag, rnk""".stripMargin)
+    ),
+
+    // Running (cumulative) aggregate + lag delta per customer — DECIMAL-exact
+    // running sum so parallel frame evaluation can't flip bits.
+    QueryDef(
+      "w2_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        T(s, d, "orders")
+          .withColumn("run_total",
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double"))
+          .withColumn("delta_prev", col("o_totalprice") - lag("o_totalprice", 1).over(w))
+          .select("o_custkey", "o_orderkey", "run_total", "delta_prev")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+             |  ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total,
+             |o_totalprice - lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS delta_prev
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+    ),
+
+    // Left-semi join: existence filter without duplicating or widening rows.
+    QueryDef(
+      "j5_semi_join",
+      (s, d) =>
+        T(s, d, "customer")
+          .join(T(s, d, "orders").where(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // Left-anti join: rows with no match (customers with no large order).
+    QueryDef(
+      "j6_anti_join",
+      (s, d) =>
+        T(s, d, "customer")
+          .join(T(s, d, "orders").where(col("o_totalprice") > 350000),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // Non-equi range join against a tiny tier table: broadcast the 4-row
+    // side (BroadcastNestedLoopJoin) so the fact side never shuffles.
+    QueryDef(
+      "j7_range_join_tiers",
+      (s, d) => {
+        import s.implicits._
+        val tiers = Seq(
+          ("bronze", 0.0, 10.0), ("silver", 10.0, 25.0),
+          ("gold", 25.0, 40.0), ("plat", 40.0, 1e9))
+          .toDF("tier", "lo", "hi")
+        T(s, d, "lineitem")
+          .join(broadcast(tiers),
+            col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+          .groupBy("tier")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+          .orderBy("tier")
+      },
+      Some("""WITH tiers(tier, lo, hi) AS (VALUES
+             |  ('bronze', 0.0, 10.0), ('silver', 10.0, 25.0),
+             |  ('gold', 25.0, 40.0), ('plat', 40.0, 1e9))
+             |SELECT tier, count(*) AS cnt,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem JOIN tiers ON l_quantity >= lo AND l_quantity < hi
+             |GROUP BY tier ORDER BY tier""".stripMargin)
+    ),
+
+    // Pivot (wide aggregation): per-user event-type counts as columns.
+    QueryDef(
+      "agg_pivot_events",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val pivoted = T.events(s, d)
+          .groupBy("user_id").pivot("event_type", types).count()
+        pivoted.select(
+          (col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t))): _*)
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |count(*) FILTER (event_type = 'click') AS click,
+             |count(*) FILTER (event_type = 'error') AS error,
+             |count(*) FILTER (event_type = 'purchase') AS purchase,
+             |count(*) FILTER (event_type = 'signup') AS signup,
+             |count(*) FILTER (event_type = 'view') AS view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+
+    // Fixed-width histogram binning (distribution profiling at scale:
+    // map-side bucket + one shuffle on the bucket id).
+    QueryDef(
+      "stats_histogram",
+      (s, d) =>
+        T(s, d, "lineitem")
+          .withColumn("bucket", floor(col("l_extendedprice") / 5000).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+          .orderBy("bucket"),
+      Some("""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+             |count(*) AS cnt,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)
+    ),
+
+    // Global vocabulary top-k: explode tokens → count → top 20 with a
+    // deterministic tie-break. Spark plans TakeOrderedAndProject (per-partition
+    // heap + driver merge of 20 rows), not a full sort of the vocabulary.
+    QueryDef(
+      "text_vocab_topk",
+      (s, d) =>
+        T(s, d, "documents")
+          .select(explode(split(col("text"), " +")).as("tok"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(20),
+      Some("""SELECT tok, count(*) AS n FROM (
+             |  SELECT unnest(string_split_regex(text, ' +')) AS tok FROM documents)
+             |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin)
+    ),
+
+    // Deterministic hash sampling: content-hash bucket filter — a pure
+    // map-side predicate (no shuffle, no RNG state), reproducible across
+    // engines and runs. ~2/16 of the corpus.
+    QueryDef(
+      "sample_hash_bucket",
+      (s, d) =>
+        T(s, d, "documents")
+          .where(substring(md5(col("text")), 32, 1).isin("0", "1"))
+          .select("doc_id", "lang")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE substr(md5(text), 32, 1) IN ('0', '1')
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Multi-stage corpus curation: quality gate (min token count) →
+    // exact near-dup collapse (keep lowest doc_id per normalized
+    // fingerprint) → per-language corpus stats. The full shape of a
+    // training-data selection job: two shuffles (fingerprint groupBy,
+    // final language rollup), everything else map-side.
+    QueryDef(
+      "corpus_curation",
+      (s, d) => {
+        val q = T(s, d, "documents")
+          .withColumn("fp", md5(regexp_replace(lower(col("text")), " +", " ")))
+          .withColumn("nt", size(split(col("text"), " +")))
+          .where(col("nt") >= 5)
+        val keep = q.groupBy("fp").agg(min("doc_id").as("keep_id"))
+        q.join(keep, q("doc_id") === keep("keep_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt").cast("long")).as("n_tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH q AS (
+             |  SELECT doc_id, lang,
+             |    md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp,
+             |    len(string_split_regex(text, ' +')) AS nt
+             |  FROM documents
+             |  WHERE len(string_split_regex(text, ' +')) >= 5),
+             |keep AS (SELECT fp, min(doc_id) AS keep_id FROM q GROUP BY fp)
+             |SELECT lang, count(*) AS n_docs, sum(nt) AS n_tokens
+             |FROM q JOIN keep ON doc_id = keep_id
+             |GROUP BY lang ORDER BY lang""".stripMargin)
+    )
+  )
+}
