@@ -184,7 +184,18 @@ object GraftFunctions {
     * Also injects the native codegen expressions so the whole surface is
     * available from one call.
     */
+  /** Sessions already registered — repeat calls (every query fn calls
+    * register) would re-register each UDF and spam "function replaced"
+    * warnings into the bench/verify logs. Weak keys: stopped test sessions
+    * must not pin.
+    */
+  private val registeredSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   def register(spark: SparkSession): Unit = {
+    if (!registeredSessions.add(spark)) return
     Expressions.register(spark)
     val u = spark.udf
     u.register("h3_index_shape", (g: String, res: Int) => indexShape(g, res))

@@ -66,7 +66,13 @@ object AnnLsh {
     if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  private val registeredSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   def register(spark: SparkSession): Unit = {
+    if (!registeredSessions.add(spark)) return
     val u = spark.udf
     // primitive-array signatures: Spark passes array<float/double> unboxed
     u.register("ann_band_sigs", (v: Array[Float]) => bandSignatures(v))

@@ -174,7 +174,13 @@ object Dedup {
   def hintIf(df: org.apache.spark.sql.DataFrame, small: Boolean): org.apache.spark.sql.DataFrame =
     if (small) org.apache.spark.sql.functions.broadcast(df) else df
 
+  private val registeredSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   def register(spark: SparkSession): Unit = {
+    if (!registeredSessions.add(spark)) return
     val u = spark.udf
     u.register("minhash_bands", (t: String) => minHashBands(t))
     u.register("minhash_sig", (t: String) => minHashSignature(shingleHashes(t)))

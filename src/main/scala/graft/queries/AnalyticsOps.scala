@@ -191,6 +191,46 @@ object AnalyticsOps {
              |ORDER BY doc_id""".stripMargin)
     ),
 
+    // Multimodal metadata rollup: the typed-metadata side of the binary
+    // media columns (operators.Multimodal) IS oracle-checkable — payload
+    // size and mime routing don't need a codec. The decode path stays
+    // rows-only (multimodal_features).
+    QueryDef(
+      "multimodal_metadata",
+      (s, d) =>
+        graft.operators.Multimodal.mediaTable(s, d)
+          .groupBy("mime_type")
+          .agg(count(lit(1)).as("n_media"),
+            sum(octet_length(col("payload")).cast("long")).as("total_bytes"),
+            max(octet_length(col("payload")).cast("long")).as("max_bytes"))
+          .orderBy("mime_type"),
+      Some("""SELECT CASE mod(doc_id, 3) WHEN 0 THEN 'image/png'
+             |  WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime_type,
+             |count(*) AS n_media,
+             |sum(octet_length(encode(text))) AS total_bytes,
+             |max(octet_length(encode(text))) AS max_bytes
+             |FROM documents GROUP BY 1 ORDER BY mime_type""".stripMargin)
+    ),
+
+    // Per-vector embedding stats: fold-left sum of squares in DOUBLE — the
+    // identical IEEE op sequence in both engines, so values are
+    // bit-exact with no rounding. Pure map stage at scale.
+    QueryDef(
+      "embedding_vector_stats",
+      (s, d) =>
+        T(s, d, "embeddings")
+          .select(
+            col("vec_id"), col("label"),
+            size(col("embedding")).cast("long").as("dim"),
+            expr("aggregate(embedding, CAST(0 AS DOUBLE), " +
+              "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("sq_norm"))
+          .orderBy("vec_id"),
+      Some("""SELECT vec_id, label, len(embedding) AS dim,
+             |list_aggregate(list_transform(embedding,
+             |  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS sq_norm
+             |FROM embeddings ORDER BY vec_id""".stripMargin)
+    ),
+
     // Multi-stage corpus curation: quality gate (min token count) →
     // exact near-dup collapse (keep lowest doc_id per normalized
     // fingerprint) → per-language corpus stats. The full shape of a
