@@ -235,6 +235,16 @@ object GraftFunctions {
     u.register("st_intersection", (a: String, b: String) =>
       if (a == null || b == null) null
       else GeoIO.toWkt(parseGeom(a).intersection(parseGeom(b))))
+    // hierarchy/traversal surface (beyond the reference's own usage; the
+    // standard H3 API a user of an H3 engine expects)
+    u.register("h3_grid_disk", (c: java.lang.Long, k: Int) =>
+      if (c == null) null else H3.gridDisk(c.longValue, k))
+    u.register("h3_children", (c: java.lang.Long, res: Int) =>
+      if (c == null) null else H3.cellToChildren(c.longValue, res))
+    u.register("h3_compact", (cells: Array[Long]) =>
+      if (cells == null) null else H3.compactCells(cells))
+    u.register("h3_uncompact", (cells: Array[Long], res: Int) =>
+      if (cells == null) null else H3.uncompactCells(cells, res))
     ()
   }
 }

@@ -405,6 +405,63 @@ object H3 {
     seen.toArray
   }
 
+  // ------------------------------------------------------------- hierarchy
+
+  /** All descendants of `h` at `childRes` (published H3 hierarchy: each cell
+    * has 7 children — center digit 0 plus 6 edge digits — except pentagons,
+    * which skip digit 1, the deleted K subsequence, and have 6; the digit-0
+    * child of a pentagon is again a pentagon).
+    */
+  def cellToChildren(h: Long, childRes: Int): Array[Long] = {
+    val res = H3Index.resolution(h)
+    require(childRes >= res && childRes <= Constants.MaxH3Res,
+      s"childRes $childRes out of range [$res, ${Constants.MaxH3Res}]")
+    val out = mutable.ArrayBuffer.empty[Long]
+    def rec(cur: Long, r: Int): Unit = {
+      if (r == childRes) { out += cur; return }
+      val widened = H3Index.setResolution(cur, r + 1)
+      val pent = H3Index.isPentagon(cur)
+      var d = 0
+      while (d <= 6) {
+        if (!(pent && d == 1)) rec(H3Index.setDigit(widened, r + 1, d), r + 1)
+        d += 1
+      }
+    }
+    rec(h, res)
+    out.toArray
+  }
+
+  /** Minimal mixed-resolution cover of a uniform-resolution cell set: any
+    * complete sibling group (7 cells, 6 under a pentagon) collapses to its
+    * parent, repeatedly. The classic H3 trick for shrinking stored
+    * coverages; `uncompactCells` restores the original set exactly.
+    */
+  def compactCells(cells: Array[Long]): Array[Long] = {
+    if (cells.isEmpty) return cells
+    val res0 = H3Index.resolution(cells(0))
+    require(cells.forall(H3Index.resolution(_) == res0),
+      "compactCells requires a uniform-resolution input")
+    val result = mutable.HashSet.empty[Long] ++ cells
+    var frontier: Set[Long] = result.toSet
+    var res = res0
+    while (res > 0 && frontier.nonEmpty) {
+      val promoted = frontier.groupBy(H3Index.toParent(_, res - 1)).collect {
+        case (p, siblings)
+            if siblings.size == (if (H3Index.isPentagon(p)) 6 else 7) => p
+      }.toSet
+      promoted.foreach { p =>
+        result --= cellToChildren(p, res); result += p
+      }
+      frontier = promoted
+      res -= 1
+    }
+    result.toArray.sorted
+  }
+
+  /** Inverse of [[compactCells]]: expand every cell to `res`. */
+  def uncompactCells(cells: Array[Long], res: Int): Array[Long] =
+    cells.flatMap(cellToChildren(_, res))
+
   // -------------------------------------------------------------- polyfill
 
   /** Point-in-polygon on lat/lng (even-odd rule), with holes. Matches the

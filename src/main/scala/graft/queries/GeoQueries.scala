@@ -109,6 +109,43 @@ object GeoQueries {
       },
       headline = true),
 
+    // hexagon-neighborhood smoothing (k-ring scatter): every cell's
+    // aggregated value contributes to all cells within grid distance 1 —
+    // the standard spatial-smoothing pass over an H3-indexed table. One
+    // groupBy on the cell, one explode, one groupBy on the neighbor:
+    // shuffle volume is 7× the per-cell aggregate (not the raw pairs),
+    // which is the scale-correct order. Rows-only (DuckDB has no H3).
+    QueryDef("h3_smooth_disk",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val perCell = Resolver.resolveInput(
+          indexed(s, pointsInput, pointsDf(s, d), forWrite = false, asHex = false),
+          Seq("qty"))
+        perCell
+          .withColumn("nbr", explode(callUDF("h3_grid_disk", col("h3_index"), lit(1))))
+          .groupBy("nbr")
+          .agg(sum("sum_qty").as("smooth_qty"), count(lit(1)).as("n_contrib"))
+          .select(expr("h3_hex(nbr)").as("h3_index"),
+            col("smooth_qty"), col("n_contrib"))
+          .orderBy("h3_index")
+      }),
+
+    // compacted coverage: per-feature covering cells collapsed to the
+    // minimal mixed-resolution set (h3_compact) — the standard trick for
+    // shrinking stored coverages; arrays stay per-feature-bounded, so no
+    // driver collect and no skew beyond the feature's own cell count.
+    QueryDef("h3_compact_coverage",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val idx = indexed(s, polysInput, polysDf(s, d), forWrite = false, asHex = false)
+        idx.groupBy("geo_id")
+          .agg(collect_list("h3_index").as("cells"))
+          .select(col("geo_id"),
+            size(col("cells")).cast("long").as("n_cells"),
+            size(callUDF("h3_compact", col("cells"))).cast("long").as("n_compact"))
+          .orderBy("geo_id")
+      }),
+
     // registered SQL surface (expr-level parity with Sedona's registry)
     QueryDef("h3_sql_surface",
       (s, d) => {

@@ -243,6 +243,19 @@ object Relational {
              |event_type, count(*) AS n,
              |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // Streaming ingestion dedup: the file source delivers everything twice;
+    // dropDuplicatesWithinWatermark collapses the redelivery before the
+    // windowed rollup, so the oracle is the batch rollup over the
+    // UNduplicated events.
+    QueryDef(
+      "events_dedup_stream",
+      (s, d) => graft.streaming.EventStream.dedupRollup(s, d),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+             |event_type, count(*) AS n,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     )
   )
 }

@@ -54,6 +54,54 @@ object EventStream {
     spark.table(sinkName).orderBy("h", "event_type")
   }
 
+  /** Streaming ingestion dedup: the source delivers every file TWICE
+    * (at-least-once delivery), and `dropDuplicatesWithinWatermark` on the
+    * event key collapses redelivery before the windowed rollup — the
+    * standard exactly-once-ish ingestion shape for a training-data feed.
+    * State is bounded by the watermark (keys older than the delay are
+    * dropped from the dedup map). Driven to completion with AvailableNow;
+    * the result equals the batch hourly rollup over the UNduplicated
+    * events, so it shares that DuckDB oracle.
+    */
+  def dedupRollup(spark: SparkSession, dir: String): DataFrame = {
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val srcDir = Files.createTempDirectory("graft_dedup_src")
+    srcDir.toFile.deleteOnExit()
+    // duplicate delivery: same payload, two files
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("a_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("b_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val raw = spark.readStream.schema(batch.schema).parquet(srcDir.toString)
+    val events = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+
+    val agg = events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("h"),
+        col("event_type"), col("n"), col("sum_value"))
+
+    val sinkName = s"graft_stream_dedup_${math.abs(dir.hashCode)}"
+    val q = agg.writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_dedup_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).orderBy("h", "event_type")
+  }
+
   // ------------------------------------------------- stateful sessionization
 
   final case class Ev(user_id: Long, event_id: Long, tsu: Long,
