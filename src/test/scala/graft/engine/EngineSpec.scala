@@ -184,6 +184,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(single.collect().toSet == general.collect().toSet)
   }
 
+  test("S5 sink layout prunes partitions and pushes filters on read-back") {
+    val (in, data) = polysInput
+    val idx = Indexer.index(spark, in, Validator.validate(spark, in, data), 6)
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    GraftJob.write(idx, out)
+    val back = spark.read.parquet(out)
+    val aParent = back.select("h3_r3_parent").head().getString(0)
+    val pruned = back.where(col("h3_r3_parent") === aParent && col("h3_resolution") === 6)
+    val plan = pruned.queryExecution.executedPlan.toString()
+    // the partition columns must be resolved by directory pruning, not row
+    // filters — at 100 TB this is the difference between reading one
+    // res-3 slice and scanning the world
+    assert(plan.contains("PartitionFilters") && plan.contains("h3_r3_parent"), plan)
+    assert(pruned.count() > 0)
+    assert(pruned.select("h3_r3_parent").distinct().count() == 1)
+    // data-column predicates reach the parquet reader as pushed filters
+    val dataFiltered = back.where(col("ratio") > 0.5)
+    val p2 = dataFiltered.queryExecution.executedPlan.toString()
+    assert(p2.contains("PushedFilters: [IsNotNull(ratio), GreaterThan(ratio,0.5)]"), p2)
+  }
+
   test("config parsing: valid yaml and the validator cascade") {
     val yaml =
       """name: demo
