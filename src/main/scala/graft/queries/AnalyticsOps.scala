@@ -62,7 +62,8 @@ object AnalyticsOps {
              |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
              |  ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total,
              |o_totalprice - lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS delta_prev
-             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+      headline = true
     ),
 
     // Left-semi join: existence filter without duplicating or widening rows.
@@ -259,7 +260,8 @@ object AnalyticsOps {
              |keep AS (SELECT fp, min(doc_id) AS keep_id FROM q GROUP BY fp)
              |SELECT lang, count(*) AS n_docs, sum(nt) AS n_tokens
              |FROM q JOIN keep ON doc_id = keep_id
-             |GROUP BY lang ORDER BY lang""".stripMargin)
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+      headline = true
     )
   )
 }
