@@ -192,6 +192,96 @@ object AnalyticsOps {
              |ORDER BY doc_id""".stripMargin)
     ),
 
+    // Exact correlation per group via DECIMAL moments: the five sums are
+    // order-independent exact decimals; the final Pearson arithmetic is a
+    // fixed double expression — deterministic across engines, unlike a
+    // direct corr() whose partial aggregation order varies.
+    QueryDef(
+      "stats_corr",
+      (s, d) =>
+        T(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).as("sx"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).as("sy"),
+            sum((col("l_quantity").cast("decimal(18,2)") *
+              col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(30,4)")).as("sxy"),
+            sum((col("l_quantity").cast("decimal(18,2)") *
+              col("l_quantity").cast("decimal(18,2)")).cast("decimal(30,4)")).as("sxx"),
+            sum((col("l_extendedprice").cast("decimal(18,2)") *
+              col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(30,4)")).as("syy"))
+          .select(col("l_returnflag"),
+            ((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+              (sqrt(col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")) *
+               sqrt(col("n") * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))))
+              .as("corr_qty_price"))
+          .orderBy("l_returnflag"),
+      Some("""WITH m AS (SELECT l_returnflag, count(*) AS n,
+             |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             |  sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS sxy,
+             |  sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS sxx,
+             |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS syy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag,
+             |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |  (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             |   sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+             |FROM m ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // Sequence/funnel analytics: ordered view → click → purchase conversion
+    // per user, counted via each user's earliest event of each type. One
+    // shuffle on user_id; the funnel compare is map-side after the agg.
+    QueryDef(
+      "events_funnel",
+      (s, d) => {
+        val u = T.events(s, d)
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "view", expr("unix_micros(ts)"))).as("t_view"),
+            min(when(col("event_type") === "click", expr("unix_micros(ts)"))).as("t_click"),
+            min(when(col("event_type") === "purchase", expr("unix_micros(ts)"))).as("t_buy"))
+        u.agg(
+          count(when(col("t_view").isNotNull, 1)).as("n_view"),
+          count(when(col("t_view").isNotNull && col("t_click") > col("t_view"), 1)).as("n_view_click"),
+          count(when(col("t_view").isNotNull && col("t_click") > col("t_view") &&
+            col("t_buy") > col("t_click"), 1)).as("n_funnel"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |  min(epoch_us(ts)) FILTER (event_type = 'view') AS t_view,
+             |  min(epoch_us(ts)) FILTER (event_type = 'click') AS t_click,
+             |  min(epoch_us(ts)) FILTER (event_type = 'purchase') AS t_buy
+             |  FROM events GROUP BY user_id)
+             |SELECT count(*) FILTER (t_view IS NOT NULL) AS n_view,
+             |count(*) FILTER (t_view IS NOT NULL AND t_click > t_view) AS n_view_click,
+             |count(*) FILTER (t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click) AS n_funnel
+             |FROM u""".stripMargin)
+    ),
+
+    // Cohort retention: users grouped by first-active date, counted per
+    // day offset they return. Two shuffles (user rollup, cohort rollup).
+    QueryDef(
+      "events_retention",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val first = ev.groupBy("user_id").agg(min(to_date(col("ts"))).as("d0"))
+        val active = ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        active.join(first, Seq("user_id"))
+          .groupBy(date_format(col("d0"), "yyyy-MM-dd").as("cohort"),
+            datediff(col("d"), col("d0")).cast("long").as("day_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy("cohort", "day_offset")
+      },
+      Some("""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+             |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+             |SELECT strftime(d0, '%Y-%m-%d') AS cohort,
+             |datediff('day', d0, d) AS day_offset, count(*) AS n_active
+             |FROM a JOIN f USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin)
+    ),
+
     // Multimodal metadata rollup: the typed-metadata side of the binary
     // media columns (operators.Multimodal) IS oracle-checkable — payload
     // size and mime routing don't need a codec. The decode path stays
