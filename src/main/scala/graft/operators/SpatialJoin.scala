@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.engine.GraftFunctions
+import graft.geo.GeoIO
+import graft.h3.{H3, LatLng}
+
+/** Distributed point-in-polygon spatial join, Spark-first: H3 cells as the
+  * spatial bucketing key (generate-then-equi-join, the same shape the
+  * reference uses for feature↔hexagon pairing) followed by an exact JTS
+  * containment filter.
+  *
+  *   polygons → cover cells (explode)   ┐
+  *                                      ├─ equi-join on cell → exact filter
+  *   points   → containing cell         ┘
+  *
+  * At scale this is one shuffle of each side on the int64 cell key — never
+  * a cartesian product — and the exact filter runs only on cell-collocated
+  * candidates. Skewed cells (a polygon covering many points' cells) are
+  * ordinary join skew: AQE skew-join splits them.
+  *
+  * The cover set must be a SUPERSET of the polygon's true cell coverage or
+  * containment pairs are silently lost: centroid polyfill alone misses
+  * boundary slivers, so the cover is polyfill ∪ ring-edge path cells.
+  */
+object SpatialJoin {
+
+  /** Superset cover: centroid polyfill plus path cells along every ring
+    * edge (outer and holes), so boundary-sliver cells are candidates too.
+    */
+  def coverCells(wkt: String, res: Int): Array[Long] = {
+    if (wkt == null) return null
+    val g = GeoIO.parseString(wkt)
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    out ++= GraftFunctions.indexGeometry(g, res)
+    def ringPath(cs: Array[org.locationtech.jts.geom.Coordinate]): Unit = {
+      var i = 1
+      while (i < cs.length) {
+        out ++= H3.pathCells(LatLng.degrees(cs(i - 1).y, cs(i - 1).x),
+          LatLng.degrees(cs(i).y, cs(i).x), res)
+        i += 1
+      }
+    }
+    def walk(geom: org.locationtech.jts.geom.Geometry): Unit = geom match {
+      case p: org.locationtech.jts.geom.Polygon =>
+        ringPath(p.getExteriorRing.getCoordinates)
+        (0 until p.getNumInteriorRing).foreach(i =>
+          ringPath(p.getInteriorRingN(i).getCoordinates))
+      case multi =>
+        (0 until multi.getNumGeometries).foreach(i => walk(multi.getGeometryN(i)))
+    }
+    walk(g)
+    out.toArray
+  }
+
+  def containsPoint(polyWkt: String, lat: Double, lng: Double): Boolean = {
+    if (polyWkt == null) return false
+    // candidates arrive cell-clustered, so the same polygon repeats —
+    // the per-thread parse cache turns the re-parse into a map hit
+    GraftFunctions.parseGeomCached(polyWkt)
+      .contains(GeoIO.point(lng, lat))
+  }
+
+  private val registeredSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!registeredSessions.add(spark)) return
+    spark.udf.register("st_cover_cells", (wkt: String, res: Int) => coverCells(wkt, res))
+    spark.udf.register("st_contains_point",
+      (wkt: String, lat: java.lang.Double, lng: java.lang.Double) =>
+        if (wkt == null || lat == null || lng == null) false
+        else containsPoint(wkt, lat, lng))
+  }
+
+  /** points(latCol, lngCol) ⨝ polygons(wktCol) by containment. Both inputs
+    * keep all their columns; the cell key is dropped from the output.
+    */
+  def pointsInPolygons(points: DataFrame, lat: Column, lng: Column,
+                       polygons: DataFrame, wkt: Column, res: Int): DataFrame = {
+    val spark = points.sparkSession
+    register(spark)
+    graft.engine.Expressions.register(spark)
+    val pts = points.withColumn("_cell",
+      expr(s"h3_unhex(h3_latlng_cell_native(${lat.toString}, ${lng.toString}, $res))"))
+    val polys = polygons.withColumn("_cell",
+      explode(callUDF("st_cover_cells", wkt, lit(res))))
+    pts.join(polys, Seq("_cell"))
+      .where(callUDF("st_contains_point", wkt, lat, lng))
+      .drop("_cell")
+  }
+}

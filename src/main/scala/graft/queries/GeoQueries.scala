@@ -146,6 +146,51 @@ object GeoQueries {
           .orderBy("geo_id")
       }),
 
+    // distributed point-in-polygon spatial join: H3 cells bucket both sides
+    // (one shuffle each on the int64 cell, never a cartesian), then exact
+    // JTS containment on cell-collocated candidates. The synthetic polygons
+    // are axis-aligned squares, so DuckDB can verify the whole join against
+    // coordinate arithmetic — the oracle proves the cell-bucketed plan is
+    // EXACTLY the geometric truth, not an approximation.
+    QueryDef("geo_spatial_join",
+      (s, d) => {
+        // squares padded 0.0003 off the coordinate lattice: points and
+        // edges would otherwise coincide exactly (both live on the same
+        // 0.01° grid) and containment at a shared boundary is a 1-ulp
+        // coin flip between engines. With the pad every point is ≥3e-4°
+        // from every edge — strictly in or strictly out in both.
+        val cx = lonExpr("c_custkey", "7")
+        val cy = latExpr("c_custkey", "3")
+        val h = (pmod(col("c_custkey"), lit(10)) + 5) / 100.0 + 0.0003
+        val squares = T(s, d, "customer").select(
+          col("c_custkey").as("geo_id"),
+          concat(lit("POLYGON (("),
+            cx - h, lit(" "), cy - h, lit(", "), cx + h, lit(" "), cy - h, lit(", "),
+            cx + h, lit(" "), cy + h, lit(", "), cx - h, lit(" "), cy + h, lit(", "),
+            cx - h, lit(" "), cy - h, lit("))")).as("geometry"))
+        val joined = graft.operators.SpatialJoin.pointsInPolygons(
+          pointsDf(s, d), col("latitude"), col("longitude"),
+          squares, col("geometry"), 7)
+        joined.groupBy("geo_id")
+          .agg(count(lit(1)).as("n_points"),
+            sum(col("qty").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("geo_id")
+      },
+      Some("""WITH pts AS (SELECT
+             |  ((o_orderkey*31 + o_custkey*17) % 14000) / 100.0 - 70 + 0.005 AS lat,
+             |  ((o_orderkey*13 + o_custkey*7) % 35000) / 100.0 - 175 + 0.005 AS lon,
+             |  o_totalprice AS qty FROM orders),
+             |sq AS (SELECT c_custkey AS geo_id,
+             |  ((c_custkey*13 + 49) % 35000) / 100.0 - 175 + 0.005 AS cx,
+             |  ((c_custkey*31 + 51) % 14000) / 100.0 - 70 + 0.005 AS cy,
+             |  ((c_custkey % 10) + 5) / 100.0 + 0.0003 AS h
+             |  FROM customer)
+             |SELECT geo_id, count(*) AS n_points,
+             |CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM pts JOIN sq ON lon > cx - h AND lon < cx + h
+             |  AND lat > cy - h AND lat < cy + h
+             |GROUP BY geo_id ORDER BY geo_id""".stripMargin)),
+
     // registered SQL surface (expr-level parity with Sedona's registry)
     QueryDef("h3_sql_surface",
       (s, d) => {
