@@ -230,9 +230,12 @@ object AnalyticsOps {
             sum((col("l_extendedprice").cast("decimal(18,2)") *
               col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(30,4)")).as("syy"))
           .select(col("l_returnflag"),
-            ((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+            // moments are exact decimals; the final arithmetic is double and
+            // the decimal→double cast can differ by 1 ulp between engines
+            // (observed at sf0.001), so round the result to 9 dp both sides
+            round((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
               (sqrt(col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")) *
-               sqrt(col("n") * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))))
+               sqrt(col("n") * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))), 9)
               .as("corr_qty_price"))
           .orderBy("l_returnflag"),
       Some("""WITH m AS (SELECT l_returnflag, count(*) AS n,
@@ -243,9 +246,9 @@ object AnalyticsOps {
              |  sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS syy
              |  FROM lineitem GROUP BY l_returnflag)
              |SELECT l_returnflag,
-             |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
              |  (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-             |   sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+             |   sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS corr_qty_price
              |FROM m ORDER BY l_returnflag""".stripMargin)
     ),
 

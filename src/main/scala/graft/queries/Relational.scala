@@ -249,6 +249,21 @@ object Relational {
     // dropDuplicatesWithinWatermark collapses the redelivery before the
     // windowed rollup, so the oracle is the batch rollup over the
     // UNduplicated events.
+    // Stream-stream interval join (attribution): clicks matched to the
+    // views they followed within 30 min per user, both sides watermarked
+    // (bounded join state). Oracle = the equivalent batch self-join.
+    QueryDef(
+      "events_attrib_join_stream",
+      (s, d) => graft.streaming.EventStream.viewClickJoin(s, d, 30),
+      Some("""SELECT v.event_id AS view_id, c.event_id AS click_id,
+             |v.user_id AS user_id
+             |FROM events v JOIN events c
+             |ON v.user_id = c.user_id AND v.event_type = 'view'
+             |  AND c.event_type = 'click' AND c.ts >= v.ts
+             |  AND c.ts <= v.ts + INTERVAL 30 MINUTE
+             |ORDER BY view_id, click_id""".stripMargin)
+    ),
+
     QueryDef(
       "events_dedup_stream",
       (s, d) => graft.streaming.EventStream.dedupRollup(s, d),

@@ -102,6 +102,51 @@ object EventStream {
     spark.table(sinkName).orderBy("h", "event_type")
   }
 
+  /** Stream-stream interval join: clicks matched to the views they
+    * followed within `windowMinutes`, per user. Both sides carry
+    * watermarks, so each side's join state is bounded by the interval +
+    * watermark delay — the canonical attribution-join shape. Driven
+    * AvailableNow; equals the equivalent batch self-join, which is the
+    * DuckDB oracle.
+    */
+  def viewClickJoin(spark: SparkSession, dir: String, windowMinutes: Int): DataFrame = {
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val srcDir = Files.createTempDirectory("graft_ssj_src")
+    srcDir.toFile.deleteOnExit()
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    def side(tag: String) = {
+      val raw = spark.readStream.schema(batch.schema).parquet(srcDir.toString)
+      val ev = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => raw
+      }
+      ev.where(col("event_type") === (if (tag == "v") "view" else "click"))
+        .select(col("event_id").as(s"${tag}_id"), col("user_id").as(s"${tag}_user"),
+          col("ts").as(s"${tag}_ts"))
+        .withWatermark(s"${tag}_ts", "1 hour")
+    }
+
+    val joined = side("v").join(side("c"),
+      expr(s"""v_user = c_user AND c_ts >= v_ts AND
+              |c_ts <= v_ts + interval $windowMinutes minutes""".stripMargin))
+      .select(col("v_id").as("view_id"), col("c_id").as("click_id"),
+        col("v_user").as("user_id"))
+
+    val sinkName = s"graft_stream_ssj_${math.abs(dir.hashCode)}"
+    val q = joined.writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ssj_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).orderBy("view_id", "click_id")
+  }
+
   // ------------------------------------------------- stateful sessionization
 
   final case class Ev(user_id: Long, event_id: Long, tsu: Long,
