@@ -235,6 +235,22 @@ object Resolver {
         inputColumns.map(c => sum(col(c)).as(s"sum_$c")).tail: _*) // A1
   }
 
+  /** Re-key a per-cell aggregated frame (LONG h3_index at a finer
+    * resolution) to `targetRes` by ancestor rollup: sums re-sum exactly
+    * under the parent key, so inputs indexed at different resolutions can
+    * meet in one fold at the coarsest. One extra shuffle on the (smaller)
+    * parent key space.
+    */
+  def rollupToRes(perCell: DataFrame, targetRes: Int): DataFrame = {
+    require(perCell.schema(Cols.H3Index).dataType == LongType,
+      "rollupToRes expects the LONG h3_index path")
+    val sums = perCell.columns.filter(_.startsWith("sum_"))
+    perCell
+      .withColumn(Cols.H3Index, expr(s"h3_parent_long(${Cols.H3Index}, $targetRes)"))
+      .groupBy(Cols.H3Index)
+      .agg(sums.map(c => sum(col(c)).as(c)).head, sums.map(c => sum(col(c)).as(c)).tail: _*)
+  }
+
   /** Fold per-input resolved tables on h3_index (J4, full outer), then
     * re-derive the epilogue columns (h3_resolver.py:71-96: parent/area/res
     * are recomputed after the aggregation, in the same order).

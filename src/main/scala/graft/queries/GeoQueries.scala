@@ -68,9 +68,10 @@ object GeoQueries {
     Method.PctArea, Seq("balance"))
 
   private def indexed(s: SparkSession, in: VectorInput, data: DataFrame,
-                      forWrite: Boolean = true, asHex: Boolean = true): DataFrame = {
+                      forWrite: Boolean = true, asHex: Boolean = true,
+                      res: Int = Res): DataFrame = {
     GraftFunctions.register(s)
-    Indexer.index(s, in, Validator.validate(s, in, data), Res, forWrite, asHex)
+    Indexer.index(s, in, Validator.validate(s, in, data), res, forWrite, asHex)
   }
 
   val qs: Seq[QueryDef] = Seq(
@@ -144,6 +145,24 @@ object GeoQueries {
             size(col("cells")).cast("long").as("n_cells"),
             size(callUDF("h3_compact", col("cells"))).cast("long").as("n_compact"))
           .orderBy("geo_id")
+      }),
+
+    // mixed-resolution resolve: points indexed at res 7 roll up to their
+    // res-6 ancestors (exact re-sum under the parent key), polygons index
+    // at res 6 directly, and both meet in the ordinary full-outer fold —
+    // how inputs indexed at different granularities combine without
+    // re-indexing the finer one.
+    QueryDef("h3_resolve_multires",
+      (s, d) => {
+        val p = Resolver.rollupToRes(
+          Resolver.resolveInput(
+            indexed(s, pointsInput, pointsDf(s, d), forWrite = false, asHex = false,
+              res = Res + 1),
+            Seq("qty")), Res).localCheckpoint()
+        val g = Resolver.resolveInput(
+          indexed(s, polysInput, polysDf(s, d), forWrite = false, asHex = false),
+          Seq("balance")).localCheckpoint()
+        Resolver.resolve(s, Seq(p, g), Res).orderBy("h3_index")
       }),
 
     // distributed point-in-polygon spatial join: H3 cells bucket both sides

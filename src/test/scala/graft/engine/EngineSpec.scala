@@ -184,6 +184,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(single.collect().toSet == general.collect().toSet)
   }
 
+  test("mixed-resolution rollup conserves mass and lands on target-res keys") {
+    val (pin, pdata) = pointsInput
+    val idx7 = Indexer.index(spark, pin, Validator.validate(spark, pin, pdata), 7,
+      forWrite = false, asHex = false)
+    val per7 = Resolver.resolveInput(idx7, Seq("population"))
+    val rolled = Resolver.rollupToRes(per7, 6)
+    // exact conservation: re-summing under the ancestor key loses nothing
+    val before = per7.agg(sum("sum_population")).head().getDouble(0)
+    val after = rolled.agg(sum("sum_population")).head().getDouble(0)
+    assert(before == after)
+    // every rolled key is a genuine res-6 cell and the ancestor of a source key
+    val keys = rolled.select(Cols.H3Index).collect().map(_.getLong(0))
+    assert(keys.nonEmpty)
+    keys.foreach(k => assert(graft.h3.H3Index.resolution(k) == 6))
+    val parents = per7.select(Cols.H3Index).collect()
+      .map(r => graft.h3.H3Index.toParent(r.getLong(0), 6)).toSet
+    assert(keys.toSet == parents)
+  }
+
   test("S5 sink layout prunes partitions and pushes filters on read-back") {
     val (in, data) = polysInput
     val idx = Indexer.index(spark, in, Validator.validate(spark, in, data), 6)
