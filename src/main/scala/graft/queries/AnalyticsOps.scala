@@ -210,6 +210,20 @@ object AnalyticsOps {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
 
+    // HLL distinct-count sketch per group (custom Aggregator, fixed 4 KB
+    // buffer, merge = register max): rows-only — a sketch estimate can't
+    // hash-match DuckDB — with the 1.6%-stderr bound and partition
+    // invariance asserted in HllSpec.
+    QueryDef(
+      "stats_approx_distinct",
+      (s, d) => {
+        s.udf.register("hll_distinct", udaf(graft.operators.Hll.hll))
+        T(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(expr("hll_distinct(CAST(l_orderkey AS STRING))").as("approx_orders"))
+          .orderBy("l_returnflag")
+      }),
+
     // Exact correlation per group via DECIMAL moments: the five sums are
     // order-independent exact decimals; the final Pearson arithmetic is a
     // fixed double expression — deterministic across engines, unlike a
