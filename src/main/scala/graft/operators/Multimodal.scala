@@ -7,29 +7,77 @@ import org.apache.spark.sql.functions._
   * metadata, processed by batch-friendly partition-level operators — the
   * Scala/Dataset equivalent of a Pandas-UDF/mapInPandas stage.
   *
-  * The decode step is a clearly-marked STUB: this container ships no
-  * image/audio codecs, so `decodeStub` derives deterministic fake raster
-  * stats from the bytes. The Spark-side plumbing — binary payload column,
-  * metadata struct, partition-batched processing, flat feature schema — is
-  * real and is what a production decoder would plug into.
+  * Decoding is pluggable by mime type. PNG metadata decode is REAL: image
+  * payloads carry a spec-valid PNG signature + IHDR chunk and the decoder
+  * parses width/height from it (the published PNG format). Audio/video
+  * stay clearly-marked STUBS — this container ships no codecs — but the
+  * Spark-side plumbing (binary payload column, metadata struct,
+  * partition-batched processing, flat feature schema) is what a production
+  * codec would plug into either way.
   */
 object Multimodal {
 
   final case class MediaRow(media_id: Long, mime_type: String, payload: Array[Byte])
   final case class MediaFeatures(
       media_id: Long, n_bytes: Long, byte_mean: Double, content_hash: Long,
-      fake_width: Int, fake_height: Int, thumb_bytes: Int, n_frames: Int)
+      width: Int, height: Int, thumb_bytes: Int, n_frames: Int)
 
-  /** Synthesize a media table from documents (payload = utf-8 bytes). */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+  /** PNG signature (8) + IHDR chunk (4 len + 4 type + 13 data + 4 crc). */
+  val PngHeaderLen = 33
+  private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Deterministic image dimensions per id (64..511 each). */
+  def dimsFor(id: Long): (Int, Int) =
+    (64 + math.floorMod(id, 448).toInt, 64 + math.floorMod(id / 7, 448).toInt)
+
+  /** Wrap bytes in a spec-valid PNG signature + IHDR (8-bit RGBA, zero CRC
+    * — the metadata decoder reads dimensions, not pixel data).
+    */
+  def pngWrap(id: Long, body: Array[Byte]): Array[Byte] = {
+    val (w, h) = dimsFor(id)
+    val out = java.nio.ByteBuffer.allocate(PngHeaderLen + body.length)
+    out.put(PngSig)
+    out.putInt(13) // IHDR data length
+    out.put("IHDR".getBytes("ASCII"))
+    out.putInt(w).putInt(h)
+    out.put(8.toByte) // bit depth
+    out.put(6.toByte) // color type RGBA
+    out.put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+    out.putInt(0) // CRC (not validated by the metadata decoder)
+    out.put(body)
+    out.array()
+  }
+
+  /** REAL PNG metadata decode: validate the signature, read IHDR
+    * width/height (big-endian, offsets 16/20 per the PNG spec). None when
+    * the payload is not a PNG — caller falls back.
+    */
+  def decodePngDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (payload.length < PngHeaderLen) return None
+    var i = 0
+    while (i < 8) { if (payload(i) != PngSig(i)) return None; i += 1 }
+    if (!(payload(12) == 'I' && payload(13) == 'H' && payload(14) == 'D' && payload(15) == 'R'))
+      return None
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    Some((bb.getInt(16), bb.getInt(20)))
+  }
+
+  /** Synthesize a media table from documents: image payloads are valid
+    * PNG-framed bytes, audio/video stay raw utf-8.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val wrap = udf((id: Long, body: Array[Byte]) => pngWrap(id, body))
     spark.read.parquet(s"$dir/documents.parquet").select(
       col("doc_id").as("media_id"),
       when(pmod(col("doc_id"), lit(3)) === 0, "image/png")
         .when(pmod(col("doc_id"), lit(3)) === 1, "audio/wav")
         .otherwise("video/mp4").as("mime_type"),
-      encode(col("text"), "UTF-8").as("payload"))
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        wrap(col("doc_id"), encode(col("text"), "UTF-8")))
+        .otherwise(encode(col("text"), "UTF-8")).as("payload"))
+  }
 
-  /** STUB decoder — a real implementation would decode the codec here. */
+  /** STUB decoder for codec-less mimes — deterministic fake dimensions. */
   def decodeStub(payload: Array[Byte]): (Int, Int) = {
     // ??? real decode unavailable offline; deterministic fake dimensions
     val h = payload.foldLeft(0xcbf29ce484222325L)((a, b) => (a ^ b) * 0x100000001b3L)
@@ -53,14 +101,15 @@ object Multimodal {
 
   /** Partition-batched feature extraction (mapPartitions: one decoder init
     * per partition, rows processed in a batch loop — the shape a real
-    * codec-backed decoder needs).
+    * codec-backed decoder needs). PNG rows get real header dimensions;
+    * other mimes fall back to the stub.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       // per-partition init site (codec handles, model weights, …)
       rows.map { r =>
-        val (w, h) = decodeStub(r.payload)
+        val (w, h) = decodePngDims(r.payload).getOrElse(decodeStub(r.payload))
         val mean =
           if (r.payload.isEmpty) 0.0
           else r.payload.map(b => (b & 0xff).toDouble).sum / r.payload.length
@@ -69,8 +118,8 @@ object Multimodal {
           n_bytes = r.payload.length.toLong,
           byte_mean = math.rint(mean * 1e6) / 1e6,
           content_hash = Dedup.fnv64(new String(r.payload, "UTF-8")),
-          fake_width = w,
-          fake_height = h,
+          width = w,
+          height = h,
           thumb_bytes = resizeStub(r.payload, 256).length,
           n_frames = frameSampleStub(r.payload, 4096))
       }

@@ -333,8 +333,10 @@ object AnalyticsOps {
       Some("""SELECT CASE mod(doc_id, 3) WHEN 0 THEN 'image/png'
              |  WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime_type,
              |count(*) AS n_media,
-             |sum(octet_length(encode(text))) AS total_bytes,
-             |max(octet_length(encode(text))) AS max_bytes
+             |CAST(sum(octet_length(encode(text))
+             |  + CASE mod(doc_id, 3) WHEN 0 THEN 33 ELSE 0 END) AS BIGINT) AS total_bytes,
+             |CAST(max(octet_length(encode(text))
+             |  + CASE mod(doc_id, 3) WHEN 0 THEN 33 ELSE 0 END) AS BIGINT) AS max_bytes
              |FROM documents GROUP BY 1 ORDER BY mime_type""".stripMargin)
     ),
 
@@ -383,7 +385,7 @@ object AnalyticsOps {
              |  FROM documents
              |  WHERE len(string_split_regex(text, ' +')) >= 5),
              |keep AS (SELECT fp, min(doc_id) AS keep_id FROM q GROUP BY fp)
-             |SELECT lang, count(*) AS n_docs, sum(nt) AS n_tokens
+             |SELECT lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
              |FROM q JOIN keep ON doc_id = keep_id
              |GROUP BY lang ORDER BY lang""".stripMargin),
       headline = true

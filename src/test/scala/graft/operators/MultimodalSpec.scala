@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The PNG metadata path must be a real format decode — signature
+  * validated, IHDR dimensions parsed big-endian — with the stub reserved
+  * for codec-less mimes, and the partition-batched extraction must carry
+  * the right width/height per mime.
+  */
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  test("pngWrap → decodePngDims round-trips the IHDR dimensions") {
+    Seq(0L, 42L, 448L, 123456L).foreach { id =>
+      val body = s"payload_$id".getBytes("UTF-8")
+      val wrapped = Multimodal.pngWrap(id, body)
+      assert(wrapped.length == Multimodal.PngHeaderLen + body.length)
+      assert(Multimodal.decodePngDims(wrapped) == Some(Multimodal.dimsFor(id)))
+    }
+  }
+
+  test("non-PNG payloads are rejected, not misparsed") {
+    assert(Multimodal.decodePngDims("plain utf-8 text payload far".getBytes) == None)
+    assert(Multimodal.decodePngDims(Array[Byte](1, 2, 3)) == None)
+    // corrupt one signature byte of a valid wrap
+    val w = Multimodal.pngWrap(7L, "body".getBytes)
+    w(3) = 'X'.toByte
+    assert(Multimodal.decodePngDims(w) == None)
+  }
+
+  test("extracted features use real PNG dims for images, stub elsewhere") {
+    val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
+    val feats = Multimodal.extractFeatures(spark, media)
+      .join(media.select(col("media_id"), col("mime_type").as("mt")), Seq("media_id"))
+    val png = feats.where(col("mt") === "image/png")
+      .select("media_id", "width", "height").collect()
+    assert(png.nonEmpty)
+    png.foreach { r =>
+      val (w, h) = Multimodal.dimsFor(r.getLong(0))
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+    }
+    // stub mimes keep the fake-dim range
+    val other = feats.where(col("mt") =!= "image/png")
+      .select("width", "height").collect()
+    assert(other.nonEmpty)
+    other.foreach(r => assert(r.getInt(0) >= 64 && r.getInt(0) < 512 &&
+      r.getInt(1) >= 64 && r.getInt(1) < 512))
+  }
+}
