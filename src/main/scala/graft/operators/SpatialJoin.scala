@@ -84,9 +84,16 @@ object SpatialJoin {
     val spark = points.sparkSession
     register(spark)
     graft.engine.Expressions.register(spark)
-    val pts = points.withColumn("_cell",
+    // the cover computation is ms-per-polygon CPU work: a small input (one
+    // parquet file) scans as one partition and would cover every polygon
+    // serially in a single task — fan out first (no-op when the scan
+    // already has splits >= cores, i.e. at cluster scale)
+    val parallelism = spark.sparkContext.defaultParallelism
+    def fan(df: DataFrame) =
+      if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+    val pts = fan(points).withColumn("_cell",
       expr(s"h3_unhex(h3_latlng_cell_native(${lat.toString}, ${lng.toString}, $res))"))
-    val polys = polygons.withColumn("_cell",
+    val polys = fan(polygons).withColumn("_cell",
       explode(callUDF("st_cover_cells", wkt, lit(res))))
     pts.join(polys, Seq("_cell"))
       .where(callUDF("st_contains_point", wkt, lat, lng))

@@ -187,9 +187,13 @@ object GeoQueries {
             cx - h, lit(" "), cy - h, lit(", "), cx + h, lit(" "), cy - h, lit(", "),
             cx + h, lit(" "), cy + h, lit(", "), cx - h, lit(" "), cy + h, lit(", "),
             cx - h, lit(" "), cy - h, lit("))")).as("geometry"))
+        // bucket at res 6, not 7: the exact containment filter makes the
+        // cover resolution purely a cost knob, and res 6 is ~4.7x cheaper
+        // to cover (27 vs 147 cells/polygon) while candidate pairs stay
+        // within a cell-dilated square of each polygon
         val joined = graft.operators.SpatialJoin.pointsInPolygons(
           pointsDf(s, d), col("latitude"), col("longitude"),
-          squares, col("geometry"), 7)
+          squares, col("geometry"), 6)
         joined.groupBy("geo_id")
           .agg(count(lit(1)).as("n_points"),
             sum(col("qty").cast("decimal(18,2)")).cast("double").as("sum_qty"))
