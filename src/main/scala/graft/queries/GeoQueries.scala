@@ -212,7 +212,8 @@ object GeoQueries {
              |CAST(sum(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
              |FROM pts JOIN sq ON lon > cx - h AND lon < cx + h
              |  AND lat > cy - h AND lat < cy + h
-             |GROUP BY geo_id ORDER BY geo_id""".stripMargin)),
+             |GROUP BY geo_id ORDER BY geo_id""".stripMargin),
+      headline = true),
 
     // registered SQL surface (expr-level parity with Sedona's registry)
     QueryDef("h3_sql_surface",
