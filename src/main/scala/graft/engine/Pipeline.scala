@@ -245,6 +245,8 @@ object Resolver {
     require(perCell.schema(Cols.H3Index).dataType == LongType,
       "rollupToRes expects the LONG h3_index path")
     val sums = perCell.columns.filter(_.startsWith("sum_"))
+    require(sums.nonEmpty,
+      s"rollupToRes needs aggregated sum_ columns, got ${perCell.columns.mkString(", ")}")
     perCell
       .withColumn(Cols.H3Index, expr(s"h3_parent_long(${Cols.H3Index}, $targetRes)"))
       .groupBy(Cols.H3Index)

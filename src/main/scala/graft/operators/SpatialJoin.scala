@@ -47,8 +47,10 @@ object SpatialJoin {
         ringPath(p.getExteriorRing.getCoordinates)
         (0 until p.getNumInteriorRing).foreach(i =>
           ringPath(p.getInteriorRingN(i).getCoordinates))
-      case multi =>
+      case multi if multi.getGeometryType.startsWith("Multi") ||
+          multi.getGeometryType == "GeometryCollection" =>
         (0 until multi.getNumGeometries).foreach(i => walk(multi.getGeometryN(i)))
+      case _ => () // Point/LineString leafs: indexGeometry already covered them
     }
     walk(g)
     out.toArray

@@ -9,8 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class HierarchySpec extends AnyFunSuite {
 
-  private val sf = H3.latLngToCell(math.toRadians(37.7752702151959),
-    math.toRadians(-122.418307270836), 5)
+  // (Double, Double, Int) overload takes degrees
+  private val sf = H3.latLngToCell(37.7752702151959, -122.418307270836, 5)
 
   test("children: 7 per hexagon, all distinct, parent round-trips") {
     val kids = H3.cellToChildren(sf, 6)
