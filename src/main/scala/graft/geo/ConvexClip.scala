@@ -175,12 +175,19 @@ object ConvexClip {
       m = k
       e += 1
     }
+    // shoelace anchored at the first vertex: at large lng/lat offsets the
+    // unanchored form loses ~8 digits to cancellation (coord² × ulp);
+    // JTS's Area.ofRing anchors the same way, which is what the 1e-9
+    // agreement gate compares against
     var area2 = 0.0
-    i = 0
-    while (i < m) {
-      val j = (i + 1) % m
-      area2 += subjX(i) * subjY(j) - subjX(j) * subjY(i)
-      i += 1
+    if (m > 0) {
+      val ax = subjX(0); val ay = subjY(0)
+      i = 0
+      while (i < m) {
+        val j = (i + 1) % m
+        area2 += (subjX(i) - ax) * (subjY(j) - ay) - (subjX(j) - ax) * (subjY(i) - ay)
+        i += 1
+      }
     }
     math.abs(area2) / 2.0
   }

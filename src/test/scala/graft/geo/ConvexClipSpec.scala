@@ -11,8 +11,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class ConvexClipSpec extends AnyFunSuite {
 
   private def cellAt(i: Int, res: Int) = {
-    val lat = math.toRadians(((i * 7919 + 13) % 140000) / 1000.0 - 70 + 0.0005)
-    val lng = math.toRadians(((i * 104729 + 7) % 350000) / 1000.0 - 175 + 0.0005)
+    // degrees: the (Double, Double, Int) overload converts internally.
+    // (An earlier revision wrapped these in toRadians, which silently
+    // clustered every test cell within ±1.2° of the equator.)
+    val lat = ((i * 7919 + 13) % 140000) / 1000.0 - 70 + 0.0005
+    val lng = ((i * 104729 + 7) % 350000) / 1000.0 - 175 + 0.0005
     H3.latLngToCell(lat, lng, res)
   }
 
