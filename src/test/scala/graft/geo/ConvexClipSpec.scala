@@ -85,8 +85,7 @@ class ConvexClipSpec extends AnyFunSuite {
   }
 
   test("degenerate cases: outside, inside, grazing") {
-    val info = H3Geo.cellInfoCached(H3.latLngToCell(math.toRadians(37.77),
-      math.toRadians(-122.42), 6))
+    val info = H3Geo.cellInfoCached(H3.latLngToCell(37.77, -122.42, 6))
     val r = info.clip.get
     // fully outside
     assert(ConvexClip.lengthIn(r,
@@ -109,8 +108,7 @@ class ConvexClipSpec extends AnyFunSuite {
   }
 
   test("empty polygon components contribute 0 area instead of throwing") {
-    val info = H3Geo.cellInfoCached(H3.latLngToCell(math.toRadians(37.77),
-      math.toRadians(-122.42), 6))
+    val info = H3Geo.cellInfoCached(H3.latLngToCell(37.77, -122.42, 6))
     val r = info.clip.get
     assert(ConvexClip.areaIn(r, GeoIO.fromWkt("POLYGON EMPTY")) == 0.0)
     val c = info.poly.getCentroid
