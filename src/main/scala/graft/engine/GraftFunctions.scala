@@ -239,6 +239,12 @@ object GraftFunctions {
     // standard H3 API a user of an H3 engine expects)
     u.register("h3_grid_disk", (c: java.lang.Long, k: Int) =>
       if (c == null) null else H3.gridDisk(c.longValue, k))
+    u.register("h3_is_valid", (c: java.lang.Long) =>
+      if (c == null) null.asInstanceOf[java.lang.Boolean]
+      else java.lang.Boolean.valueOf(H3Index.isValidCell(c.longValue)))
+    u.register("h3_is_pentagon", (c: java.lang.Long) =>
+      if (c == null) null.asInstanceOf[java.lang.Boolean]
+      else java.lang.Boolean.valueOf(H3Index.isPentagon(c.longValue)))
     u.register("h3_children", (c: java.lang.Long, res: Int) =>
       if (c == null) null else H3.cellToChildren(c.longValue, res))
     u.register("h3_compact", (cells: Array[Long]) =>

@@ -94,6 +94,33 @@ object H3Index {
     }
   }
 
+  /** Structural validity per the published bit layout: cell mode, zero
+    * reserved bits, base cell < 122, every digit ≤ 6 above the cell's
+    * resolution and = 7 below it, and no K-axis (digit 1) first step out
+    * of a pentagon (the deleted subsequence).
+    */
+  def isValidCell(h: Long): Boolean = {
+    if ((h >>> 63) != 0L || ((h >>> 59) & 0xfL) != CellMode) return false
+    if (((h >>> 56) & 0x7L) != 0L) return false // reserved bits
+    val res = resolution(h)
+    if (res > Constants.MaxH3Res) return false
+    val bc = baseCell(h)
+    if (bc >= 122) return false
+    var r = 1
+    var firstNonZero = 0
+    while (r <= res) {
+      val d = digit(h, r)
+      if (d > 6) return false
+      if (firstNonZero == 0 && d != 0) firstNonZero = d
+      r += 1
+    }
+    while (r <= Constants.MaxH3Res) {
+      if (digit(h, r) != 7) return false
+      r += 1
+    }
+    !(BaseCells.isPentagon(bc) && firstNonZero == CoordIJK.K)
+  }
+
   def isPentagon(h: Long): Boolean =
     BaseCells.isPentagon(baseCell(h)) && leadingNonZeroDigit(h) == 0
 

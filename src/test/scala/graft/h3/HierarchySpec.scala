@@ -68,6 +68,28 @@ class HierarchySpec extends AnyFunSuite {
     assert(H3.uncompactCells(compact, 7).sorted.toSeq == cells.sorted.toSeq)
   }
 
+  test("isValidCell accepts real cells and rejects structural corruption") {
+    (0 until 500).foreach { i =>
+      val c = H3.latLngToCell(((i * 37) % 160) - 80 + 0.5, ((i * 73) % 350) - 175 + 0.5, 3 + i % 8)
+      assert(H3Index.isValidCell(c), s"real cell $i rejected")
+    }
+    val c = H3.latLngToCell(37.77, -122.42, 6)
+    assert(!H3Index.isValidCell(c | (1L << 63))) // high bit set
+    assert(!H3Index.isValidCell(H3Index.setBaseCell(c, 123))) // base cell >= 122
+    assert(!H3Index.isValidCell(H3Index.setDigit(c, 3, 7))) // digit 7 above res
+    assert(!H3Index.isValidCell(H3Index.setResolution(c, 7))) // missing digit at res
+    assert(!H3Index.isValidCell(0L))
+    // a pentagon's deleted-K child is invalid
+    val pent = (0 until 122).map(bc =>
+      H3Index.setBaseCell(H3Index.setResolution(H3Index.Init, 0), bc))
+      .find(H3Index.isPentagon).get
+    val kChild = H3Index.setDigit(
+      H3Index.setResolution(pent, 1), 1, 1)
+    assert(!H3Index.isValidCell(kChild))
+    // every child enumerated by the hierarchy is valid
+    H3.cellToChildren(pent, 2).foreach(k => assert(H3Index.isValidCell(k)))
+  }
+
   test("gridDisk k=1 is the cell plus its 6 neighbors; scatter conserves mass") {
     val disk = H3.gridDisk(sf, 1)
     assert(disk.length == 7)
