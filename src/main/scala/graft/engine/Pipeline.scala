@@ -22,6 +22,46 @@ object Cols {
 
 final case class ValidationError(message: String) extends RuntimeException(message)
 
+/** Fan a narrow CPU-bound pipeline out to all cores without touching
+  * `df.rdd`: under AQE, RDD conversion eagerly materializes every shuffle
+  * stage below it (measured: ~3 s of extra jobs + planning per h3_index_*
+  * query at sf0.1). The scan width is instead estimated from leaf-file
+  * metadata — the same arithmetic FilePartition planning uses — which is a
+  * pure driver-side computation.
+  */
+object Fanout {
+
+  /** True if the plan already contains an explicit repartition to >= n. */
+  private def alreadyFanned(df: DataFrame, n: Int): Boolean =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation
+          if scala.util.Try(r.numPartitions).toOption.exists(_ >= n) => true
+    }.nonEmpty
+
+  /** ceil(fileBytes / maxPartitionBytes) summed over the scan's files. */
+  private def estimatedScanPartitions(spark: SparkSession, df: DataFrame): Long = {
+    val files = df.inputFiles
+    if (files.isEmpty) return Long.MaxValue // non-file source: assume wide
+    val conf = spark.sessionState.newHadoopConf()
+    val maxBytes = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    files.iterator.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val len = scala.util.Try(p.getFileSystem(conf).getFileStatus(p).getLen).getOrElse(0L)
+      math.max(1L, (len + maxBytes - 1) / maxBytes)
+    }.sum
+  }
+
+  /** Repartition to defaultParallelism iff the scan is narrower than the
+    * core count (a no-op at cluster scale, where splits >> cores).
+    */
+  def ensure(spark: SparkSession, df: DataFrame): DataFrame = {
+    val parallelism = spark.sparkContext.defaultParallelism
+    if (alreadyFanned(df, parallelism)) df
+    else if (estimatedScanPartitions(spark, df) < parallelism) df.repartition(parallelism)
+    else df
+  }
+}
+
 /** Input validation (reference validator.py:15-115): PK uniqueness, numeric
   * attribute types, canonical geometry materialization, repair + drop of
   * invalid/null geometries.
@@ -59,10 +99,7 @@ object Validator {
     // single task (measured: 4.7 s of the 6.7 s h3_index_lines wall at
     // sf0.1 was this one task). At cluster scale inputs have splits >>
     // cores and this is a no-op.
-    val parallelism = spark.sparkContext.defaultParallelism
-    val fanned =
-      if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)
-      else df
+    val fanned = Fanout.ensure(spark, df)
 
     // canonical geometry column: geom_wkt (vector.py:105-126). The reference
     // also materializes geometry_geojson for the polyfill UDF; our U1 sniffs
@@ -150,11 +187,7 @@ object Indexer {
     // after a shuffle — so fan the rows out first when the scan has fewer
     // partitions than cores. At cluster scale inputs have splits >> cores
     // and this is a no-op.
-    val parallelism = spark.sparkContext.defaultParallelism
-    val base =
-      if (selected.rdd.getNumPartitions < parallelism)
-        selected.repartition(parallelism)
-      else selected
+    val base = Fanout.ensure(spark, selected)
 
     // Per-feature totals are geometry-only: compute them BEFORE the explode
     // (once per feature, not once per (feature,cell) pair — the reference

@@ -81,7 +81,16 @@ object H3Geo {
   private[graft] val memoMisses = new java.util.concurrent.atomic.AtomicLong()
   private[graft] val MemoStripes = 128
   private[graft] var memoStripeCap = {
-    val total = sys.env.get("SPARK_GRAFT_H3_MEMO_CAP").map(_.toInt).getOrElse(524288)
+    // Default cap scales with the executor heap: each CellInfo is ~800 B
+    // (hexagon JTS polygon + clip region + key), and the memo may take ~10%
+    // of the heap. A fixed 512k cap sat right at the working set of one
+    // bench suite (points 150k + lines 370k + polygon/spatial covers), so a
+    // long-lived JVM thrashed: every rep re-missed ~all cells at ~25 µs a
+    // miss (the round-3 driver bench recorded h3_index_lines 10.7 s where a
+    // thrash-free run takes 2 s). Floor 512k, ceiling 8M (≈6 GB at 800 B).
+    val heapScaled = (Runtime.getRuntime.maxMemory / 10 / 800L)
+      .max(524288L).min(8L * 1024 * 1024).toInt
+    val total = sys.env.get("SPARK_GRAFT_H3_MEMO_CAP").map(_.toInt).getOrElse(heapScaled)
     math.max(64, total / MemoStripes)
   }
   private val stripes = Array.fill(MemoStripes)(

@@ -90,9 +90,7 @@ object SpatialJoin {
     // parquet file) scans as one partition and would cover every polygon
     // serially in a single task — fan out first (no-op when the scan
     // already has splits >= cores, i.e. at cluster scale)
-    val parallelism = spark.sparkContext.defaultParallelism
-    def fan(df: DataFrame) =
-      if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+    def fan(df: DataFrame) = graft.engine.Fanout.ensure(spark, df)
     val pts = fan(points).withColumn("_cell",
       expr(s"h3_unhex(h3_latlng_cell_native(${lat.toString}, ${lng.toString}, $res))"))
     val polys = fan(polygons).withColumn("_cell",

@@ -1,23 +1,27 @@
 package graft.h3
 
-import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
-import org.scalatestplus.scalacheck.ScalaCheckPropertyChecks
 
 /** Property-based invariants of the H3 core (SURVEY §5 test plan): parent
   * digit-prefix structure, containment round trips, boundary closure and
   * vertex counts, hierarchy round trips on arbitrary subsets, and disk
   * monotonicity — checked over generated points and resolutions rather
-  * than fixed fixtures.
+  * than fixed fixtures. Uses a fixed-seed generator loop (the scalatestplus
+  * scalacheck bridge is not in the offline dependency cache).
   */
-class H3PropertySpec extends AnyFunSuite with ScalaCheckPropertyChecks {
+class H3PropertySpec extends AnyFunSuite {
 
-  private val genLat = Gen.choose(-84.0, 84.0)
-  private val genLng = Gen.choose(-179.5, 179.5)
-  private val genRes = Gen.choose(1, 9)
+  private val N = 300
+
+  /** Deterministic sample stream: (lat, lng, res) triples. */
+  private def samples(seed: Long = 0x5eedL): Seq[(Double, Double, Int)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(N)((rnd.nextDouble() * 168 - 84, rnd.nextDouble() * 359 - 179.5,
+      1 + rnd.nextInt(9)))
+  }
 
   test("parent shares the digit prefix and is an ancestor at every coarser res") {
-    forAll(genLat, genLng, genRes) { (lat, lng, res) =>
+    samples().foreach { case (lat, lng, res) =>
       val c = H3.latLngToCell(lat, lng, res)
       (0 until res).foreach { pr =>
         val p = H3Index.toParent(c, pr)
@@ -26,24 +30,24 @@ class H3PropertySpec extends AnyFunSuite with ScalaCheckPropertyChecks {
         // digits up to pr match; digits beyond pr are 7
         (1 to pr).foreach(r => assert(H3Index.digit(p, r) == H3Index.digit(c, r)))
         (pr + 1 to Constants.MaxH3Res).foreach(r => assert(H3Index.digit(p, r) == 7))
-        // re-indexing the child's center at the parent's res gives the parent
-        // cell or one of its siblings containing the center — and the
-        // center of c is inside c, so its pr-res cell must BE p's subtree
-        val again = H3Index.toParent(H3.latLngToCell(H3.cellToLatLng(c), pr), pr)
-        assert(again == p)
+        // the parent's own center round-trips at its res (containment of a
+        // cell's center is exact; note a CHILD's center may legitimately
+        // fall outside the hierarchical ancestor across several levels near
+        // icosahedron edges, so that stronger claim is NOT an H3 invariant)
+        assert(H3.latLngToCell(H3.cellToLatLng(p), pr) == p)
       }
     }
   }
 
   test("cell contains its own center (encode/decode round trip)") {
-    forAll(genLat, genLng, genRes) { (lat, lng, res) =>
+    samples(1).foreach { case (lat, lng, res) =>
       val c = H3.latLngToCell(lat, lng, res)
       assert(H3.latLngToCell(H3.cellToLatLng(c), res) == c)
     }
   }
 
   test("boundaries have 5-10 distinct vertices and bounded edge lengths") {
-    forAll(genLat, genLng, genRes) { (lat, lng, res) =>
+    samples(2).foreach { case (lat, lng, res) =>
       val c = H3.latLngToCell(lat, lng, res)
       val b = H3.cellToBoundary(c)
       // hexagons: 6 vertices; pentagons: 5; Class III distortion can add
@@ -60,14 +64,10 @@ class H3PropertySpec extends AnyFunSuite with ScalaCheckPropertyChecks {
   }
 
   test("compact/uncompact round-trips arbitrary cell subsets") {
-    val genCells = for {
-      lat <- genLat; lng <- genLng
-      n <- Gen.choose(1, 60)
-    } yield {
+    val rnd = new scala.util.Random(3)
+    samples(4).take(100).foreach { case (lat, lng, _) =>
       val center = H3.latLngToCell(lat, lng, 6)
-      H3.gridDisk(center, 3).take(n)
-    }
-    forAll(genCells) { cells =>
+      val cells = H3.gridDisk(center, 3).take(1 + rnd.nextInt(60))
       val distinct = cells.distinct
       val compact = H3.compactCells(distinct)
       assert(H3.uncompactCells(compact, 6).sorted.toSeq == distinct.sorted.toSeq)
@@ -77,10 +77,12 @@ class H3PropertySpec extends AnyFunSuite with ScalaCheckPropertyChecks {
   }
 
   test("gridDisk sizes are monotone and match the hexagonal bound") {
-    forAll(genLat, genLng, Gen.choose(0, 3)) { (lat, lng, k) =>
+    val rnd = new scala.util.Random(5)
+    samples(6).foreach { case (lat, lng, _) =>
+      val k = rnd.nextInt(4)
       val c = H3.latLngToCell(lat, lng, 5)
       val disk = H3.gridDisk(c, k)
-      // 1 + 3k(k+1) for pure hexagon neighborhoods; pentagson in the disk
+      // 1 + 3k(k+1) for pure hexagon neighborhoods; pentagons in the disk
       // reduce the count, never increase it
       assert(disk.length <= 1 + 3 * k * (k + 1))
       if (k > 0) assert(H3.gridDisk(c, k - 1).toSet.subsetOf(disk.toSet))
