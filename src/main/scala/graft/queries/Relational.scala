@@ -271,6 +271,32 @@ object Relational {
              |event_type, count(*) AS n,
              |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // J8: bloom-filter-pruned join — the probe (orders) is filtered by the
+    // build side's key bloom BEFORE its shuffle (operators/BloomJoin.scala).
+    // The bloom's false positives are removed by the join, so the result —
+    // and therefore the oracle — is exactly the plain inner join.
+    QueryDef(
+      "j8_bloom_pruned_join",
+      (s, d) => {
+        val build = T(s, d, "customer")
+          .where(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 9000)
+          .select("c_custkey", "c_name")
+        graft.operators.BloomJoin
+          .prunedJoin(T(s, d, "orders"), build, "o_custkey", "c_custkey",
+            expectedKeys = 65536, fpp = 0.01)
+          .groupBy("c_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, count(*) AS n_orders,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+      headline = true
     )
   )
 }
