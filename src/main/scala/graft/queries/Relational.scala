@@ -297,6 +297,36 @@ object Relational {
              |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
              |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
       headline = true
+    ),
+
+    // J9: skew-salted join (operators/SkewOps.scala) — fact rows salted,
+    // dim replicated per salt, join on (key, salt); result ≡ plain join,
+    // so the oracle IS the plain join.
+    QueryDef(
+      "j9_salted_skew_join",
+      (s, d) => graft.operators.SkewOps
+        .saltedJoin(T(s, d, "lineitem"), T(s, d, "part"),
+          "l_partkey", "p_partkey", salts = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("p_brand"),
+      Some("""SELECT p_brand, count(*) AS n_items,
+             |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    ),
+
+    // A5: two-phase distinct count per key — the skew-safe shape for
+    // count(DISTINCT x) on a hot key (distinct on (key,value) spreads by
+    // pair hash, then count per key). Exact, so directly oracled.
+    QueryDef(
+      "a5_twophase_distinct_count",
+      (s, d) => graft.operators.SkewOps
+        .distinctCountPerKey(T(s, d, "lineitem"), "l_suppkey", "l_partkey", "n_parts")
+        .orderBy("l_suppkey"),
+      Some("""SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts
+             |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)
     )
   )
 }
