@@ -224,6 +224,22 @@ object AnalyticsOps {
           .orderBy("l_returnflag")
       }),
 
+    // KLL/MRL quantile sketch per group (custom Aggregator, O(k·log n)
+    // buffer, level-wise compacting merge): rows-only — approx values
+    // can't hash-match DuckDB; QuantileSketchSpec asserts the ≤2% rank
+    // error against exact percentiles and merge invariance. The exact twin
+    // stats_percentiles (DuckDB-oracled) is the correctness anchor.
+    QueryDef(
+      "stats_quantile_sketch",
+      (s, d) => {
+        s.udf.register("approx_quantiles",
+          udaf(graft.operators.QuantileSketch.agg(Array(0.1, 0.5, 0.9, 0.99))))
+        T(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(expr("approx_quantiles(l_extendedprice)").as("price_quantiles"))
+          .orderBy("l_returnflag")
+      }),
+
     // Exact correlation per group via DECIMAL moments: the five sums are
     // order-independent exact decimals; the final Pearson arithmetic is a
     // fixed double expression — deterministic across engines, unlike a
