@@ -99,17 +99,75 @@ object Multimodal {
   def frameSampleStub(payload: Array[Byte], frameBytes: Int): Int =
     math.max(1, payload.length / frameBytes)
 
-  /** Partition-batched feature extraction (mapPartitions: one decoder init
-    * per partition, rows processed in a batch loop — the shape a real
-    * codec-backed decoder needs). PNG rows get real header dimensions;
-    * other mimes fall back to the stub.
+  /** A pluggable per-mime decoder. Implementations must be Serializable —
+    * a decoder instance ships inside the mapPartitions closure; heavyweight
+    * non-serializable state (codec handles, model weights) belongs in
+    * `open()`, which runs once per partition on the executor.
     */
-  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+  trait MediaDecoder extends Serializable {
+    /** Exact mime types this decoder claims. */
+    def mimes: Seq[String]
+    /** Per-partition executor-side init (codec handles, model weights…). */
+    def open(): Unit = ()
+    def dims(payload: Array[Byte]): (Int, Int)
+    def frames(payload: Array[Byte]): Int = 1
+  }
+
+  /** Real decoder: PNG signature + IHDR header (published format). Falls
+    * back to the deterministic stub for payloads that aren't valid PNG.
+    */
+  object PngDecoder extends MediaDecoder {
+    override def mimes: Seq[String] = Seq("image/png")
+    override def dims(payload: Array[Byte]): (Int, Int) =
+      decodePngDims(payload).getOrElse(decodeStub(payload))
+    override def frames(payload: Array[Byte]): Int =
+      frameSampleStub(payload, 4096)
+  }
+
+  /** STUB decoder for codec-less mimes (none ship in this container) —
+    * deterministic fake dimensions, length-derived frame count. The
+    * open()/dims()/frames() surface is exactly what a real libav/libsndfile
+    * binding would implement.
+    */
+  final class StubDecoder(override val mimes: Seq[String]) extends MediaDecoder {
+    override def dims(payload: Array[Byte]): (Int, Int) = decodeStub(payload)
+    override def frames(payload: Array[Byte]): Int =
+      frameSampleStub(payload, 4096)
+  }
+
+  /** Mime → decoder dispatch. `opened` tracks per-partition open() calls
+    * (one per decoder per partition — asserted in MultimodalSpec).
+    */
+  final class DecoderRegistry(decoders: Seq[MediaDecoder]) extends Serializable {
+    private val byMime: Map[String, MediaDecoder] =
+      decoders.flatMap(d => d.mimes.map(_ -> d)).toMap
+    private val fallback = new StubDecoder(Seq("*/*"))
+
+    def forMime(mime: String): MediaDecoder = byMime.getOrElse(mime, fallback)
+
+    /** Open every decoder once (call at the top of each partition). */
+    def openAll(): Unit = { decoders.foreach(_.open()); fallback.open() }
+  }
+
+  def defaultRegistry: DecoderRegistry = new DecoderRegistry(Seq(
+    PngDecoder,
+    new StubDecoder(Seq("audio/wav", "audio/mpeg")),
+    new StubDecoder(Seq("video/mp4", "video/webm"))))
+
+  /** Partition-batched feature extraction (mapPartitions: decoders open
+    * once per partition, rows processed in a batch loop — the shape a real
+    * codec-backed decoder needs). Dispatch is per-mime through the
+    * registry: PNG rows get real header dimensions, codec-less mimes get
+    * the documented stub.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+                      registry: DecoderRegistry = defaultRegistry): DataFrame = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // per-partition init site (codec handles, model weights, …)
+      registry.openAll() // per-partition init site
       rows.map { r =>
-        val (w, h) = decodePngDims(r.payload).getOrElse(decodeStub(r.payload))
+        val dec = registry.forMime(r.mime_type)
+        val (w, h) = dec.dims(r.payload)
         val mean =
           if (r.payload.isEmpty) 0.0
           else r.payload.map(b => (b & 0xff).toDouble).sum / r.payload.length
@@ -121,7 +179,7 @@ object Multimodal {
           width = w,
           height = h,
           thumb_bytes = resizeStub(r.payload, 256).length,
-          n_frames = frameSampleStub(r.payload, 4096))
+          n_frames = dec.frames(r.payload))
       }
     }.toDF()
   }

@@ -57,4 +57,33 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     other.foreach(r => assert(r.getInt(0) >= 64 && r.getInt(0) < 512 &&
       r.getInt(1) >= 64 && r.getInt(1) < 512))
   }
+
+  test("registry dispatches by mime and falls back for unknown types") {
+    val reg = Multimodal.defaultRegistry
+    assert(reg.forMime("image/png") eq Multimodal.PngDecoder)
+    assert(reg.forMime("audio/wav").isInstanceOf[Multimodal.StubDecoder])
+    // unknown mime → fallback stub, never a crash
+    val png = Multimodal.pngWrap(42L, Array[Byte](1, 2, 3))
+    assert(reg.forMime("application/x-unknown").dims(png)._1 >= 64)
+  }
+
+  test("custom decoder plugs in and overrides dispatch per partition") {
+    import spark.implicits._
+    val counted = new Multimodal.MediaDecoder {
+      override def mimes: Seq[String] = Seq("image/png")
+      @volatile var opens = 0
+      override def open(): Unit = opens += 1
+      override def dims(payload: Array[Byte]): (Int, Int) = (1, 2)
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/png", Multimodal.pngWrap(1L, Array[Byte](9))),
+      Multimodal.MediaRow(2L, "audio/wav", Array[Byte](9, 9)))
+      .toDF().repartition(1)
+    val out = Multimodal.extractFeatures(spark, media,
+        new Multimodal.DecoderRegistry(Seq(counted)))
+      .orderBy("media_id").collect()
+    assert(out(0).getAs[Int]("width") == 1 && out(0).getAs[Int]("height") == 2)
+    // the wav row hit the registry fallback, not the custom decoder
+    assert(out(1).getAs[Int]("width") >= 64)
+  }
 }
