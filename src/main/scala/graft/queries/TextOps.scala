@@ -137,6 +137,57 @@ object TextOps {
              |count(*) AS n_dups, min(doc_id) AS keep_id
              |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin),
       headline = true
+    ),
+
+    // PII scrub — the redaction pass every training-data pipeline runs
+    // before tokenization. The synthetic docs carry no PII, so the query
+    // first injects deterministic doc_id-derived PII IDENTICALLY on both
+    // engines (same concat), then masks emails → urls → long digit runs in
+    // that order (an email/url may contain digit runs; the digit pass must
+    // see them already collapsed). Patterns use explicit character classes
+    // only — identical semantics in Java regex and RE2 — and the oracle
+    // pins the masked text exactly via md5. Per-row map, codegen'd, no
+    // shuffle except the output sort.
+    QueryDef(
+      "text_pii_scrub",
+      (s, d) => {
+        val raw = concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@mail.example.com visit https://ex.com/p/"), col("doc_id").cast("string"),
+          lit(" acct "), (col("doc_id") * col("doc_id") + lit(987654321L)).cast("string"))
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val url = "https?://[A-Za-z0-9./_-]+"
+        val num = "[0-9]{6,}"
+        T(s, d, "documents")
+          .select(col("doc_id"), col("text"), raw.as("raw"))
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("raw"), lit(email), lit(0))).cast("long").as("n_emails"),
+            size(regexp_extract_all(col("raw"), lit(url), lit(0))).cast("long").as("n_urls"),
+            regexp_replace(regexp_replace(regexp_replace(col("raw"),
+              email, "<EMAIL>"), url, "<URL>"), num, "<NUM>").as("masked"))
+          .select(col("doc_id"), col("n_emails"), col("n_urls"),
+            length(col("masked")).cast("long").as("masked_len"),
+            md5(col("masked")).as("masked_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR)
+             |    || '@mail.example.com visit https://ex.com/p/' || CAST(doc_id AS VARCHAR)
+             |    || ' acct ' || CAST(doc_id * doc_id + 987654321 AS VARCHAR) AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             |len(regexp_extract_all(raw, 'https?://[A-Za-z0-9./_-]+')) AS n_urls,
+             |length(regexp_replace(regexp_replace(regexp_replace(raw,
+             |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |  'https?://[A-Za-z0-9./_-]+', '<URL>', 'g'),
+             |  '[0-9]{6,}', '<NUM>', 'g')) AS masked_len,
+             |md5(regexp_replace(regexp_replace(regexp_replace(raw,
+             |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |  'https?://[A-Za-z0-9./_-]+', '<URL>', 'g'),
+             |  '[0-9]{6,}', '<NUM>', 'g')) AS masked_md5
+             |FROM raw ORDER BY doc_id""".stripMargin)
     )
   )
 }
