@@ -185,5 +185,43 @@ object DedupQueries {
     QueryDef("multimodal_features",
       (s, d) => Multimodal.extractFeatures(s, Multimodal.mediaTable(s, d))
         .orderBy("media_id"))
+    ,
+
+    // Duplicate-cluster consolidation: near-dup PAIRS → components →
+    // per-cluster summary (large-star/small-star, ConnectedComponents.scala).
+    // The edge list is doc_id-derived chains — doc ↔ its perturbed copy,
+    // perturbed copy ↔ a shared per-decade hub — built IDENTICALLY in both
+    // engines, so clusters need real multi-hop transitivity (21 nodes: ten
+    // 2-chains meeting at a hub). Oracle = DuckDB recursive CTE reachability.
+    QueryDef("dedup_components",
+      (s, d) => {
+        val docs = T(s, d, "documents").select("doc_id")
+        val e1 = docs.select(col("doc_id").as("a"),
+          (col("doc_id") + 100000).as("b"))
+        val e2 = docs.select((col("doc_id") + 100000).as("a"),
+          (lit(200000) + col("doc_id") - pmod(col("doc_id"), lit(10))).as("b"))
+        graft.operators.ConnectedComponents
+          .components(s, e1.unionAll(e2), "a", "b")
+          .groupBy("comp")
+          .agg(count(lit(1)).cast("long").as("n_nodes"),
+            max("node").as("max_node"))
+          .orderBy("comp")
+      },
+      Some("""WITH RECURSIVE
+             |docs AS (SELECT doc_id FROM documents),
+             |edges AS (
+             |  SELECT doc_id AS a, doc_id + 100000 AS b FROM docs
+             |  UNION ALL
+             |  SELECT doc_id + 100000 AS a, 200000 + doc_id - doc_id % 10 AS b FROM docs
+             |),
+             |und AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+             |reach(node, r) AS (
+             |  SELECT a AS node, a AS r FROM und
+             |  UNION
+             |  SELECT u.a AS node, reach.r FROM und u JOIN reach ON u.b = reach.node
+             |),
+             |labels AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
+             |SELECT comp, count(*) AS n_nodes, max(node) AS max_node
+             |FROM labels GROUP BY comp ORDER BY comp""".stripMargin))
   )
 }
