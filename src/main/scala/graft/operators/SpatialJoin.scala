@@ -58,10 +58,30 @@ object SpatialJoin {
 
   def containsPoint(polyWkt: String, lat: Double, lng: Double): Boolean = {
     if (polyWkt == null) return false
-    // candidates arrive cell-clustered, so the same polygon repeats —
-    // the per-thread parse cache turns the re-parse into a map hit
-    GraftFunctions.parseGeomCached(polyWkt)
-      .contains(GeoIO.point(lng, lat))
+    // candidates arrive cell-clustered, so the same polygon repeats — a
+    // per-thread LRU holds the PREPARED geometry (edge index built once;
+    // JTS PreparedPolygon.contains is ~4× a plain contains on repeats)
+    preparedCached(polyWkt).contains(GeoIO.point(lng, lat))
+  }
+
+  private val preparedCache = ThreadLocal.withInitial(
+    () => new java.util.LinkedHashMap[String,
+        org.locationtech.jts.geom.prep.PreparedGeometry](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, org.locationtech.jts.geom.prep.PreparedGeometry]): Boolean =
+        size() > 48
+    })
+
+  private def preparedCached(wkt: String): org.locationtech.jts.geom.prep.PreparedGeometry = {
+    val c = preparedCache.get()
+    val hit = c.get(wkt)
+    if (hit != null) hit
+    else {
+      val p = org.locationtech.jts.geom.prep.PreparedGeometryFactory
+        .prepare(GraftFunctions.parseGeomCached(wkt))
+      c.put(wkt, p)
+      p
+    }
   }
 
   private val registeredSessions =
