@@ -100,12 +100,20 @@ object GeoQueries {
         // cheapest point — h3_index + sums, not the wide exploded frames
         // (round-1 finding: persisting string-heavy frames costs more than
         // recomputing with the memo).
-        val p = Resolver.resolveInput(
+        // the two per-input pipelines are independent: checkpoint them
+        // CONCURRENTLY (two driver threads, one Spark scheduler) so the
+        // resolve costs max(points, polygons), not their sum
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val pf = Future(Resolver.resolveInput(
           indexed(s, pointsInput, pointsDf(s, d), forWrite = false, asHex = false),
-          Seq("qty")).localCheckpoint()
-        val g = Resolver.resolveInput(
+          Seq("qty")).localCheckpoint())
+        val gf = Future(Resolver.resolveInput(
           indexed(s, polysInput, polysDf(s, d), forWrite = false, asHex = false),
-          Seq("balance")).localCheckpoint()
+          Seq("balance")).localCheckpoint())
+        val p = Await.result(pf, Duration.Inf)
+        val g = Await.result(gf, Duration.Inf)
         Resolver.resolve(s, Seq(p, g), Res).orderBy("h3_index")
       },
       headline = true),
