@@ -192,6 +192,32 @@ object AnalyticsOps {
              |ORDER BY doc_id""".stripMargin)
     ),
 
+    // Per-group cap sampling — "at most N documents per source", the
+    // domain-balancing step of corpus assembly. Deterministic uniform-ish
+    // pick: rank rows within each group by md5(doc_id) (a hash order both
+    // engines compute identically — rand() would be irreproducible and
+    // retry-unsafe) and keep the first N. One window shuffle on the group
+    // key; at 100 TB the same plan, with the hash ordering spreading hot
+    // groups' sort work evenly.
+    QueryDef(
+      "sample_capped_per_group",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        T(s, d, "documents")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("source").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+          .where(col("rk") <= 10)
+          .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
+          .orderBy("source", "rk")
+      },
+      Some("""SELECT source, doc_id, rk FROM (
+             |  SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents)
+             |WHERE rk <= 10 ORDER BY source, rk""".stripMargin)
+    ),
+
     // Custom typed Aggregator: single-pass bounded-heap top-k per group —
     // O(k) buffer, partial+final aggregation (map-side combine), vs the
     // window form (w1) which sorts each group. Same ordering contract.
