@@ -52,9 +52,13 @@ object ConnectedComponents {
       // neighborhood view centered on each node (both directions)
       val nbrs = df.select(col("u").as("c"), col("v").as("n"))
         .unionAll(df.select(col("v").as("c"), col("u").as("n")))
-      val withMin = nbrs
-        .withColumn("m", min(least(col("c"), col("n")))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy("c")))
+      // per-center min via groupBy + join, NOT a window: a window would
+      // sort every hub's full neighborhood in one task, while the hash
+      // aggregate collapses it map-side (hubs are exactly what star
+      // rounds produce)
+      val mins = nbrs.groupBy("c")
+        .agg(min(least(col("c"), col("n"))).as("m"))
+      val withMin = nbrs.join(mins, "c")
       val kept =
         if (large) withMin.where(col("n") > col("c"))
         else withMin.where(col("n") <= col("c"))
