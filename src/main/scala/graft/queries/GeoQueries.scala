@@ -241,6 +241,13 @@ object GeoQueries {
             "st_length(h3_to_wkt(cell)) AS boundary_len_deg",
             "st_isvalid(h3_to_wkt(cell)) AS boundary_valid")
           .orderBy("point_id")
-      })
+      }),
+
+    // Streaming H3 indexing: points indexed to cells as they arrive, per-
+    // cell rollup as the only stream state (bounded by DISTINCT CELLS, not
+    // rows). Rows-only — DuckDB computes no H3 — with GeoStreamSpec
+    // asserting exact equality against the batch twin.
+    QueryDef("h3_index_points_stream",
+      (s, d) => graft.streaming.GeoStream.pointsRollupStream(s, d, Res))
   )
 }

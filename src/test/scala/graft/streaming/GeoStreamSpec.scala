@@ -1,0 +1,31 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streamed per-cell rollup must equal the batch twin EXACTLY — same
+  * cells, same counts, same decimal-summed values — because the map side is
+  * the same codegen expression and the aggregate is decimal (order-proof).
+  */
+class GeoStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  test("streamed H3 point rollup equals the batch twin exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = GeoStream.pointsRollupStream(spark, dir, 6).collect()
+    val batch = GeoStream.pointsRollupBatch(spark, dir, 6).collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (s1, b1) =>
+      assert(s1.toString == b1.toString)
+    }
+  }
+}
