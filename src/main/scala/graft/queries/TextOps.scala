@@ -139,6 +139,42 @@ object TextOps {
       headline = true
     ),
 
+    // Unigram-LM perplexity (the CCNet-style quality filter): corpus token
+    // frequencies → per-doc mean negative logprob → exp. The corpus model
+    // is ONE aggregate whose result (the vocabulary) broadcasts to the
+    // scoring join — at 100 TB the vocab is millions of rows while the
+    // corpus is billions, so the big side never shuffles. Determinism
+    // across engines: each token's -ln(p) is rounded to 9 decimals and
+    // DECIMAL-summed (exact, order-independent); only the final
+    // divide/exp/round are float ops (correctly-rounded or ulp-safe under
+    // the 6-decimal output rounding).
+    QueryDef(
+      "text_unigram_perplexity",
+      (s, d) => {
+        val toks = T(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " +")).as("tok"))
+        val n = toks.count()
+        val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        toks.join(broadcast(freq), "tok")
+          .withColumn("nll",
+            expr(s"CAST(round(-ln(cnt / CAST($n AS DOUBLE)), 9) AS DECIMAL(18,9))"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_toks"),
+            round(exp(sum(col("nll")).cast("double") / count(lit(1))), 6).as("ppl"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS tok
+             |  FROM documents),
+             |n AS (SELECT count(*) AS n FROM toks),
+             |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+             |SELECT doc_id, count(*) AS n_toks,
+             |round(exp(CAST(sum(CAST(round(-ln(cnt / (SELECT CAST(n AS DOUBLE) FROM n)), 9)
+             |  AS DECIMAL(18,9))) AS DOUBLE) / count(*)), 6) AS ppl
+             |FROM toks JOIN freq USING (tok)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
     // PII scrub — the redaction pass every training-data pipeline runs
     // before tokenization. The synthetic docs carry no PII, so the query
     // first injects deterministic doc_id-derived PII IDENTICALLY on both
