@@ -139,6 +139,17 @@ object TextOps {
       headline = true
     ),
 
+    // BPE merge training (Sennrich 2016) on the word-frequency table: one
+    // corpus pass builds the vocab, every merge iteration is vocab-sized.
+    // Rows-only — iterative training isn't ANSI SQL; BpeTrainSpec proves
+    // the distributed run reproduces an in-memory reference implementation
+    // merge-for-merge (deterministic count-desc/pair-asc tie-break).
+    QueryDef(
+      "text_bpe_train",
+      (s, d) => graft.operators.BpeTrain
+        .trainDf(s, T(s, d, "documents"), "text", merges = 12)
+        .orderBy("rank")),
+
     // Unigram-LM perplexity (the CCNet-style quality filter): corpus token
     // frequencies → per-doc mean negative logprob → exp. The corpus model
     // is ONE aggregate whose result (the vocabulary) broadcasts to the
