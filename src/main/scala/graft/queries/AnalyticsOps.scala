@@ -66,6 +66,29 @@ object AnalyticsOps {
       headline = true
     ),
 
+    // W3: time-RANGE window frame (trailing hour per user) — value-based
+    // frames are deterministic under ts ties where row-based frames are
+    // not, and they're the shape rate-limit/velocity features use.
+    QueryDef(
+      "w3_time_range_window",
+      (s, d) =>
+        T.events(s, d)
+          .withColumn("trailing_n", expr(
+            "count(*) OVER (PARTITION BY user_id ORDER BY ts " +
+              "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"))
+          .withColumn("trailing_sum", expr(
+            "CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts " +
+              "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE)"))
+          .select("event_id", "user_id", "trailing_n", "trailing_sum")
+          .orderBy("event_id"),
+      Some("""SELECT event_id, user_id,
+             |count(*) OVER (PARTITION BY user_id ORDER BY ts
+             |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS trailing_n,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts
+             |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_sum
+             |FROM events ORDER BY event_id""".stripMargin)
+    ),
+
     // Left-semi join: existence filter without duplicating or widening rows.
     QueryDef(
       "j5_semi_join",

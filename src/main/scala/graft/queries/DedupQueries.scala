@@ -193,6 +193,37 @@ object DedupQueries {
     // perturbed copy ↔ a shared per-decade hub — built IDENTICALLY in both
     // engines, so clusters need real multi-hop transitivity (21 nodes: ten
     // 2-chains meeting at a hub). Oracle = DuckDB recursive CTE reachability.
+    // Composition: LSH candidate pairs → verified near-dup pairs →
+    // connected components → cluster size histogram. The full
+    // consolidation path a dedup pipeline runs (rows-only: the LSH stage
+    // isn't SQL-expressible). Planted pairs give size-2 clusters; natural
+    // near-dups in the synthetic vocab text chain some of them into
+    // larger components — exactly what consolidation exists to find.
+    QueryDef("dedup_lsh_clusters",
+      (s, d) => {
+        Dedup.register(s)
+        val docs = docsWithDups(s, d)
+        val buckets = docs
+          .withColumn("bands", callUDF("minhash_bands", col("text")))
+          .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+        val cand = buckets.as("x").join(buckets.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+          .repartition(s.sparkContext.defaultParallelism)
+        val small = Dedup.fitsBroadcast(docs)
+        val pairs = cand
+          .join(Dedup.hintIf(docs.select(col("doc_id").as("a"), col("text").as("ta")), small), "a")
+          .join(Dedup.hintIf(docs.select(col("doc_id").as("b"), col("text").as("tb")), small), "b")
+          .where(callUDF("shingle_jaccard", col("ta"), col("tb")) >= 0.5)
+          .select("a", "b")
+        graft.operators.ConnectedComponents.components(s, pairs, "a", "b")
+          .groupBy("comp").agg(count(lit(1)).cast("long").as("n_members"))
+          .groupBy("n_members").agg(count(lit(1)).cast("long").as("n_clusters"))
+          .orderBy("n_members")
+      }),
+
     QueryDef("dedup_components",
       (s, d) => {
         val docs = T(s, d, "documents").select("doc_id")
