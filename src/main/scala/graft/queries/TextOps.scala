@@ -139,6 +139,24 @@ object TextOps {
       headline = true
     ),
 
+    // Heavy-hitter tokens via the SpaceSaving sketch (O(m) state per group
+    // vs the exact groupBy's unbounded key space). Rows-only — sketch
+    // counts can overestimate — with the guarantee spec'd in
+    // SpaceSavingSpec; the exact twin text_vocab_topk is DuckDB-oracled.
+    QueryDef(
+      "text_heavy_hitters",
+      (s, d) => {
+        s.udf.register("ss_topk",
+          udaf(graft.operators.SpaceSaving.agg(m = 256, k = 10)))
+        T(s, d, "documents")
+          .select(explode(split(col("text"), " +")).as("tok"))
+          .agg(expr("ss_topk(tok)").as("top"))
+          .select(posexplode(col("top")).as(Seq("rank", "entry")))
+          .select(col("rank").cast("long").as("rank"),
+            col("entry._1").as("tok"), col("entry._2").as("est_count"))
+          .orderBy("rank")
+      }),
+
     // BPE merge training (Sennrich 2016) on the word-frequency table: one
     // corpus pass builds the vocab, every merge iteration is vocab-sized.
     // Rows-only — iterative training isn't ANSI SQL; BpeTrainSpec proves
