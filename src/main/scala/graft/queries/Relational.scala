@@ -273,6 +273,13 @@ object Relational {
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
+    // Streaming sketch aggregation: HLL distinct-users per hour with 4 KB
+    // state per window (rows-only — sketch estimates can't hash-match
+    // DuckDB; GeoStreamSpec asserts bit-identical stream/batch results).
+    QueryDef(
+      "events_hourly_distinct_stream",
+      (s, d) => graft.streaming.EventStream.hourlyDistinctUsers(s, d)),
+
     // J8: bloom-filter-pruned join — the probe (orders) is filtered by the
     // build side's key bloom BEFORE its shuffle (operators/BloomJoin.scala).
     // The bloom's false positives are removed by the join, so the result —

@@ -102,6 +102,54 @@ object EventStream {
     spark.table(sinkName).orderBy("h", "event_type")
   }
 
+  /** Streaming sketch aggregation: approx distinct users per hour via the
+    * HLL Aggregator INSIDE the stream — per-window state is the fixed 4 KB
+    * register array, not a user set, so hot windows can't grow state.
+    * HLL merge is register-max (exactly partition- and batch-invariant),
+    * so the streamed estimate equals the batch twin BIT FOR BIT
+    * (EventStreamSpec asserts it); the count can't be DuckDB-exact, so
+    * the registered query is rows-only.
+    */
+  def hourlyDistinctUsers(spark: SparkSession, dir: String,
+                          streaming: Boolean = true): DataFrame = {
+    spark.udf.register("hll_distinct_stream",
+      org.apache.spark.sql.functions.udaf(graft.operators.Hll.hll))
+    val events =
+      if (!streaming) graft.queries.T.events(spark, dir)
+      else {
+        val batch = spark.read.parquet(s"$dir/events.parquet")
+        val srcDir = Files.createTempDirectory("graft_hll_src")
+        srcDir.toFile.deleteOnExit()
+        Files.copy(Paths.get(s"$dir/events.parquet"),
+          srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        val raw = spark.readStream.schema(batch.schema).parquet(srcDir.toString)
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case _ => raw
+        }
+      }
+    val agg = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr("hll_distinct_stream(CAST(user_id AS STRING))").as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("h"),
+        col("approx_users"), col("n_events"))
+    if (!streaming) return agg.orderBy("h")
+
+    val sinkName = s"graft_stream_hll_${math.abs(dir.hashCode)}"
+    val q = agg.writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_hll_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).orderBy("h")
+  }
+
   /** Stream-stream interval join: clicks matched to the views they
     * followed within `windowMinutes`, per user. Both sides carry
     * watermarks, so each side's join state is bounded by the interval +

@@ -13,6 +13,8 @@ class GeoStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // events.parquet is TIMESTAMP(NANOS) — readable only as long
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -24,6 +26,17 @@ class GeoStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val streamed = GeoStream.pointsRollupStream(spark, dir, 6).collect()
     val batch = GeoStream.pointsRollupBatch(spark, dir, 6).collect()
     assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (s1, b1) =>
+      assert(s1.toString == b1.toString)
+    }
+  }
+
+  test("streamed hourly HLL distinct-users equals the batch twin exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStream.hourlyDistinctUsers(spark, dir).collect()
+    val batch = EventStream.hourlyDistinctUsers(spark, dir, streaming = false).collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    // register-max merge is partition/batch invariant → identical estimates
     streamed.zip(batch).foreach { case (s1, b1) =>
       assert(s1.toString == b1.toString)
     }
