@@ -47,6 +47,59 @@ object SimilarityQ {
              |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn FROM sc)
              |SELECT qid, nid, score, rn FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin),
       headline = true
+    ),
+
+    // Nearest-centroid classification (the assignment step of k-means /
+    // coarse quantization) with CROSS-ENGINE-EXACT arithmetic: components
+    // are rounded to 6 dp, per-dim centroid sums go through DECIMAL, and
+    // each (x−c)² term is rounded to 12 dp then DECIMAL-summed — so the
+    // distance comparison (and thus the argmin) is order-independent and
+    // bit-identical in DuckDB. Plan shape at scale: centroids are a tiny
+    // aggregate broadcast to the per-dim join; the corpus shuffles once on
+    // (vec, candidate) for the distance sum.
+    QueryDef(
+      "embedding_centroid_classify",
+      (s, d) => {
+        val e = T(s, d, "embeddings").select(col("vec_id"),
+          pmod(col("vec_id"), lit(5)).cast("long").as("cls"),
+          expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> round(x, 6))").as("ve"))
+        val dims = e.select(col("vec_id"), col("cls"),
+            posexplode(col("ve")).as(Seq("d0", "x")))
+          .withColumn("d", col("d0") + 1).drop("d0")
+        val cent = dims.groupBy(col("cls").as("cand"), col("d"))
+          .agg((sum(col("x").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("c"))
+        val dist = dims.join(broadcast(cent), "d")
+          .groupBy(col("vec_id"), col("cls").as("true_cls"), col("cand"))
+          .agg(sum(expr("CAST(round((x - c) * (x - c), 12) AS DECIMAL(28,12))")).as("d2"))
+        dist
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("d2"), col("cand"))))
+          .where(col("rk") === 1)
+          .select(col("vec_id"), col("true_cls"), col("cand").as("assigned_cls"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, vec_id % 5 AS cls,
+             |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS ve
+             |  FROM embeddings),
+             |dims AS (
+             |  SELECT vec_id, cls, unnest(ve) AS x, generate_subscripts(ve, 1) AS d FROM e),
+             |cent AS (
+             |  SELECT cls AS cand, d,
+             |    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS c
+             |  FROM dims GROUP BY cls, d),
+             |dist AS (
+             |  SELECT v.vec_id, v.cls AS true_cls, c.cand,
+             |    sum(CAST(round((v.x - c.c) * (v.x - c.c), 12) AS DECIMAL(28,12))) AS d2
+             |  FROM dims v JOIN cent c USING (d)
+             |  GROUP BY v.vec_id, v.cls, c.cand),
+             |best AS (
+             |  SELECT vec_id, true_cls, cand,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rk
+             |  FROM dist)
+             |SELECT vec_id, true_cls, cand AS assigned_cls
+             |FROM best WHERE rk = 1 ORDER BY vec_id""".stripMargin)
     )
   )
 }
