@@ -454,6 +454,75 @@ object AnalyticsOps {
              |FROM q JOIN keep ON doc_id = keep_id
              |GROUP BY lang ORDER BY lang""".stripMargin),
       headline = true
+    ),
+
+    // Full curation pipeline v2: PII scrub (doc_id-derived injection, as
+    // in text_pii_scrub) → perplexity gate against the corpus unigram
+    // model (keep docs below the median-ish cutoff) → exact-dup collapse
+    // on the SCRUBBED text → per-language stats over survivors. Composes
+    // four round-4 operators end-to-end under ONE DuckDB oracle; the
+    // corpus is read once, the vocab aggregate broadcasts, and the only
+    // wide shuffles are the fingerprint collapse and the final rollup.
+    QueryDef(
+      "corpus_curation_v2",
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val url = "https?://[A-Za-z0-9./_-]+"
+        val num = "[0-9]{6,}"
+        val raw = T(s, d, "documents").select(col("doc_id"), col("lang"),
+          concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+            lit("@mail.example.com ref https://ex.com/p/"), col("doc_id").cast("string"))
+            .as("raw"))
+        val scrubbed = raw.withColumn("masked",
+          regexp_replace(regexp_replace(regexp_replace(col("raw"),
+            email, "<EMAIL>"), url, "<URL>"), num, "<NUM>"))
+        val toks = scrubbed.select(col("doc_id"),
+          explode(split(col("masked"), " +")).as("tok"))
+        val n = toks.count()
+        val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val ppl = toks.join(broadcast(freq), "tok")
+          .withColumn("nll",
+            expr(s"CAST(round(-ln(cnt / CAST($n AS DOUBLE)), 9) AS DECIMAL(18,9))"))
+          .groupBy("doc_id")
+          .agg(round(exp(sum(col("nll")).cast("double") / count(lit(1))), 6).as("ppl"))
+        val gated = scrubbed.join(ppl, "doc_id").where(col("ppl") <= 120.0)
+          .withColumn("fp", md5(col("masked")))
+        val keep = gated.groupBy("fp").agg(min("doc_id").as("keep_id"))
+        gated.join(keep, gated("doc_id") === keep("keep_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            // ppl is 6dp-rounded, so the DECIMAL cast is exact and the
+            // mean is order-independent (avg of doubles is not)
+            round(sum(col("ppl").cast("decimal(18,6)")).cast("double") /
+              count(lit(1)), 6).as("mean_ppl"))
+          .orderBy("lang")
+      },
+      Some("""WITH scrubbed AS (
+             |  SELECT doc_id, lang,
+             |    regexp_replace(regexp_replace(regexp_replace(
+             |      text || ' contact u' || CAST(doc_id AS VARCHAR)
+             |        || '@mail.example.com ref https://ex.com/p/' || CAST(doc_id AS VARCHAR),
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      'https?://[A-Za-z0-9./_-]+', '<URL>', 'g'),
+             |      '[0-9]{6,}', '<NUM>', 'g') AS masked
+             |  FROM documents),
+             |toks AS (SELECT doc_id, unnest(string_split_regex(masked, ' +')) AS tok
+             |         FROM scrubbed),
+             |n AS (SELECT count(*) AS n FROM toks),
+             |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+             |ppl AS (
+             |  SELECT doc_id,
+             |    round(exp(CAST(sum(CAST(round(-ln(cnt / (SELECT CAST(n AS DOUBLE) FROM n)), 9)
+             |      AS DECIMAL(18,9))) AS DOUBLE) / count(*)), 6) AS ppl
+             |  FROM toks JOIN freq USING (tok) GROUP BY doc_id),
+             |gated AS (
+             |  SELECT s.doc_id, s.lang, p.ppl, md5(s.masked) AS fp
+             |  FROM scrubbed s JOIN ppl p USING (doc_id) WHERE p.ppl <= 120.0),
+             |keep AS (SELECT fp, min(doc_id) AS keep_id FROM gated GROUP BY fp)
+             |SELECT lang, count(*) AS n_docs,
+             |round(CAST(sum(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_ppl
+             |FROM gated JOIN keep ON doc_id = keep_id
+             |GROUP BY lang ORDER BY lang""".stripMargin)
     )
   )
 }
