@@ -22,11 +22,19 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val results = defs.map { q =>
-      val times = (1 to reps).flatMap { _ =>
+      val times = (1 to reps).flatMap { rep =>
+        val misses0 = graft.geo.H3Geo.memoMisses.get()
         val t0 = System.nanoTime()
         try {
           q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          val sec = (System.nanoTime() - t0) / 1e9
+          // Per-rep diagnostics on stderr (the driver keeps a stderr tail):
+          // a warm rep re-missing the cell memo, or rep-to-rep swings, point
+          // at shared-JVM state — exactly what hid the round-3 anomaly.
+          val dMiss = graft.geo.H3Geo.memoMisses.get() - misses0
+          System.err.println(
+            f"[bench] ${q.name} rep$rep $sec%.3fs memoMiss=+$dMiss memoSize=${graft.geo.H3Geo.memoSize}")
+          Some(sec)
         } catch {
           case t: Throwable =>
             System.err.println(s"[bench] ${q.name} FAILED: ${t.getClass.getName}: ${t.getMessage}")
