@@ -38,10 +38,26 @@ object Fanout {
           if scala.util.Try(r.numPartitions).toOption.exists(_ >= n) => true
     }.nonEmpty
 
+  /** Non-file sources: width from the logical plan's leaves, still without
+    * touching `df.rdd`. LocalRelation (in-memory data) and OneRowRelation
+    * parallelize to a handful of tasks regardless of row count; Range
+    * carries an explicit slice count. Only a leaf we can't classify (an
+    * exotic V2 source) is assumed wide.
+    */
+  private def estimatedNonFilePartitions(df: DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val widths = df.queryExecution.analyzed.collect {
+      case _: LocalRelation => 1L
+      case _: OneRowRelation => 1L
+      case r: Range => r.numSlices.map(_.toLong).getOrElse(1L)
+    }
+    if (widths.nonEmpty) widths.max else Long.MaxValue
+  }
+
   /** ceil(fileBytes / maxPartitionBytes) summed over the scan's files. */
   private def estimatedScanPartitions(spark: SparkSession, df: DataFrame): Long = {
     val files = df.inputFiles
-    if (files.isEmpty) return Long.MaxValue // non-file source: assume wide
+    if (files.isEmpty) return estimatedNonFilePartitions(df)
     val conf = spark.sessionState.newHadoopConf()
     val maxBytes = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
     files.iterator.map { f =>

@@ -51,7 +51,11 @@ object BpeTrain {
     var i = 0
     var done = false
     while (i < merges && !done) {
+      // Words fully merged to one symbol contribute no pairs; excluding
+      // them also avoids sequence(1, 0) descending into element_at(syms, 2)
+      // out-of-bounds errors once a frequent word collapses entirely.
       val best = cur
+        .where(size(col("syms")) > 1)
         .select(col("freq"), explode(expr(
           "transform(sequence(1, size(syms) - 1), " +
             "j -> struct(element_at(syms, j) AS a, element_at(syms, j + 1) AS b))")).as("p"))

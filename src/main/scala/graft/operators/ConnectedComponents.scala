@@ -84,6 +84,10 @@ object ConnectedComponents {
       e = next
       it += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter star rounds; " +
+          "a partially-contracted labeling would be silently wrong")
 
     // fixpoint: every edge is (node, componentMin); nodes that appear only
     // as a minimum are their own component

@@ -135,8 +135,9 @@ object Multimodal {
       frameSampleStub(payload, 4096)
   }
 
-  /** Mime → decoder dispatch. `opened` tracks per-partition open() calls
-    * (one per decoder per partition — asserted in MultimodalSpec).
+  /** Mime → decoder dispatch. `DecoderRegistry.opened` counts per-partition
+    * openAll() calls JVM-wide (diagnostic; in local mode MultimodalSpec
+    * asserts exactly one per input partition).
     */
   final class DecoderRegistry(decoders: Seq[MediaDecoder]) extends Serializable {
     private val byMime: Map[String, MediaDecoder] =
@@ -146,7 +147,15 @@ object Multimodal {
     def forMime(mime: String): MediaDecoder = byMime.getOrElse(mime, fallback)
 
     /** Open every decoder once (call at the top of each partition). */
-    def openAll(): Unit = { decoders.foreach(_.open()); fallback.open() }
+    def openAll(): Unit = {
+      DecoderRegistry.opened.incrementAndGet()
+      decoders.foreach(_.open()); fallback.open()
+    }
+  }
+
+  object DecoderRegistry {
+    /** JVM-wide openAll() call count (per-executor on a cluster). */
+    val opened = new java.util.concurrent.atomic.AtomicLong(0L)
   }
 
   def defaultRegistry: DecoderRegistry = new DecoderRegistry(Seq(

@@ -278,6 +278,8 @@ object AnalyticsOps {
     // can't hash-match DuckDB; QuantileSketchSpec asserts the ≤2% rank
     // error against exact percentiles and merge invariance. The exact twin
     // stats_percentiles (DuckDB-oracled) is the correctness anchor.
+    // The quantile array is exploded to scalar rows so the dump/compare
+    // harness (pandas hash on columns) can handle the result.
     QueryDef(
       "stats_quantile_sketch",
       (s, d) => {
@@ -286,7 +288,9 @@ object AnalyticsOps {
         T(s, d, "lineitem")
           .groupBy("l_returnflag")
           .agg(expr("approx_quantiles(l_extendedprice)").as("price_quantiles"))
-          .orderBy("l_returnflag")
+          .select(col("l_returnflag"),
+            posexplode(col("price_quantiles")).as(Seq("q_idx", "q_value")))
+          .orderBy("l_returnflag", "q_idx")
       }),
 
     // Exact correlation per group via DECIMAL moments: the five sums are

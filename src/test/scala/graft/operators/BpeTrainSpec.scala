@@ -59,6 +59,18 @@ class BpeTrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("training survives words that merge down to a single symbol") {
+    import spark.implicits._
+    // At 12 merges "low</w>" (freq 5) fuses completely; the pair count must
+    // skip collapsed words rather than throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT.
+    val corpus = Seq(
+      "low low low low low", "lower lower", "newest newest newest newest newest newest",
+      "widest widest widest", "new new nap nap nap")
+    val got = BpeTrain.train(spark, corpus.toDF("text"), "text", 12)
+    val want = referenceTrain(corpus, 12)
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("training on real docs is deterministic across runs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = BpeTrain.train(spark, docs, "text", 5)

@@ -86,4 +86,15 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the wav row hit the registry fallback, not the custom decoder
     assert(out(1).getAs[Int]("width") >= 64)
   }
+
+  test("openAll runs exactly once per input partition") {
+    import spark.implicits._
+    val media = (1L to 8L)
+      .map(i => Multimodal.MediaRow(i, "image/png", Multimodal.pngWrap(i, Array[Byte](1))))
+      .toDF().repartition(3)
+    val before = Multimodal.DecoderRegistry.opened.get()
+    Multimodal.extractFeatures(spark, media).count()
+    val delta = Multimodal.DecoderRegistry.opened.get() - before
+    assert(delta == 3, s"expected one openAll per partition (3), got $delta")
+  }
 }
