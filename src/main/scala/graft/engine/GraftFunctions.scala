@@ -224,6 +224,10 @@ object GraftFunctions {
       if (s == null) null else GeoIO.toGeoJson(parseGeom(s)))
     u.register("st_point", (lon: java.lang.Double, lat: java.lang.Double) =>
       if (lon == null || lat == null) null else GeoIO.toWkt(GeoIO.point(lon, lat)))
+    u.register("st_x", (s: String) =>
+      if (s == null) null else java.lang.Double.valueOf(parseGeom(s).getCoordinate.x))
+    u.register("st_y", (s: String) =>
+      if (s == null) null else java.lang.Double.valueOf(parseGeom(s).getCoordinate.y))
     u.register("st_isvalid", (s: String) =>
       if (s == null) null.asInstanceOf[java.lang.Boolean]
       else java.lang.Boolean.valueOf(GeoIO.isValid(parseGeom(s))))

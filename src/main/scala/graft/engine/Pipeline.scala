@@ -392,6 +392,8 @@ object GraftJob {
     // driver-side fallback surface
     case Some(p) if p.endsWith(".shp") =>
       spark.read.format("shapefile").load(p)
+    case Some(p) if p.endsWith(".geojson") || p.endsWith(".ndjson") =>
+      graft.sources.GeoJson.read(spark, p)
     case Some(p) => spark.read.parquet(p)
     case None =>
       sys.env.get("SPARK_GRAFT_JDBC_URL") match {

@@ -25,7 +25,17 @@ object GeoIO {
 
   private val gf = new GeometryFactory(new PrecisionModel, 4326)
   private val wktReader = ThreadLocal.withInitial[WKTReader](() => new WKTReader(gf))
-  private val wktWriter = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter())
+  private val wktWriter = ThreadLocal.withInitial[WKTWriter](() => {
+    val w = new WKTWriter()
+    // Full-precision ordinates: the default formatter (16 significant
+    // digits, via the factory's FLOATING model) perturbs a coordinate by
+    // up to 1 ulp on every WKT round-trip. A FIXED(1e17) model only
+    // selects the formatter width here (the writer never snaps
+    // coordinates), and ≥18 fraction digits uniquely identifies any
+    // double in lon/lat range — WKT-at-rest becomes lossless.
+    w.setPrecisionModel(new PrecisionModel(1e17))
+    w
+  })
   private val wkbReader = ThreadLocal.withInitial[WKBReader](() => new WKBReader(gf))
   private val wkbWriter = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter())
   private val mapper = new ObjectMapper()

@@ -248,6 +248,43 @@ object GeoQueries {
     // rows). Rows-only — DuckDB computes no H3 — with GeoStreamSpec
     // asserting exact equality against the batch twin.
     QueryDef("h3_index_points_stream",
-      (s, d) => graft.streaming.GeoStream.pointsRollupStream(s, d, Res))
+      (s, d) => graft.streaming.GeoStream.pointsRollupStream(s, d, Res)),
+
+    // GeoJSON source round-trip, DuckDB-oracled end-to-end: customer rows
+    // become NDJSON Features (geometry + typed properties), are written
+    // with the distributed GeoJSON sink, read back through the extension-
+    // routed source, and re-emitted as scalars. The oracle recomputes the
+    // same values straight from the parquet table — a hash match proves
+    // the writer/reader round-trips doubles, longs, and strings exactly
+    // (shortest-round-trip JSON formatting on both sides).
+    QueryDef("geojson_source_roundtrip",
+      (s, d) => {
+        GraftFunctions.register(s)
+        // pure-double coordinate chain (the D-suffixed literals matter:
+        // un-suffixed 100.0 parses as DECIMAL in Spark and the chain
+        // becomes decimal-exact, while DuckDB's '/' is always double —
+        // 1-ulp drift the hash compare would catch)
+        val lonD = expr(
+          "cast(pmod(c_custkey * 13 + 49, 35000) as double) / 100.0D - 175.0D + 0.005D")
+        val latD = expr(
+          "cast(pmod(c_custkey * 31 + 51, 14000) as double) / 100.0D - 70.0D + 0.005D")
+        val src = T(s, d, "customer").select(
+          col("c_custkey").cast("long").as("geo_id"),
+          col("c_name").as("name"),
+          col("c_acctbal").as("balance"),
+          callUDF("st_point", lonD, latD).as("geom_wkt"))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_geojson_rt_" +
+          java.lang.Integer.toHexString(d.hashCode)
+        graft.sources.GeoJson.write(src, "geom_wkt", dir)
+        graft.sources.GeoJson.read(s, dir)
+          .select(col("geo_id"), col("name"), col("balance"),
+            callUDF("st_x", col("geom_wkt")).as("lon"),
+            callUDF("st_y", col("geom_wkt")).as("lat"))
+          .orderBy("geo_id")
+      },
+      Some("""SELECT c_custkey AS geo_id, c_name AS name, c_acctbal AS balance,
+             |  ((c_custkey * 13 + 49) % 35000) / 100.0 - 175 + 0.005 AS lon,
+             |  ((c_custkey * 31 + 51) % 14000) / 100.0 - 70 + 0.005 AS lat
+             |FROM customer ORDER BY geo_id""".stripMargin))
   )
 }

@@ -280,6 +280,13 @@ object Relational {
       "events_hourly_distinct_stream",
       (s, d) => graft.streaming.EventStream.hourlyDistinctUsers(s, d)),
 
+    // Streaming KLL quantile sketch per hour: bounded per-window state
+    // (rows-only — approx quantiles can't hash-match DuckDB; GeoStreamSpec
+    // asserts stream == batch twin at spec scale where the sketch is exact).
+    QueryDef(
+      "events_hourly_quantiles_stream",
+      (s, d) => graft.streaming.EventStream.hourlyValueQuantiles(s, d)),
+
     // J8: bloom-filter-pruned join — the probe (orders) is filtered by the
     // build side's key bloom BEFORE its shuffle (operators/BloomJoin.scala).
     // The bloom's false positives are removed by the join, so the result —

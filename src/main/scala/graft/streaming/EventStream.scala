@@ -150,6 +150,57 @@ object EventStream {
     spark.table(sinkName).orderBy("h")
   }
 
+  /** Streaming quantile sketch: per-hour value quantiles via the KLL
+    * Aggregator INSIDE the stream — per-window state is the sketch's
+    * bounded buffer, not the window's values, so heavy windows can't grow
+    * state. Quantile arrays are exploded to scalar rows (the dump/compare
+    * contract). Rows-only as a registered query (approx values have no
+    * DuckDB twin); GeoStreamSpec asserts the streamed result equals the
+    * batch-twin sketch at spec scale, where windows fit the buffer and the
+    * sketch is exact.
+    */
+  def hourlyValueQuantiles(spark: SparkSession, dir: String,
+                           streaming: Boolean = true): DataFrame = {
+    spark.udf.register("approx_quantiles_stream",
+      org.apache.spark.sql.functions.udaf(
+        graft.operators.QuantileSketch.agg(Array(0.1, 0.5, 0.9))))
+    val events =
+      if (!streaming) graft.queries.T.events(spark, dir)
+      else {
+        val batch = spark.read.parquet(s"$dir/events.parquet")
+        val srcDir = Files.createTempDirectory("graft_kll_src")
+        srcDir.toFile.deleteOnExit()
+        Files.copy(Paths.get(s"$dir/events.parquet"),
+          srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        val raw = spark.readStream.schema(batch.schema).parquet(srcDir.toString)
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case _ => raw
+        }
+      }
+    val agg = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr("approx_quantiles_stream(value)").as("qs"),
+        count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("h"),
+        posexplode(col("qs")).as(Seq("q_idx", "q_value")), col("n_events"))
+      .select("h", "q_idx", "q_value", "n_events")
+    if (!streaming) return agg.orderBy("h", "q_idx")
+
+    val sinkName = s"graft_stream_kll_${math.abs(dir.hashCode)}"
+    val q = agg.writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_kll_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).orderBy("h", "q_idx")
+  }
+
   /** Stream-stream interval join: clicks matched to the views they
     * followed within `windowMinutes`, per user. Both sides carry
     * watermarks, so each side's join state is bounded by the interval +

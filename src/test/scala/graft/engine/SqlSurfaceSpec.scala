@@ -40,6 +40,8 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     "h3_is_valid" -> s"h3_is_valid(h3_unhex('$cell'))",
     "h3_is_pentagon" -> s"h3_is_pentagon(h3_unhex('$cell'))",
     "st_point" -> "st_point(-122.42, 37.77)",
+    "st_x" -> "st_x('POINT (1 2)')",
+    "st_y" -> "st_y('POINT (1 2)')",
     "st_astext" -> "st_astext('POINT (1 2)')",
     "st_asgeojson" -> "st_asgeojson('POINT (1 2)')",
     "st_makevalid" -> "st_makevalid('POLYGON ((0 0, 1 1, 1 0, 0 1, 0 0))')",

@@ -41,4 +41,16 @@ class GeoStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(s1.toString == b1.toString)
     }
   }
+
+  test("streamed hourly KLL quantiles equal the batch twin at sub-buffer scale") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStream.hourlyValueQuantiles(spark, dir).collect()
+    val batch = EventStream.hourlyValueQuantiles(spark, dir, streaming = false).collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    // each hourly window holds far fewer values than the sketch buffer, so
+    // no compaction fires and both paths return EXACT quantiles
+    streamed.zip(batch).foreach { case (s1, b1) =>
+      assert(s1.toString == b1.toString)
+    }
+  }
 }
