@@ -253,6 +253,139 @@ object TextOps {
              |  'https?://[A-Za-z0-9./_-]+', '<URL>', 'g'),
              |  '[0-9]{6,}', '<NUM>', 'g')) AS masked_md5
              |FROM raw ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Sequence packing (concat-and-chunk): documents concatenated in a
+    // deterministic global order and cut into fixed-size token blocks —
+    // the standard pretraining transform. A naive global running sum is a
+    // single-partition window; here it is the scale-safe two-phase scan:
+    // (1) token subtotals per CONTIGUOUS doc_id range bucket, (2) tiny
+    // prefix-sum over bucket subtotals (rows = docs/B, broadcast back),
+    // (3) per-bucket window cumsum + bucket offset. Same result as the
+    // one-window form — which is exactly what the DuckDB oracle runs.
+    QueryDef(
+      "text_pack_sequences",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val L = 512L  // tokens per packed block
+        val B = 100L  // docs per prefix bucket
+        val toks = T(s, d, "documents").select(
+          col("doc_id"),
+          size(split(col("text"), " +")).cast("long").as("n_tokens"),
+          (col("doc_id") / B).cast("long").as("bucket"))
+        val wBuckets = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = toks.groupBy("bucket")
+          .agg(sum("n_tokens").as("btoks"))
+          .withColumn("offset", coalesce(sum("btoks").over(wBuckets), lit(0L)))
+          .select("bucket", "offset")
+        val wDocs = Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        toks.join(broadcast(offsets), "bucket")
+          .withColumn("cum", sum("n_tokens").over(wDocs) + col("offset"))
+          .select(col("doc_id"), col("n_tokens"), col("cum"),
+            expr(s"(cum - n_tokens) div $L").as("first_block"),
+            expr(s"(cum - 1) div $L").as("last_block"))
+          .withColumn("n_blocks", col("last_block") - col("first_block") + 1)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM t)
+             |SELECT doc_id, n_tokens, cum,
+             |  (cum - n_tokens) // 512 AS first_block,
+             |  (cum - 1) // 512 AS last_block,
+             |  (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS n_blocks
+             |FROM c ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Data-mixture plan: per-source sampling weights applied as a
+    // deterministic hash gate — weight < 1 downsamples, weight > 1 emits
+    // floor(w) full copies plus a hash-gated fractional copy (the standard
+    // corpus-mixing epoch plan, reproducible across retries, no rand()).
+    // Map-only per row (the weights table broadcasts); one aggregate.
+    QueryDef(
+      "corpus_mixture_plan",
+      (s, d) => {
+        // per-source weights: even source index 0.25x, odd 1.5x
+        val srcWeight = when(
+          pmod(regexp_extract(col("source"), "(\\d+)", 1).cast("int"), lit(2)) === 0,
+          lit(0.25)).otherwise(lit(1.5))
+        // fractional part as a 6-hex-digit md5 threshold (string compare —
+        // identical lexicographic semantics in both engines)
+        val copies = T(s, d, "documents")
+          .withColumn("w", srcWeight)
+          .withColumn("copy_idx",
+            explode(expr("sequence(1, cast(ceil(w) as int))")))
+          .where(col("copy_idx") <= floor(col("w")) ||
+            substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+              col("copy_idx").cast("string"))), 1, 6) <
+              when(col("w") === 0.25, lit("400000")).otherwise(lit("800000")))
+        copies.groupBy("source")
+          .agg(count(lit(1)).as("n_copies"),
+            count_distinct(col("doc_id")).as("n_docs"),
+            sum(size(split(col("text"), " +")).cast("long")).as("n_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (SELECT *,
+             |    CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 2 = 0
+             |         THEN 0.25 ELSE 1.5 END AS wt
+             |  FROM documents),
+             |c AS (SELECT * FROM w, UNNEST(range(1, CAST(ceil(wt) AS BIGINT) + 1)) AS u(copy_idx)
+             |  WHERE copy_idx <= floor(wt)
+             |     OR substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(copy_idx AS VARCHAR)), 1, 6)
+             |        < CASE WHEN wt = 0.25 THEN '400000' ELSE '800000' END)
+             |SELECT source, count(*) AS n_copies,
+             |  count(DISTINCT doc_id) AS n_docs,
+             |  CAST(sum(len(string_split_regex(text, ' +'))) AS BIGINT) AS n_tokens
+             |FROM c GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // Benchmark decontamination: train documents sharing a word n-gram
+    // with any held-out eval document are flagged — the dedup-against-eval
+    // pass every training corpus needs. Both sides shingle map-side,
+    // dedupe to DISTINCT (doc, gram), and meet in ONE equi-join on the
+    // gram (at 100 TB the eval side is tiny and broadcasts; the train side
+    // never shuffles more than its distinct grams). n=3 because the
+    // synthetic corpus is short random word-soup (real corpora use 8-13);
+    // the plan is n-independent.
+    QueryDef(
+      "text_decontaminate",
+      (s, d) => {
+        val grams = T(s, d, "documents")
+          .withColumn("ws", expr(
+            "filter(split(regexp_replace(lower(text), '[^a-z0-9]+', ' '), ' +'), x -> x != '')"))
+          .where(size(col("ws")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))"))
+            .as("gram"))
+          .distinct()
+        val eval = grams.where(pmod(col("doc_id"), lit(97)) === 0)
+          .select(col("gram"), col("doc_id").as("eval_id"))
+        val train = grams.where(pmod(col("doc_id"), lit(97)) =!= 0)
+        train.join(broadcast(eval), "gram")
+          .groupBy("doc_id")
+          .agg(count_distinct(col("eval_id")).as("n_eval_docs"),
+            count(lit(1)).as("n_gram_hits"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +'),
+             |                x -> x <> '') AS ws
+             |  FROM documents),
+             |g AS (SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+             |                          i -> array_to_string(ws[i:i+2], ' '))) AS gram
+             |  FROM t WHERE len(ws) >= 3),
+             |e AS (SELECT gram, doc_id AS eval_id FROM g WHERE doc_id % 97 = 0),
+             |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+             |SELECT tr.doc_id, count(DISTINCT e.eval_id) AS n_eval_docs,
+             |  count(*) AS n_gram_hits
+             |FROM tr JOIN e USING (gram)
+             |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin)
     )
   )
 }
