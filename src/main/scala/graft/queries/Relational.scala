@@ -273,6 +273,53 @@ object Relational {
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
+    // Streaming parquet FILE sink (S5's partitioned layout on the
+    // streaming side): redelivered feed → watermarked dedup → append to a
+    // partitionBy(event_type) parquet sink, read back and rolled up — the
+    // oracle is the batch rollup, so a hash match proves the file sink
+    // wrote exactly-once under duplicate delivery.
+    QueryDef(
+      "events_stream_parquet_sink",
+      (s, d) => graft.streaming.EventStream.dedupToParquetSink(s, d),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+             |event_type, count(*) AS n,
+             |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // J10: bucketed co-located join — both sides written bucketBy(8, key)
+    // (external tables, explicit paths), so the sort-merge join reads
+    // pre-clustered buckets and needs NO exchange under either side
+    // (JoinStrategySpec asserts the plan). THE mechanism for repeated big
+    // joins on a stable key at 100 TB: the shuffle is paid once at write
+    // time, then every subsequent join is exchange-free.
+    QueryDef(
+      "j10_bucketed_colocated_join",
+      (s, d) => {
+        val hex = java.lang.Integer.toHexString(d.hashCode)
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_bkt_$hex"
+        val (oT, cT) = (s"graft_bkt_orders_$hex", s"graft_bkt_customer_$hex")
+        T(s, d, "orders").write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$base/orders").saveAsTable(oT)
+        T(s, d, "customer").write.mode("overwrite").format("parquet")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$base/customer").saveAsTable(cT)
+        val o = s.table(oT)
+        val c = s.table(cT)
+        o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    ),
+
     // Streaming sketch aggregation: HLL distinct-users per hour with 4 KB
     // state per window (rows-only — sketch estimates can't hash-match
     // DuckDB; GeoStreamSpec asserts bit-identical stream/batch results).

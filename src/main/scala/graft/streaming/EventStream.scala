@@ -150,6 +150,55 @@ object EventStream {
     spark.table(sinkName).orderBy("h")
   }
 
+  /** Streaming file sink (S5's layout, streaming-side): the duplicated
+    * file feed is deduped within the watermark and APPENDED to a
+    * partitioned parquet sink — row-level ops emit immediately in append
+    * mode, so nothing waits on watermark advance (a windowed agg would
+    * hold its tail windows back under AvailableNow). The sink directory is
+    * then read back batch-side and rolled up, so the result shares the
+    * batch rollup's DuckDB oracle — proving the file-sink path writes
+    * exactly-once under redelivery.
+    */
+  def dedupToParquetSink(spark: SparkSession, dir: String): DataFrame = {
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val srcDir = Files.createTempDirectory("graft_fsink_src")
+    srcDir.toFile.deleteOnExit()
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("a_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("b_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val raw = spark.readStream.schema(batch.schema).parquet(srcDir.toString)
+    val events = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+    val outDir = Files.createTempDirectory("graft_fsink_out").toString
+
+    val q = events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_fsink_ckpt").toString)
+      .partitionBy("event_type")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.read.parquet(outDir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("h", "event_type")
+  }
+
   /** Streaming quantile sketch: per-hour value quantiles via the KLL
     * Aggregator INSIDE the stream — per-window state is the sketch's
     * bounded buffer, not the window's values, so heavy windows can't grow

@@ -54,4 +54,30 @@ class JoinStrategySpec extends AnyFunSuite with BeforeAndAfterAll {
     val r2 = sm.orderBy("a", "b").collect().map(_.toSeq)
     assert(r1.sameElements(r2))
   }
+
+  test("bucketed co-located join has no exchange under the sort-merge join") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_bkt_spec")
+    base.toFile.deleteOnExit()
+    (1L to 200L).map(i => (i % 40, i, i * 2.0)).toDF("k", "x", "v")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(4, "k").sortBy("k")
+      .option("path", s"$base/l").saveAsTable("graft_spec_bkt_l")
+    (0L until 40L).map(i => (i, s"dim$i")).toDF("k", "name")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(4, "k").sortBy("k")
+      .option("path", s"$base/r").saveAsTable("graft_spec_bkt_r")
+    val j = spark.table("graft_spec_bkt_l").hint("merge")
+      .join(spark.table("graft_spec_bkt_r"), "k")
+    val smj = j.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+    }
+    assert(smj.nonEmpty, "expected a sort-merge join")
+    val exchanges = smj.get.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.isEmpty,
+      s"bucketed join must read pre-clustered buckets with no shuffle:\n${smj.get}")
+    assert(j.count() == 200)
+  }
 }
