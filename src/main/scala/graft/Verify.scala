@@ -17,9 +17,27 @@ object Verify {
       case (name, _) => only.forall(_.contains(name))
     }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // The driver's pandas compare sorts/hashes column VALUES — nested
+        // types (array/map/struct) crash it ("unhashable numpy.ndarray",
+        // round-4 stats_quantile_sketch). Rows-only queries may still
+        // surface nested columns; stringify them deterministically so the
+        // dump contract never breaks. Oracled queries are scalar-only by
+        // construction (DuckDB compare needs scalars), so their hashes are
+        // untouched.
+        import org.apache.spark.sql.types._
+        val flat = df.schema.fields.foldLeft(df) { (acc, f) =>
+          f.dataType match {
+            case _: ArrayType | _: MapType | _: StructType =>
+              acc.withColumn(f.name,
+                org.apache.spark.sql.functions.to_json(
+                  org.apache.spark.sql.functions.col(f.name)))
+            case _ => acc
+          }
+        }
+        flat.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

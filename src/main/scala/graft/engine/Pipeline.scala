@@ -349,6 +349,30 @@ object Resolver {
   def resolveSingle(spark: SparkSession, indexed: DataFrame,
                     inputColumns: Seq[String], res: Int): DataFrame =
     resolve(spark, Seq(resolveInput(indexed, inputColumns)), res)
+
+  /** Incremental resolve: fold a newly resolved batch into an existing
+    * resolved table of the SAME sum_ schema without recomputing history —
+    * union + per-cell re-sum (summation is associative), epilogue columns
+    * recomputed by `resolve`. This is the production shape for a periodic
+    * feed at 100 TB: the merge cost scales with |delta| + |touched cells|,
+    * not with the accumulated corpus. Equivalent (up to floating-point
+    * summation order) to re-resolving everything from scratch —
+    * ResolverSpec asserts agreement to 1e-9 relative.
+    */
+  def mergeDelta(spark: SparkSession, existing: DataFrame, delta: DataFrame,
+                 res: Int): DataFrame = {
+    val sums = existing.columns.filter(_.startsWith("sum_")).toSeq
+    val deltaSums = delta.columns.filter(_.startsWith("sum_")).toSeq
+    require(sums.nonEmpty && deltaSums == sums,
+      s"mergeDelta needs matching sum_ schemas, got [$sums] vs [$deltaSums]")
+    val cols = (Cols.H3Index +: sums).map(col)
+    val merged = existing.select(cols: _*)
+      .unionByName(delta.select(cols: _*))
+      .groupBy(Cols.H3Index)
+      .agg(sums.map(c => sum(col(c)).as(c)).head,
+        sums.map(c => sum(col(c)).as(c)).tail: _*)
+    resolve(spark, Seq(merged), res)
+  }
 }
 
 /** Whole-job orchestration (reference main.py:101-155). */

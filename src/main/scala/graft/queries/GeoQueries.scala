@@ -250,6 +250,25 @@ object GeoQueries {
     QueryDef("h3_index_points_stream",
       (s, d) => graft.streaming.GeoStream.pointsRollupStream(s, d, Res)),
 
+    // Incremental resolve: the corpus arrives in two batches; each batch is
+    // indexed+resolved alone and the second folds into the first via
+    // Resolver.mergeDelta (union + per-cell re-sum; cost scales with the
+    // delta, not history). Rows-only — H3 keys aren't DuckDB-computable;
+    // EngineSpec asserts the merged result equals the from-scratch resolve
+    // to 1e-9 relative.
+    QueryDef("h3_resolve_incremental",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val all = pointsDf(s, d)
+        def res1(batch: org.apache.spark.sql.DataFrame) =
+          Resolver.resolveSingle(s,
+            indexed(s, pointsInput, batch, forWrite = false, asHex = false),
+            Seq("qty"), Res)
+        val existing = res1(all.where(pmod(col("point_id"), lit(2)) === 0))
+        val delta = res1(all.where(pmod(col("point_id"), lit(2)) === 1))
+        Resolver.mergeDelta(s, existing, delta, Res).orderBy("h3_index")
+      }),
+
     // GeoJSON source round-trip, DuckDB-oracled end-to-end: customer rows
     // become NDJSON Features (geometry + typed properties), are written
     // with the distributed GeoJSON sink, read back through the extension-

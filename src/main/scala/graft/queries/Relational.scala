@@ -317,7 +317,8 @@ object Relational {
       Some("""SELECT c_mktsegment, count(*) AS n_orders,
              |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
              |FROM orders JOIN customer ON o_custkey = c_custkey
-             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      headline = true
     ),
 
     // Streaming sketch aggregation: HLL distinct-users per hour with 4 KB

@@ -299,7 +299,8 @@ object TextOps {
              |  (cum - n_tokens) // 512 AS first_block,
              |  (cum - 1) // 512 AS last_block,
              |  (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS n_blocks
-             |FROM c ORDER BY doc_id""".stripMargin)
+             |FROM c ORDER BY doc_id""".stripMargin),
+      headline = true
     ),
 
     // Data-mixture plan: per-source sampling weights applied as a
@@ -385,7 +386,8 @@ object TextOps {
              |SELECT tr.doc_id, count(DISTINCT e.eval_id) AS n_eval_docs,
              |  count(*) AS n_gram_hits
              |FROM tr JOIN e USING (gram)
-             |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin)
+             |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin),
+      headline = true
     )
   )
 }

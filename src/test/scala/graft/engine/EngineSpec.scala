@@ -155,6 +155,30 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(resolved.count() == resolved.select(Cols.H3Index).distinct().count())
   }
 
+  test("resolver: mergeDelta on a split corpus equals the from-scratch resolve") {
+    import graft.queries.GeoQueries
+    val d = "/root/testdata/sf0.001"
+    val all = GeoQueries.pointsDf(spark, d)
+    val in = GeoQueries.pointsInput
+    def res1(batch: org.apache.spark.sql.DataFrame) =
+      Resolver.resolveSingle(spark,
+        Indexer.index(spark, in, Validator.validate(spark, in, batch), 6,
+          forWrite = false, asHex = false), Seq("qty"), 6)
+    val merged = Resolver.mergeDelta(spark,
+      res1(all.where(pmod(col("point_id"), lit(2)) === 0)),
+      res1(all.where(pmod(col("point_id"), lit(2)) === 1)), 6)
+    val full = res1(all)
+    assert(merged.count() == full.count() && full.count() > 0)
+    val joined = merged.select(col(Cols.H3Index), col("sum_qty").as("m"))
+      .join(full.select(col(Cols.H3Index), col("sum_qty").as("f")), Cols.H3Index)
+    assert(joined.count() == full.count(), "same cell set")
+    // identical up to floating summation order
+    val worst = joined
+      .select(max(abs(col("m") - col("f")) / greatest(abs(col("f")), lit(1e-12))))
+      .head().getDouble(0)
+    assert(worst < 1e-9, s"relative drift $worst")
+  }
+
   test("resolver normalizes mixed LONG/hex-string h3_index keys before the fold") {
     val (pin, pdata) = polysInput
     val (lin, ldata) = linesInput
