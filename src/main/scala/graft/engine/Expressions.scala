@@ -245,17 +245,60 @@ object Expressions {
     "h3_cell_area_cached_native" -> (es => CellAreaCachedExpr(asL(es.head)))
   )
 
-  def register(spark: SparkSession): Unit =
+  /** Optimizer rule: collapse H3 conversion chains that plan composition
+    * creates — `h3_unhex(h3_hex(x))` → `x` (exact: toHexString/parse
+    * round-trips any int64 bit pattern, null-through on both) and
+    * `h3_parent_long(h3_parent_long(x, a), b)` → `h3_parent_long(x, b)`
+    * for literal resolutions a ≥ b (ancestor-of-ancestor). The first
+    * arises when a just-hexed indexed frame feeds the resolver's LONG
+    * fold; the second when rollupToRes output is re-rolled coarser.
+    */
+  object CollapseH3Chains extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+    // the function builders wrap args in explicit Casts; see through
+    // the no-op ones (same source/target type)
+    private def unwrap(e: Expression): Expression = e match {
+      case c: Cast if c.child.dataType == c.dataType => unwrap(c.child)
+      case other => other
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.transformAllExpressions {
+        case u @ H3UnhexExpr(inner) => unwrap(inner) match {
+          case H3HexExpr(x) => x
+          case _ => u
+        }
+        case p @ H3ParentLongExpr(inner, Literal(b: Int, IntegerType)) =>
+          unwrap(inner) match {
+            case H3ParentLongExpr(x, Literal(a: Int, IntegerType)) if b <= a =>
+              H3ParentLongExpr(x, Literal(b))
+            case _ => p
+          }
+      }
+  }
+
+  def register(spark: SparkSession): Unit = {
     registrations.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    // post-hoc sessions can't inject optimizer rules; extraOptimizations
+    // runs at the end of optimization, after SimplifyCasts
+    if (!spark.experimental.extraOptimizations.contains(CollapseH3Chains))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ CollapseH3Chains
+  }
 
-  def inject(ext: SparkSessionExtensions): Unit =
+  def inject(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => CollapseH3Chains)
     registrations.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.engine.Expressions", name), builder))
     }
+  }
 }
 
 /** `spark.sql.extensions=graft.engine.GraftExtensions` injects the native

@@ -253,6 +253,41 @@ object DedupQueries {
              |),
              |labels AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
              |SELECT comp, count(*) AS n_nodes, max(node) AS max_node
-             |FROM labels GROUP BY comp ORDER BY comp""".stripMargin))
+             |FROM labels GROUP BY comp ORDER BY comp""".stripMargin)),
+
+    // Canonical-survivor selection: within each duplicate cluster keep the
+    // highest-quality member (ttr desc, doc_id tie-break) — the curation
+    // step after dedup that decides WHICH copy survives. Clusters here key
+    // on a content-prefix block (the synthetic corpus has no exact dups;
+    // its planted near-dups share prefixes — 23 clusters at sf0.01); with
+    // minhash-CC clusters (dedup_lsh_clusters) the selection is identical.
+    // One window shuffle on the fingerprint; quality is computed map-side.
+    QueryDef("dedup_survivor_pick",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = T(s, d, "documents")
+          .withColumn("fp", md5(substring(col("text"), 1, 40)))
+          .withColumn("toks", split(col("text"), " +"))
+          .withColumn("ttr", round(size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double"), 6))
+        val w = Window.partitionBy("fp").orderBy(col("ttr").desc, col("doc_id"))
+        docs.withColumn("rk", row_number().over(w))
+          .groupBy("fp")
+          .agg(count(lit(1)).cast("long").as("n_members"),
+            min(when(col("rk") === 1, col("doc_id"))).as("survivor_doc"),
+            max(when(col("rk") === 1, col("ttr"))).as("survivor_ttr"))
+          .where(col("n_members") > 1)
+          .orderBy("fp")
+      },
+      Some("""WITH q AS (SELECT doc_id, md5(substr(text, 1, 40)) AS fp,
+             |  round(CAST(len(list_distinct(string_split_regex(text, ' +'))) AS DOUBLE)
+             |    / len(string_split_regex(text, ' +')), 6) AS ttr
+             |  FROM documents),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY ttr DESC, doc_id) AS rk
+             |  FROM q)
+             |SELECT fp, count(*) AS n_members,
+             |  min(CASE WHEN rk = 1 THEN doc_id END) AS survivor_doc,
+             |  max(CASE WHEN rk = 1 THEN ttr END) AS survivor_ttr
+             |FROM r GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin))
   )
 }

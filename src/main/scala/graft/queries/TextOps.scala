@@ -345,6 +345,38 @@ object TextOps {
              |FROM c GROUP BY source ORDER BY source""".stripMargin)
     ),
 
+    // Overlapping document chunking (the RAG/embedding-prep transform):
+    // fixed window, fixed stride, deterministic chunk grid. Map-side
+    // explode only — no shuffle before the oracle sort; at 100 TB the
+    // fan-out factor is ~len/stride per doc, bounded per row. Chunk
+    // content is pinned by md5 so the dump stays narrow.
+    QueryDef(
+      "text_chunk_overlap",
+      (s, d) => {
+        val W = 200 // window chars
+        val S = 150 // stride (50-char overlap)
+        T(s, d, "documents")
+          .withColumn("len", length(col("text")).cast("long"))
+          .withColumn("chunk_idx", explode(
+            expr(s"sequence(0, (greatest(len - $W, 0) + $S - 1) div $S)")))
+          .withColumn("chunk",
+            expr(s"substr(text, cast(chunk_idx * $S + 1 as int), $W)"))
+          .select(col("doc_id"), col("chunk_idx"),
+            length(col("chunk")).cast("long").as("chunk_len"),
+            md5(col("chunk")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+             |  FROM documents),
+             |c AS (SELECT doc_id, text,
+             |    unnest(range(0, 1 + (greatest(len - 200, 0) + 149) // 150)) AS chunk_idx
+             |  FROM t)
+             |SELECT doc_id, chunk_idx,
+             |  CAST(length(substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200)) AS BIGINT) AS chunk_len,
+             |  md5(substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200)) AS chunk_md5
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)
+    ),
+
     // Benchmark decontamination: train documents sharing a word n-gram
     // with any held-out eval document are flagged — the dedup-against-eval
     // pass every training corpus needs. Both sides shingle map-side,

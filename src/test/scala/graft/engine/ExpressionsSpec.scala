@@ -88,6 +88,32 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     both.foreach(r => assert(!r.isNullAt(0) && !r.isNullAt(1),
       "long and string index_shape surfaces disagree"))
   }
+
+  test("optimizer collapses hex/unhex round-trips and parent chains") {
+    // cell as int64 (the hot-path representation the rule targets)
+    val df = spark.range(100)
+      .selectExpr("cast(id % 140 - 70 + 0.17 as double) AS lat",
+        "cast(id % 350 - 175 + 0.29 as double) AS lng")
+      .selectExpr("h3_unhex(h3_latlng_cell_native(lat, lng, 9)) AS cell")
+      .localCheckpoint() // pin the plan so each selectExpr below starts clean
+
+    val roundTrip = df.selectExpr("h3_unhex(h3_hex(cell)) AS c")
+    val rtOpt = roundTrip.queryExecution.optimizedPlan.toString
+    assert(!rtOpt.contains("h3_unhex") && !rtOpt.contains("h3_hex"),
+      s"hex/unhex round-trip must be eliminated:\n$rtOpt")
+    assert(roundTrip.exceptAll(df.selectExpr("cell AS c")).isEmpty)
+
+    val chained = df.selectExpr("h3_parent_long(h3_parent_long(cell, 7), 4) AS p")
+    val chOpt = chained.queryExecution.optimizedPlan.toString
+    assert("h3_parent_long".r.findAllIn(chOpt).size == 1,
+      s"parent-of-parent must collapse to one call:\n$chOpt")
+    assert(chained.exceptAll(df.selectExpr("h3_parent_long(cell, 4) AS p")).isEmpty)
+
+    // a chain that is NOT ancestor-of-ancestor (b > a) must be left alone
+    val noRewrite = df.selectExpr("h3_parent_long(h3_parent_long(cell, 4), 7) AS p")
+    assert("h3_parent_long".r.findAllIn(
+      noRewrite.queryExecution.optimizedPlan.toString).size == 2)
+  }
 }
 
 object H3GoldenHelper {
