@@ -176,7 +176,13 @@ object GraftFunctions {
 
   def makeValidWkt(s: String): String =
     if (s == null) null
-    else GeoIO.makeValid(parseGeom(s)).map(GeoIO.toWkt).orNull
+    else try GeoIO.makeValid(parseGeom(s)).map(GeoIO.toWkt).orNull
+    catch {
+      // malformed/unparseable encodings are irreparable — drop (and let
+      // Validator.quarantine surface them) rather than failing the job on
+      // one bad row; at corpus scale malformed rows are a certainty
+      case scala.util.control.NonFatal(_) => null
+    }
 
   // --------------------------------------------------------- registration
 

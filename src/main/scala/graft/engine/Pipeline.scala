@@ -122,17 +122,7 @@ object Validator {
     // encodings itself, so one canonical column suffices.
     // st_makevalid is the fused sniff-parse → repair → WKT step; null
     // source or irreparable geometry → null (geospatial.py:140-166).
-    val geomExpr = (in.geometryColumn, in.latColumn, in.lonColumn) match {
-      case (Some(g), _, _) =>
-        fanned.schema(g).dataType match {
-          case BinaryType => callUDF("st_makevalid", hex(col(g)))
-          case _ => callUDF("st_makevalid", col(g).cast("string"))
-        }
-      case (None, Some(la), Some(lo)) =>
-        callUDF("st_makevalid",
-          callUDF("st_point", col(lo).cast("double"), col(la).cast("double")))
-      case _ => throw ValidationError(s"input ${in.name}: no geometry source")
-    }
+    val (geomExpr, _) = repairedGeom(in, fanned)
 
     // Drop the null/irreparable rows via explode(array_compact(array(…)))
     // rather than isNotNull filters: PushDownPredicates would substitute a
@@ -150,6 +140,41 @@ object Validator {
     if (withGeoJson)
       cleaned.withColumn("geometry_geojson", callUDF("st_asgeojson", col(Cols.GeomWkt)))
     else cleaned
+  }
+
+  /** (repaired-WKT-or-null expression, source-is-null predicate) for the
+    * input's geometry source — shared by validate() and quarantine().
+    */
+  private def repairedGeom(in: VectorInput, df: DataFrame)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =
+    (in.geometryColumn, in.latColumn, in.lonColumn) match {
+      case (Some(g), _, _) =>
+        val fixed = df.schema(g).dataType match {
+          case BinaryType => callUDF("st_makevalid", hex(col(g)))
+          case _ => callUDF("st_makevalid", col(g).cast("string"))
+        }
+        (fixed, col(g).isNull)
+      case (None, Some(la), Some(lo)) =>
+        (callUDF("st_makevalid",
+          callUDF("st_point", col(lo).cast("double"), col(la).cast("double"))),
+          col(la).isNull || col(lo).isNull)
+      case _ => throw ValidationError(s"input ${in.name}: no geometry source")
+    }
+
+  /** The rows validate() silently drops, with WHY — route them to a
+    * quarantine sink instead of losing them (the reference only logs a
+    * dropped COUNT, geospatial.py:158-164). Map-only over the input, so at
+    * scale this is one extra pass that reads the same splits; a production
+    * job writes it next to the main output and alerts on its volume.
+    */
+  def quarantine(spark: SparkSession, in: VectorInput, df: DataFrame): DataFrame = {
+    val fanned = Fanout.ensure(spark, df)
+    val (fixed, srcNull) = repairedGeom(in, fanned)
+    fanned.withColumn("__fixed", fixed)
+      .where(col("__fixed").isNull)
+      .withColumn("reject_reason",
+        when(srcNull, lit("null_geometry")).otherwise(lit("irreparable_geometry")))
+      .drop("__fixed")
   }
 }
 

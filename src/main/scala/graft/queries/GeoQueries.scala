@@ -250,6 +250,37 @@ object GeoQueries {
     QueryDef("h3_index_points_stream",
       (s, d) => graft.streaming.GeoStream.pointsRollupStream(s, d, Res)),
 
+    // Validator quarantine: the rows validate() drops (null or irreparable
+    // geometry), with the reason — routed to a sink instead of lost (the
+    // reference only logs a count, geospatial.py:158-164). Invalid rows
+    // are planted deterministically, so DuckDB recomputes the expected
+    // quarantine set exactly.
+    QueryDef("geo_quarantine",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val src = T(s, d, "customer").select(
+          col("c_custkey").cast("long").as("geo_id"),
+          when(pmod(col("c_custkey"), lit(41)) === 0,
+            lit(null).cast("string"))
+            .when(pmod(col("c_custkey"), lit(37)) === 0,
+              lit("POLYGON ((0 0, 1 1))")) // malformed: unclosed 2-point ring
+            .otherwise(concat(lit("POINT ("),
+              lonExpr("c_custkey", "7"), lit(" "),
+              latExpr("c_custkey", "3"), lit(")"))).as("geometry"))
+        val in = VectorInput("quarantine_demo", Some(""), None, None, None,
+          "geo_id", GeometryType.Point, Some("geometry"), None, None,
+          Method.Within, Seq())
+        Validator.quarantine(s, in, src)
+          .select("geo_id", "reject_reason")
+          .orderBy("geo_id")
+      },
+      Some("""SELECT c_custkey AS geo_id,
+             |  CASE WHEN c_custkey % 41 = 0 THEN 'null_geometry'
+             |       ELSE 'irreparable_geometry' END AS reject_reason
+             |FROM customer
+             |WHERE c_custkey % 41 = 0 OR c_custkey % 37 = 0
+             |ORDER BY geo_id""".stripMargin)),
+
     // Incremental resolve: the corpus arrives in two batches; each batch is
     // indexed+resolved alone and the second folds into the first via
     // Resolver.mergeDelta (union + per-cell re-sum; cost scales with the
