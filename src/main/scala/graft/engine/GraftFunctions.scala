@@ -261,6 +261,18 @@ object GraftFunctions {
       if (cells == null) null else H3.compactCells(cells))
     u.register("h3_uncompact", (cells: Array[Long], res: Int) =>
       if (cells == null) null else H3.uncompactCells(cells, res))
+    // coverage set → dissolved boundary geometry (the h3 API's
+    // cellsToMultiPolygon): union of the cell polygons via JTS overlay,
+    // emitted as WKT (POLYGON or MULTIPOLYGON as the union dictates)
+    u.register("h3_cells_to_multipolygon", (cells: Array[Long]) =>
+      if (cells == null) null
+      else if (cells.isEmpty) "MULTIPOLYGON EMPTY"
+      else {
+        val polys = cells.map(c => GeoIO.fromWkt(H3Geo.cellToWkt(c)))
+        val union = org.locationtech.jts.operation.union.UnaryUnionOp
+          .union(java.util.Arrays.asList(polys: _*))
+        GeoIO.toWkt(union)
+      })
     ()
   }
 }

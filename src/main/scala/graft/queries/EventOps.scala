@@ -55,6 +55,36 @@ object EventOps {
       headline = true
     ),
 
+    // the SAME sessionization through Spark's NATIVE session_window
+    // operator (merges events closer than the gap; splits at gap ≥ 30 min
+    // vs the window form's gap > 30 min — no exact-boundary gaps exist in
+    // the data, asserted by the shared oracle's session count). One
+    // shuffle on user_id; state is the open session per key.
+    QueryDef(
+      "events_sessionize_native",
+      (s, d) =>
+        T.events(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .select(col("user_id"),
+            expr("unix_micros(session_window.start)").as("start_us"),
+            col("n_events"), col("sum_value"))
+          .orderBy("user_id", "start_us"),
+      Some("""WITH o AS (
+             |  SELECT user_id, epoch_us(ts) AS tsu,
+             |         CAST(value AS DECIMAL(18,2)) AS v,
+             |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS ptsu
+             |  FROM events),
+             |m AS (SELECT *, CASE WHEN ptsu IS NULL OR tsu - ptsu >= 1800000000 THEN 1 ELSE 0 END AS brk FROM o),
+             |x AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tsu
+             |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM m)
+             |SELECT user_id, min(tsu) AS start_us, count(*) AS n_events,
+             |       CAST(sum(v) AS DOUBLE) AS sum_value
+             |FROM x GROUP BY user_id, session_idx
+             |ORDER BY user_id, start_us""".stripMargin)
+    ),
+
     // the SAME sessionization as a per-key streaming state machine
     // (flatMapGroupsWithState: O(1) state per user, gap rule applied as
     // events arrive) — driven to completion and checked against the

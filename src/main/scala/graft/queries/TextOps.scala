@@ -345,6 +345,45 @@ object TextOps {
              |FROM c GROUP BY source ORDER BY source""".stripMargin)
     ),
 
+    // TF-IDF: term frequency × inverse document frequency, the classic
+    // relevance weight. Two aggregates ((doc, term) counts; per-term doc
+    // frequency) + one join; the doc count broadcasts as a 1-row frame.
+    // The ln() is computed on exact integer inputs and rounded to 6 dp so
+    // a 1-ulp libm divergence between engines can't flip the hash.
+    QueryDef(
+      "text_tfidf_top",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = T(s, d, "documents")
+          .select(col("doc_id"), explode(expr(
+            "filter(split(text, ' +'), x -> x != '')")).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df_ = toks.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val n = T(s, d, "documents").agg(count(lit(1)).as("n"))
+        val scored = tf.join(df_, "term").crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+        val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+        scored.withColumn("rk", row_number().over(w))
+          .where(col("rk") === 1)
+          .select(col("doc_id"), col("term"), col("tfidf"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(list_filter(
+             |    string_split_regex(text, ' +'), x -> x <> '')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |scored AS (SELECT doc_id, term,
+             |    round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+             |  FROM tf JOIN df USING (term) CROSS JOIN n),
+             |top AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY tfidf DESC, term) AS rk FROM scored)
+             |SELECT doc_id, term, tfidf FROM top WHERE rk = 1
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
     // Overlapping document chunking (the RAG/embedding-prep transform):
     // fixed window, fixed stride, deterministic chunk grid. Map-side
     // explode only — no shuffle before the oracle sort; at 100 TB the

@@ -37,6 +37,8 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     "h3_children" -> s"size(h3_children(h3_unhex('$cell'), 7))",
     "h3_compact" -> s"size(h3_compact(h3_children(h3_unhex('$cell'), 7)))",
     "h3_uncompact" -> s"size(h3_uncompact(array(h3_unhex('$cell')), 7))",
+    "h3_cells_to_multipolygon" ->
+      s"length(h3_cells_to_multipolygon(h3_grid_disk(h3_unhex('$cell'), 1)))",
     "h3_is_valid" -> s"h3_is_valid(h3_unhex('$cell'))",
     "h3_is_pentagon" -> s"h3_is_pentagon(h3_unhex('$cell'))",
     "st_point" -> "st_point(-122.42, 37.77)",
@@ -74,6 +76,20 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       catch { case e: Throwable => Some(s"$name: ${e.getMessage.linesIterator.next()}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("cells_to_multipolygon dissolves a k-ring into one polygon of the summed area") {
+    val r = spark.sql(
+      s"""SELECT st_area(h3_cells_to_multipolygon(h3_grid_disk(h3_unhex('$cell'), 1))) AS a,
+         |  aggregate(transform(h3_grid_disk(h3_unhex('$cell'), 1),
+         |    c -> st_area(h3_to_wkt(h3_hex(c)))), 0.0D, (acc, x) -> acc + x) AS s,
+         |  h3_cells_to_multipolygon(h3_grid_disk(h3_unhex('$cell'), 1)) AS wkt
+         |""".stripMargin).head()
+    // a dissolved k=1 disk is a single simply-connected polygon; its planar
+    // area equals the sum of the member cells' areas (shared edges cancel)
+    assert(r.getString(2).startsWith("POLYGON"))
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) / r.getDouble(1) < 1e-6,
+      s"union area ${r.getDouble(0)} vs sum ${r.getDouble(1)}")
   }
 
   test("native variants agree with their UDF twins") {
