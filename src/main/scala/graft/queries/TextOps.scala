@@ -345,6 +345,51 @@ object TextOps {
              |FROM c GROUP BY source ORDER BY source""".stripMargin)
     ),
 
+    // PMI collocations: pointwise mutual information over adjacent token
+    // bigrams — ln(c(ab)·T / (c(a)·c(b))) — the classic collocation
+    // detector. Bigrams come from the same map-side shingling as
+    // decontamination (no positional self-join); three aggregates total.
+    // Counts are exact integers; the final ln rounds to 6 dp.
+    QueryDef(
+      "text_pmi_bigrams",
+      (s, d) => {
+        val toks = T(s, d, "documents")
+          .withColumn("ws", expr("filter(split(text, ' +'), x -> x != '')"))
+        val uni = toks.select(explode(col("ws")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c1"))
+        val bi = toks.where(size(col("ws")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))"))
+            .as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+        val tot = bi.agg(sum("cab").as("t"))
+        bi.join(uni.select(col("w").as("a"), col("c1").as("ca")), "a")
+          .join(uni.select(col("w").as("b"), col("c1").as("cb")), "b")
+          .crossJoin(broadcast(tot))
+          .withColumn("pmi", round(log(
+            col("cab").cast("double") * col("t").cast("double") /
+              (col("ca").cast("double") * col("cb").cast("double"))), 6))
+          .orderBy(col("cab").desc, col("a"), col("b"))
+          .select(col("a"), col("b"), col("cab"), col("pmi"))
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT list_filter(string_split_regex(text, ' +'), x -> x <> '') AS ws
+             |  FROM documents),
+             |uni AS (SELECT unnest(ws) AS w FROM t),
+             |u AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+             |bi AS (SELECT unnest(list_transform(range(1, len(ws)),
+             |    i -> struct_pack(a := ws[i], b := ws[i+1]))) AS p
+             |  FROM t WHERE len(ws) >= 2),
+             |b2 AS (SELECT p.a AS a, p.b AS b, count(*) AS cab FROM bi GROUP BY 1, 2),
+             |tot AS (SELECT CAST(sum(cab) AS BIGINT) AS t FROM b2)
+             |SELECT a, b, cab,
+             |  round(ln(CAST(cab AS DOUBLE) * t / (ua.c1 * ub.c1)), 6) AS pmi
+             |FROM b2 JOIN u ua ON b2.a = ua.w JOIN u ub ON b2.b = ub.w
+             |CROSS JOIN tot
+             |ORDER BY cab DESC, a, b LIMIT 20""".stripMargin)
+    ),
+
     // TF-IDF: term frequency × inverse document frequency, the classic
     // relevance weight. Two aggregates ((doc, term) counts; per-term doc
     // frequency) + one join; the doc count broadcasts as a 1-row frame.
