@@ -250,6 +250,12 @@ object GeoQueries {
     QueryDef("h3_index_points_stream",
       (s, d) => graft.streaming.GeoStream.pointsRollupStream(s, d, Res)),
 
+    // Streaming GeoJSON ingest: NDJSON features as a file stream → parse →
+    // index → per-cell rollup. Rows-only (H3 keys); GeoStreamSpec asserts
+    // exact equality with the batch twin over the same NDJSON.
+    QueryDef("h3_geojson_ingest_stream",
+      (s, d) => graft.streaming.GeoStream.geojsonPointsRollupStream(s, d, Res)),
+
     // Validator quarantine: the rows validate() drops (null or irreparable
     // geometry), with the reason — routed to a sink instead of lost (the
     // reference only logs a count, geospatial.py:158-164). Invalid rows

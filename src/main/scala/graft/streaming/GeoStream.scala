@@ -71,4 +71,48 @@ object GeoStream {
     pointsCellRollup(spark, graft.queries.GeoQueries.pointsDf(spark, dir), res,
       "latitude", "longitude", "qty")
       .orderBy("h3_index")
+
+  /** Streaming GeoJSON ingest: NDJSON Feature lines arriving as files →
+    * geometry + property pull → H3 cell → per-cell rollup, inside the
+    * stream. A text stream needs no schema, so this path is schema-free;
+    * the geometry goes straight through the encoding-sniffing st_x/st_y
+    * (they accept the GeoJSON subtree as-is). The parse + indexing is the
+    * microbatch map side; only the cells-sized aggregate is stateful.
+    */
+  def geojsonPointsRollupStream(spark: SparkSession, dir: String, res: Int,
+                                streaming: Boolean = true): DataFrame = {
+    graft.engine.GraftFunctions.register(spark)
+    val src = graft.queries.GeoQueries.pointsDf(spark, dir)
+      .select(col("point_id"), col("qty"),
+        callUDF("st_point", col("longitude"), col("latitude")).as("geom_wkt"))
+    val srcDir = Files.createTempDirectory("graft_geojson_stream_src")
+    srcDir.toFile.deleteOnExit()
+    graft.sources.GeoJson.write(src, "geom_wkt", srcDir.toString)
+
+    val lines =
+      if (streaming) spark.readStream.text(srcDir.toString)
+      else spark.read.text(srcDir.toString)
+    val pts = lines
+      .where(length(trim(col("value"))) > 0)
+      .select(
+        get_json_object(col("value"), "$.properties.qty").cast("double").as("qty"),
+        get_json_object(col("value"), "$.geometry").as("g"))
+      .select(col("qty"),
+        callUDF("st_y", col("g")).as("latitude"),
+        callUDF("st_x", col("g")).as("longitude"))
+
+    val rolled = pointsCellRollup(spark, pts, res, "latitude", "longitude", "qty")
+    if (!streaming) return rolled.orderBy("h3_index")
+
+    val sinkName = s"graft_geojson_stream_${math.abs(dir.hashCode)}"
+    val q = rolled.writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_geojson_stream_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).orderBy("h3_index")
+  }
 }

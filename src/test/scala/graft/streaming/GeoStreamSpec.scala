@@ -42,6 +42,21 @@ class GeoStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streamed GeoJSON ingest equals its batch twin and the parquet stream") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = GeoStream.geojsonPointsRollupStream(spark, dir, 6).collect()
+    val batch = GeoStream.geojsonPointsRollupStream(spark, dir, 6,
+      streaming = false).collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (s1, b1) => assert(s1.toString == b1.toString) }
+    // and the GeoJSON round-trip preserves the rollup of the parquet path
+    val viaParquet = GeoStream.pointsRollupBatch(spark, dir, 6).collect()
+    assert(streamed.length == viaParquet.length)
+    streamed.zip(viaParquet).foreach { case (s1, p1) =>
+      assert(s1.toString == p1.toString)
+    }
+  }
+
   test("streamed hourly KLL quantiles equal the batch twin at sub-buffer scale") {
     val dir = "/root/testdata/sf0.001"
     val streamed = EventStream.hourlyValueQuantiles(spark, dir).collect()
