@@ -476,6 +476,21 @@ object GraftJob {
         in.name -> Validator.validate(spark, in, loadInput(spark, in),
           withGeoJson = job.materializeGeoJson)
       }.toMap
+      // opt-in reject sink: one extra map-only pass per input that re-reads
+      // the same splits and keeps only the rows validate() drops. Written
+      // before indexing so a later failure still leaves the rejects behind
+      // for triage. Partitioned by input name → per-input volume alerting
+      // is a cheap partition listing, no scan.
+      job.quarantinePath.foreach { qp =>
+        vectors.foreach { in =>
+          Validator.quarantine(spark, in, loadInput(spark, in))
+            .withColumn("input_name", lit(in.name))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("input_name")
+            .parquet(qp)
+        }
+      }
       state = state.advance(JobStatus.Validated)
       state = state.advance(JobStatus.RunningIndexer)
       val indexed = vectors.map { in =>

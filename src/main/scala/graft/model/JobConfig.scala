@@ -83,7 +83,13 @@ final case class Job(
       * next to geom_wkt (vector.py:119-124); off by default — our polyfill
       * sniffs encodings itself, so the column is a compatibility opt-in
       */
-    materializeGeoJson: Boolean = false)
+    materializeGeoJson: Boolean = false,
+    /** when set, the rows validate() drops (null / irreparable geometry)
+      * are written here as parquet partitioned by input name, each with a
+      * reject_reason — instead of vanishing with only a count like the
+      * reference (geospatial.py:158-164). Off by default: parity first.
+      */
+    quarantinePath: Option[String] = None)
 
 /** Job lifecycle (reference data_model/job.py:19-28, main.py:48-98): the
   * metadata an orchestrator polls. Immutable; each transition returns a new
@@ -149,7 +155,9 @@ object JobConfig {
       }
     }
     val geoJson = Option(root.get("materialize_geojson")).exists(_.asBoolean(false))
-    if (errs.isEmpty) Right(Job(name, version, res, out, inputs, geoJson))
+    val quarantine = opt(root, "quarantine_s3_path").orElse(opt(root, "quarantine_path"))
+      .map(p => if (p.startsWith("s3://")) "s3a://" + p.stripPrefix("s3://") else p)
+    if (errs.isEmpty) Right(Job(name, version, res, out, inputs, geoJson, quarantine))
     else Left(errs.toList)
   }
 

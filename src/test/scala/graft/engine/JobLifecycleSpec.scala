@@ -79,6 +79,47 @@ class JobLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.state.errorMessage.exists(_.contains("unique_id")))
   }
 
+  test("quarantine_path opt-in writes dropped rows with reasons; resolve unaffected") {
+    val dir = java.nio.file.Files.createTempDirectory("graftq")
+    val data = df("pid BIGINT, lat DOUBLE, lon DOUBLE, v DOUBLE", Seq(
+      R(1L, 37.7, -122.4, 10.0), R(2L, null, -122.3, 5.0), R(3L, 37.9, -122.2, 7.0)))
+    data.write.mode("overwrite").parquet(s"$dir/pts.parquet")
+    val job = Job("j", "1.0.0", 6, s"$dir/out", Seq(VectorInput(
+      "pts", Some(s"$dir/pts.parquet"), None, None, None, "pid",
+      GeometryType.Point, None, Some("lat"), Some("lon"), Method.Within, Seq("v"))),
+      quarantinePath = Some(s"$dir/rejects"))
+    val (_, resolved, state) = GraftJob.run(spark, job)
+    assert(state.status == JobStatus.CompletedResolver)
+    assert(resolved.count() == 2) // null-lat row dropped from the main path
+    val q = spark.read.parquet(s"$dir/rejects")
+    assert(q.count() == 1)
+    val row = q.select("pid", "reject_reason", "input_name").head()
+    assert(row.getLong(0) == 2L)
+    assert(row.getString(1) == "null_geometry")
+    assert(row.getString(2) == "pts")
+  }
+
+  test("quarantine_path parses from yaml and normalizes s3 scheme") {
+    val y =
+      """name: j
+        |version: 1.0.0
+        |h3_resolution: 6
+        |output_s3_path: s3://b/out
+        |quarantine_s3_path: s3://b/rejects
+        |inputs:
+        |  pts:
+        |    s3_path: s3://b/pts
+        |    unique_id: pid
+        |    geometry_type: POINT
+        |    lat_column_name: lat
+        |    lon_column_name: lon
+        |    method: WITHIN
+        |    input_columns: [v]
+        |""".stripMargin
+    val job = JobConfig.fromYaml(y).toOption.get
+    assert(job.quarantinePath.contains("s3a://b/rejects"))
+  }
+
   test("materialize_geojson opt-in adds the reference's second canonical column") {
     val data = df("pid BIGINT, lat DOUBLE, lon DOUBLE, v DOUBLE",
       Seq(R(1L, 37.7, -122.4, 10.0)))
