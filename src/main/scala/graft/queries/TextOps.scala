@@ -504,6 +504,111 @@ object TextOps {
              |FROM tr JOIN e USING (gram)
              |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin),
       headline = true
+    ),
+
+    // Feature-hashed TF-IDF: the 100 TB variant of text_tfidf_top. The
+    // exact version shuffles on term STRINGS and joins a document-frequency
+    // table whose size is the vocabulary — unbounded at corpus scale
+    // (billions of distinct terms; the df side can't broadcast and the
+    // string shuffle dominates). The hashing trick fixes the vocab
+    // dimension at B buckets: df is now ≤ B rows (broadcast it — asserted
+    // with an explicit broadcast()), shuffle keys are 8-byte ints, and
+    // memory is bounded no matter the corpus. Collisions merge term counts
+    // — the standard, accepted trade of hashed features. Bucket =
+    // md5-prefix mod B so both engines compute it bit-identically
+    // (xxhash64 is Spark-only).
+    QueryDef(
+      "text_tfidf_hashed",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val B = 4096
+        val toks = T(s, d, "documents")
+          .select(col("doc_id"), explode(expr(
+            "filter(split(text, ' +'), x -> x != '')")).as("term"))
+          .withColumn("bucket",
+            expr(s"cast(conv(substring(md5(term), 1, 8), 16, 10) as bigint) % $B"))
+        val tf = toks.groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
+        val dfb = toks.select("doc_id", "bucket").distinct()
+          .groupBy("bucket").agg(count(lit(1)).as("df"))
+        val n = T(s, d, "documents").agg(count(lit(1)).as("n"))
+        val scored = tf.join(broadcast(dfb), "bucket").crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+        val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("bucket"))
+        scored.withColumn("rk", row_number().over(w))
+          .where(col("rk") === 1)
+          .select(col("doc_id"), col("bucket"), col("tfidf"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 4096 AS bucket
+             |  FROM (SELECT doc_id, unnest(list_filter(
+             |      string_split_regex(text, ' +'), x -> x <> '')) AS term FROM documents)),
+             |tf AS (SELECT doc_id, bucket, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT bucket, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |scored AS (SELECT doc_id, bucket,
+             |    round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+             |  FROM tf JOIN df USING (bucket) CROSS JOIN n),
+             |top AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY tfidf DESC, bucket) AS rk FROM scored)
+             |SELECT doc_id, bucket, tfidf FROM top WHERE rk = 1
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Feature-hashed PMI: same trick applied to text_pmi_bigrams' unigram
+    // side. Exact PMI joins the bigram table to the unigram table TWICE on
+    // word strings; at corpus scale the unigram table is vocabulary-sized.
+    // Hashed, the unigram counts collapse to ≤ B rows and both lookups
+    // become one broadcast join on int keys; bigram counts still aggregate
+    // exactly (their key stays the word pair, pruned to the top slice
+    // before the join). Collisions only INFLATE a denominator — a bounded,
+    // deterministic bias both engines reproduce identically.
+    QueryDef(
+      "text_pmi_hashed",
+      (s, d) => {
+        val B = 4096
+        val bucket = (c: String) =>
+          expr(s"cast(conv(substring(md5($c), 1, 8), 16, 10) as bigint) % $B")
+        val toks = T(s, d, "documents")
+          .withColumn("ws", expr("filter(split(text, ' +'), x -> x != '')"))
+        val uni = toks.select(explode(col("ws")).as("w"))
+          .groupBy(bucket("w").as("bw")).agg(count(lit(1)).as("c1"))
+        val bi = toks.where(size(col("ws")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) AS a, element_at(ws, i + 1) AS b))"))
+            .as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+        val tot = bi.agg(sum("cab").as("t"))
+        bi.withColumn("ba", bucket("a")).withColumn("bb", bucket("b"))
+          .join(broadcast(uni.select(col("bw").as("ba"), col("c1").as("ca"))), "ba")
+          .join(broadcast(uni.select(col("bw").as("bb"), col("c1").as("cb"))), "bb")
+          .crossJoin(broadcast(tot))
+          .withColumn("pmi", round(log(
+            col("cab").cast("double") * col("t").cast("double") /
+              (col("ca").cast("double") * col("cb").cast("double"))), 6))
+          .orderBy(col("cab").desc, col("a"), col("b"))
+          .select(col("a"), col("b"), col("cab"), col("pmi"))
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT list_filter(string_split_regex(text, ' +'), x -> x <> '') AS ws
+             |  FROM documents),
+             |uni AS (SELECT unnest(ws) AS w FROM t),
+             |u AS (SELECT CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 4096 AS bw,
+             |    count(*) AS c1 FROM uni GROUP BY 1),
+             |bi AS (SELECT unnest(list_transform(range(1, len(ws)),
+             |    i -> struct_pack(a := ws[i], b := ws[i+1]))) AS p
+             |  FROM t WHERE len(ws) >= 2),
+             |b2 AS (SELECT p.a AS a, p.b AS b, count(*) AS cab FROM bi GROUP BY 1, 2),
+             |tot AS (SELECT CAST(sum(cab) AS BIGINT) AS t FROM b2)
+             |SELECT a, b, cab,
+             |  round(ln(CAST(cab AS DOUBLE) * t / (ua.c1 * ub.c1)), 6) AS pmi
+             |FROM b2
+             |JOIN u ua ON CAST(('0x' || substr(md5(a), 1, 8)) AS BIGINT) % 4096 = ua.bw
+             |JOIN u ub ON CAST(('0x' || substr(md5(b), 1, 8)) AS BIGINT) % 4096 = ub.bw
+             |CROSS JOIN tot
+             |ORDER BY cab DESC, a, b LIMIT 20""".stripMargin)
     )
   )
 }
