@@ -181,6 +181,19 @@ object DedupQueries {
           nprobe = 3, topK = 10)
       }),
 
+    // Product-quantized ANN: 64× smaller index (m byte-codes per vector),
+    // ADC scan + exact rerank (ProductQuantizer.scala). Rows-only — k-means
+    // codebooks aren't SQL-expressible — but scores are true cosines after
+    // the rerank and PqSpec pins recall vs brute force.
+    QueryDef("sim_ann_pq",
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+        val model = graft.operators.ProductQuantizer.train(s, e, m = 8, k = 16, iters = 3)
+        graft.operators.ProductQuantizer.search(s, e, Seq(0L, 1L, 2L, 3L, 4L), model,
+          topK = 10, rerank = 8)
+      }),
+
     // multimodal: binary payload + stubbed decode through mapPartitions
     QueryDef("multimodal_features",
       (s, d) => Multimodal.extractFeatures(s, Multimodal.mediaTable(s, d))
