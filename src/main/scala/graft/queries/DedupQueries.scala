@@ -90,6 +90,71 @@ object DedupQueries {
       },
       headline = true),
 
+    // Segment-level exact dedup (C4-style "line" dedup, Raffel et al. 2020
+    // §2.2 — the corpus has no newlines, so the unit is a non-overlapping
+    // 10-token window): every segment appearing more than once in the
+    // corpus is kept only at its GLOBAL first occurrence (min (doc_id,
+    // seg_idx)) and dropped everywhere else; each doc is then reassembled
+    // from its surviving segments. Planted duplicates: one exact copy per
+    // doc (every segment drops) and one partial copy sharing the first two
+    // segments plus a unique tail (two drop, tail survives).
+    // Scale shape: segments travel as md5 keys — ONE shuffle on the hash
+    // for the survivor min, a co-partitioned rejoin on the same key, then
+    // a per-doc reassembly groupBy. No vocabulary, no driver state.
+    QueryDef("dedup_segments",
+      (s, d) => {
+        val base = T(s, d, "documents").select("doc_id", "text")
+        val exact = base.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val partial = base.select((col("doc_id") + 200000).as("doc_id"),
+          concat(
+            expr("concat_ws(' ', slice(filter(split(text, ' +'), x -> x != ''), 1, 20))"),
+            lit(" tail "), col("doc_id").cast("string")).as("text"))
+        val all = base.unionByName(exact).unionByName(partial)
+        val segs = all
+          .withColumn("ws", expr("filter(split(text, ' +'), x -> x != '')"))
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, (size(ws) - 1) div 10), k -> concat_ws(' ', slice(ws, k * 10 + 1, 10)))"))
+            .as(Seq("seg_idx", "seg")))
+          .withColumn("seg_h", md5(col("seg")))
+          .withColumn("rnk", col("doc_id") * 1000 + col("seg_idx"))
+        val first = segs.groupBy("seg_h").agg(min("rnk").as("keep_rnk"))
+        val kept = segs.join(first, "seg_h").where(col("rnk") === col("keep_rnk"))
+        val perDoc = kept.groupBy("doc_id").agg(
+          count(lit(1)).as("n_kept"),
+          md5(concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(seg_idx, seg))), x -> x.seg)")))
+            .as("kept_md5"))
+        segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_segs"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+             |ex AS (SELECT doc_id + 100000 AS doc_id, text FROM base),
+             |pt AS (SELECT doc_id + 200000 AS doc_id,
+             |    array_to_string(list_filter(string_split_regex(text, ' +'),
+             |      x -> x <> '')[1:20], ' ') || ' tail ' || CAST(doc_id AS VARCHAR) AS text
+             |  FROM base),
+             |allv AS (SELECT * FROM base UNION ALL SELECT * FROM ex UNION ALL SELECT * FROM pt),
+             |t AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+             |    x -> x <> '') AS ws FROM allv),
+             |segs AS (SELECT doc_id, k AS seg_idx,
+             |    array_to_string(ws[k*10+1 : k*10+10], ' ') AS seg,
+             |    md5(array_to_string(ws[k*10+1 : k*10+10], ' ')) AS seg_h,
+             |    doc_id * 1000 + k AS rnk
+             |  FROM t, UNNEST(range(0, (len(ws) - 1) // 10 + 1)) AS u(k)),
+             |first AS (SELECT seg_h, min(rnk) AS keep_rnk FROM segs GROUP BY 1),
+             |kept AS (SELECT s.* FROM segs s JOIN first f
+             |  ON s.seg_h = f.seg_h AND s.rnk = f.keep_rnk),
+             |perdoc AS (SELECT doc_id, count(*) AS n_kept,
+             |    md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS kept_md5
+             |  FROM kept GROUP BY 1),
+             |tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY 1)
+             |SELECT t.doc_id, t.n_segs, coalesce(p.n_kept, 0) AS n_kept, p.kept_md5
+             |FROM tot t LEFT JOIN perdoc p USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // SimHash near-dup: hamming ≤ 3 found exactly via 16-bit chunk buckets
     QueryDef("dedup_simhash",
       (s, d) => {

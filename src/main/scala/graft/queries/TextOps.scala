@@ -506,6 +506,66 @@ object TextOps {
       headline = true
     ),
 
+    // Repetition-based quality filter (the Gopher/MassiveText rules,
+    // Rae et al. 2021 §A1.1): documents dominated by repeated n-grams are
+    // boilerplate/spam and get filtered before training. Per doc: the
+    // fraction of 2-grams occurring more than once, the same for 3-grams,
+    // and the share of the single most frequent 2-gram. One shuffle per
+    // n-gram order keyed by (doc_id, gram) — at 100 TB this is partial-
+    // aggregated map-side and never materializes a vocabulary. Thresholds
+    // are corpus-tuned (here: split the synthetic corpus meaningfully).
+    QueryDef(
+      "text_repetition_filter",
+      (s, d) => {
+        val ws = T(s, d, "documents")
+          .withColumn("ws", expr("filter(split(text, ' +'), x -> x != '')"))
+        def gramStats(n: Int, tot: String, dup: String, top: String) = ws
+          .where(size(col("ws")) >= n)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))"))
+            .as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            sum("c").as(tot),
+            sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as(dup),
+            max("c").as(top))
+        val g2 = gramStats(2, "tot2", "dup2", "top2")
+        val g3 = gramStats(3, "tot3", "dup3", "top3")
+        g2.join(g3, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            round(col("dup2").cast("double") / col("tot2"), 6).as("dup_2gram_frac"),
+            round(coalesce(col("dup3").cast("double") / col("tot3"), lit(0.0)), 6)
+              .as("dup_3gram_frac"),
+            round(col("top2").cast("double") / col("tot2"), 6).as("top_2gram_frac"))
+          .withColumn("flagged",
+            col("dup_2gram_frac") > 0.08 || col("dup_3gram_frac") > 0.02 ||
+              col("top_2gram_frac") > 0.05)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+             |    x -> x <> '') AS ws FROM documents),
+             |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+             |    i -> array_to_string(ws[i:i+1], ' '))) AS g FROM t WHERE len(ws) >= 2),
+             |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+             |s2 AS (SELECT doc_id, sum(c) AS tot2,
+             |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup2, max(c) AS top2
+             |  FROM c2 GROUP BY 1),
+             |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+             |    i -> array_to_string(ws[i:i+2], ' '))) AS g FROM t WHERE len(ws) >= 3),
+             |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+             |s3 AS (SELECT doc_id, sum(c) AS tot3,
+             |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3
+             |  FROM c3 GROUP BY 1),
+             |j AS (SELECT s2.doc_id,
+             |    round(CAST(dup2 AS DOUBLE) / tot2, 6) AS dup_2gram_frac,
+             |    round(coalesce(CAST(dup3 AS DOUBLE) / tot3, 0), 6) AS dup_3gram_frac,
+             |    round(CAST(top2 AS DOUBLE) / tot2, 6) AS top_2gram_frac
+             |  FROM s2 LEFT JOIN s3 ON s2.doc_id = s3.doc_id)
+             |SELECT *, (dup_2gram_frac > 0.08 OR dup_3gram_frac > 0.02 OR
+             |           top_2gram_frac > 0.05) AS flagged
+             |FROM j ORDER BY doc_id""".stripMargin)
+    ),
+
     // Feature-hashed TF-IDF: the 100 TB variant of text_tfidf_top. The
     // exact version shuffles on term STRINGS and joins a document-frequency
     // table whose size is the vocabulary — unbounded at corpus scale
