@@ -221,6 +221,49 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
+  /** vec_dot_native(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) → DOUBLE.
+    * Left-to-right accumulation — bit-identical to the HOF
+    * aggregate(zip_with(...)) chain it replaces, but inside whole-stage
+    * codegen: one static call on the two ArrayData, no lambda dispatch
+    * per element and no intermediate product array.
+    */
+  case class VecDotExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_dot_native"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.engine.VecOps.dot($a, $b)")
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** vec_cosine_native(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) → DOUBLE, computed
+    * as dot/(sqrt(dot_aa)·sqrt(dot_bb)) in exactly that operation order so
+    * results match the HOF formulation (and DuckDB's) to the last ulp.
+    * Zero-norm input → 0.0 (no NaN poisoning downstream sorts).
+    */
+  case class VecCosineExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_cosine_native"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VecOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.engine.VecOps.cosine($a, $b)")
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
   // explicit input coercion at build time (AbstractDataType/ExpectsInputTypes
   // is not public API in Spark 4, so the builders cast instead)
   private def asD(e: Expression) =
@@ -231,6 +274,8 @@ object Expressions {
     org.apache.spark.sql.catalyst.expressions.Cast(e, StringType)
   private def asL(e: Expression) =
     org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)
+  private def asAD(e: Expression) =
+    org.apache.spark.sql.catalyst.expressions.Cast(e, ArrayType(DoubleType))
 
   private val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "h3_latlng_cell_native" -> (es => H3LatLngCellExpr(asD(es(0)), asD(es(1)), asI(es(2)))),
@@ -242,7 +287,9 @@ object Expressions {
     "h3_unhex" -> (es => H3UnhexExpr(asS(es.head))),
     "st_ratio_area_cell_native" -> (es => RatioAreaCellExpr(asS(es(0)), asL(es(1)))),
     "st_ratio_length_cell_native" -> (es => RatioLengthCellExpr(asS(es(0)), asL(es(1)))),
-    "h3_cell_area_cached_native" -> (es => CellAreaCachedExpr(asL(es.head)))
+    "h3_cell_area_cached_native" -> (es => CellAreaCachedExpr(asL(es.head))),
+    "vec_dot_native" -> (es => VecDotExpr(asAD(es(0)), asAD(es(1)))),
+    "vec_cosine_native" -> (es => VecCosineExpr(asAD(es(0)), asAD(es(1))))
   )
 
   /** Optimizer rule: collapse H3 conversion chains that plan composition

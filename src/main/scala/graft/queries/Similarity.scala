@@ -25,12 +25,14 @@ object SimilarityQ {
           .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
         val q = e.where(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("ve").as("qe"))
+        graft.engine.Expressions.register(s)
+        // vec_cosine_native replicates the HOF dot/(sqrt·sqrt) arithmetic
+        // left-to-right, so scores are bit-identical to the DuckDB oracle —
+        // but the kernel runs inside whole-stage codegen (one static call
+        // per row, no per-element lambda dispatch)
         val scored = e
           .crossJoin(broadcast(q))
-          .withColumn("score",
-            round(expr(dotExpr) /
-              (sqrt(expr("aggregate(transform(ve, x -> x * x), 0D, (acc, v) -> acc + v)")) *
-               sqrt(expr("aggregate(transform(qe, x -> x * x), 0D, (acc, v) -> acc + v)"))), 6))
+          .withColumn("score", round(expr("vec_cosine_native(ve, qe)"), 6))
         val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
         scored
           .withColumn("rn", row_number().over(w).cast("long"))

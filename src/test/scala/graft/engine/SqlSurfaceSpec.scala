@@ -67,7 +67,9 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     "h3_unhex" -> s"h3_unhex('$cell')",
     "st_ratio_area_cell_native" -> s"st_ratio_area_cell_native(h3_to_wkt('$cell'), h3_unhex('$cell'))",
     "st_ratio_length_cell_native" -> s"st_ratio_length_cell_native('LINESTRING (-122.42 37.77, -122.40 37.78)', h3_unhex('$cell'))",
-    "h3_cell_area_cached_native" -> s"h3_cell_area_cached_native(h3_unhex('$cell'))"
+    "h3_cell_area_cached_native" -> s"h3_cell_area_cached_native(h3_unhex('$cell'))",
+    "vec_dot_native" -> "vec_dot_native(array(1D, 2D, 3D), array(4D, 5D, 6D))",
+    "vec_cosine_native" -> "vec_cosine_native(array(1D, 0D), array(1D, 1D))"
   )
 
   test("every registered function answers a representative SQL call") {
@@ -90,6 +92,31 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(2).startsWith("POLYGON"))
     assert(math.abs(r.getDouble(0) - r.getDouble(1)) / r.getDouble(1) < 1e-6,
       s"union area ${r.getDouble(0)} vs sum ${r.getDouble(1)}")
+  }
+
+  test("vector natives are bit-identical to the HOF formulation and codegen") {
+    val r = spark.sql(
+      """SELECT
+        |  vec_dot_native(a, b) =
+        |    aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v) AS dot_eq,
+        |  vec_cosine_native(a, b) =
+        |    (aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v) /
+        |     (sqrt(aggregate(transform(a, x -> x * x), 0D, (acc, v) -> acc + v)) *
+        |      sqrt(aggregate(transform(b, x -> x * x), 0D, (acc, v) -> acc + v)))) AS cos_eq,
+        |  vec_cosine_native(array(0D, 0D), b) = 0D AS zero_norm,
+        |  vec_dot_native(NULL, b) IS NULL AS null_through
+        |FROM (SELECT array(0.1D, -2.5D, 3.75D, 0.003D) AS a,
+        |             array(1.5D, 2.25D, -0.5D, 8.125D) AS b)
+        |""".stripMargin).head()
+    (0 until r.length).foreach(i => assert(r.getBoolean(i), s"field $i"))
+    // the kernel call participates in whole-stage codegen: a non-literal
+    // input (literals constant-fold at plan time) must sit inside a
+    // codegen'd Project — the `*(n)` stage marker
+    val df = spark.range(3)
+      .selectExpr("vec_dot_native(array(cast(id AS double)), array(2D)) AS d")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("vec_dot_native"), plan)
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("vec_dot_native")), plan)
   }
 
   test("native variants agree with their UDF twins") {
