@@ -180,6 +180,7 @@ object DedupQueries {
     QueryDef("embedding_neardup_pairs",
       (s, d) => {
         AnnLsh.register(s)
+        graft.engine.Expressions.register(s)
         val e = embWithDups(s, d)
         // the nested-loop pair evaluation is CPU-bound: spread the streamed
         // side across cores (the broadcast side is tiny)
@@ -187,7 +188,10 @@ object DedupQueries {
           .repartition(s.sparkContext.defaultParallelism).as("x")
           .join(e.select(col("vec_id").as("b"), col("ve").as("vb")).as("y"),
             col("a") < col("b"))
-          .withColumn("cos", round(callUDF("cosine_d", col("va"), col("vb")), 6))
+          // native codegen kernel, not the cosine_d UDF: this filter runs
+          // on every one of the n²/2 joined pairs — the hottest vector
+          // arithmetic in the repo (bit-identical accumulation order)
+          .withColumn("cos", round(expr("vec_cosine_native(va, vb)"), 6))
           .where(col("cos") >= 0.9)
           .select("a", "b", "cos")
           .orderBy("a", "b")
