@@ -263,6 +263,19 @@ object DedupQueries {
           topK = 10, rerank = 8)
       }),
 
+    // IVF-PQ composition: coarse cells prune the scan to nprobe/k of the
+    // corpus, PQ codes shrink what's scanned 64×, exact rerank restores
+    // true cosines (IvfPq.scala). Rows-only; PqSpec pins recall.
+    QueryDef("sim_ann_ivfpq",
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+        val ivf = graft.operators.IvfIndex.train(s, e, k = 8, iters = 3)
+        val pq = graft.operators.ProductQuantizer.train(s, e, m = 8, k = 16, iters = 3)
+        graft.operators.IvfPq.search(s, e, Seq(0L, 1L, 2L, 3L, 4L), ivf, pq,
+          nprobe = 3, topK = 10, rerank = 8)
+      }),
+
     // multimodal: binary payload + stubbed decode through mapPartitions
     QueryDef("multimodal_features",
       (s, d) => Multimodal.extractFeatures(s, Multimodal.mediaTable(s, d))

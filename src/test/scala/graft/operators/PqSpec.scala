@@ -69,6 +69,32 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ivf-pq composed search: recall vs brute force, self at rank 1") {
+    val e = emb
+    val ivf = IvfIndex.train(spark, e, k = 8, iters = 3)
+    val pq = ProductQuantizer.train(spark, e, m = 8, k = 16, iters = 3)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val got = IvfPq.search(spark, e, qids, ivf, pq, nprobe = 3, topK = 10, rerank = 8)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getLong(3)) }
+
+    val all = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val truth = qids.map { q =>
+      val qv = all(q)
+      q -> all.toSeq.sortBy { case (_, v) => IvfIndex.cosineDist(qv, v) }
+        .take(10).map(_._1).toSet
+    }.toMap
+    val recalls = qids.map(q => (got(q).map(_.getLong(1)).toSet & truth(q)).size / 10.0)
+    val mean = recalls.sum / recalls.size
+    // two pruning levers stack (nprobe misses ∪ PQ candidate misses); the
+    // exact rerank restores ordering among survivors
+    assert(mean >= 0.4, s"mean recall $mean (per-query: $recalls)")
+    qids.foreach { q =>
+      val first = got(q).head
+      assert(first.getLong(1) == q && first.getDouble(2) == 1.0)
+    }
+  }
+
   test("training and search are deterministic") {
     val a = ProductQuantizer.train(spark, emb, m = 4, k = 8, iters = 2)
     val b = ProductQuantizer.train(spark, emb, m = 4, k = 8, iters = 2)
