@@ -264,6 +264,32 @@ object Expressions {
         l: Expression, r: Expression): Expression = copy(l, r)
   }
 
+  /** st_contains_point_native(wkt STRING, lat DOUBLE, lng DOUBLE) → BOOLEAN.
+    * Codegen twin of the st_contains_point UDF for the spatial join's
+    * candidate filter: the generated code passes the row-backed UTF8String
+    * straight to a UTF8String-keyed prepared-geometry LRU, so the hit path
+    * allocates nothing (the UDF path materializes a java.lang.String per
+    * probe). NULL-safe like any builtin — a NULL result is false in the
+    * join's WHERE, matching the UDF's explicit false-on-null.
+    */
+  case class ContainsPointExpr(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "st_contains_point_native"
+
+    override protected def nullSafeEval(w: Any, la: Any, lo: Any): Any =
+      graft.operators.SpatialJoin.containsPointU(
+        w.asInstanceOf[UTF8String], la.asInstanceOf[Double], lo.asInstanceOf[Double])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (w, la, lo) =>
+        s"graft.operators.SpatialJoin.containsPointU($w, $la, $lo)")
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+  }
+
   // explicit input coercion at build time (AbstractDataType/ExpectsInputTypes
   // is not public API in Spark 4, so the builders cast instead)
   private def asD(e: Expression) =
@@ -289,7 +315,9 @@ object Expressions {
     "st_ratio_length_cell_native" -> (es => RatioLengthCellExpr(asS(es(0)), asL(es(1)))),
     "h3_cell_area_cached_native" -> (es => CellAreaCachedExpr(asL(es.head))),
     "vec_dot_native" -> (es => VecDotExpr(asAD(es(0)), asAD(es(1)))),
-    "vec_cosine_native" -> (es => VecCosineExpr(asAD(es(0)), asAD(es(1))))
+    "vec_cosine_native" -> (es => VecCosineExpr(asAD(es(0)), asAD(es(1)))),
+    "st_contains_point_native" ->
+      (es => ContainsPointExpr(asS(es(0)), asD(es(1)), asD(es(2))))
   )
 
   /** Optimizer rule: collapse H3 conversion chains that plan composition

@@ -84,6 +84,36 @@ object SpatialJoin {
     }
   }
 
+  /** Codegen entry point (Expressions.ContainsPointExpr): keyed by
+    * UTF8String so the HIT path allocates nothing — the probe looks up with
+    * the transient row-backed UTF8String (hashCode/equals read the buffer
+    * in place) and only a MISS pays `.clone()` + WKT parse + prepare. The
+    * per-thread LRU is shared with the string path via the same eviction
+    * policy.
+    */
+  def containsPointU(wkt: org.apache.spark.unsafe.types.UTF8String,
+                     lat: Double, lng: Double): Boolean = {
+    if (wkt == null) return false
+    val c = preparedCacheU.get()
+    var p = c.get(wkt)
+    if (p == null) {
+      val owned = wkt.clone() // detach from the reused row buffer
+      p = org.locationtech.jts.geom.prep.PreparedGeometryFactory
+        .prepare(GraftFunctions.parseGeomCached(owned.toString))
+      c.put(owned, p)
+    }
+    p.contains(GeoIO.point(lng, lat))
+  }
+
+  private val preparedCacheU = ThreadLocal.withInitial(
+    () => new java.util.LinkedHashMap[org.apache.spark.unsafe.types.UTF8String,
+        org.locationtech.jts.geom.prep.PreparedGeometry](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[org.apache.spark.unsafe.types.UTF8String,
+            org.locationtech.jts.geom.prep.PreparedGeometry]): Boolean =
+        size() > 512
+    })
+
   private val registeredSessions =
     java.util.Collections.synchronizedSet(
       java.util.Collections.newSetFromMap(
@@ -130,7 +160,10 @@ object SpatialJoin {
     val polys = fan(polygons).withColumn("_cell",
       explode(callUDF("st_cover_cells", wkt, lit(res))))
     pts.join(polys, Seq("_cell"))
-      .where(callUDF("st_contains_point", wkt, lat, lng))
+      // native codegen filter: the row-backed UTF8String keys the prepared
+      // LRU directly, no String materialization per candidate probe
+      .where(expr(
+        s"st_contains_point_native(${wkt.toString}, ${lat.toString}, ${lng.toString})"))
       .drop("_cell")
   }
 }

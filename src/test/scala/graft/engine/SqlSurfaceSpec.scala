@@ -69,7 +69,9 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     "st_ratio_length_cell_native" -> s"st_ratio_length_cell_native('LINESTRING (-122.42 37.77, -122.40 37.78)', h3_unhex('$cell'))",
     "h3_cell_area_cached_native" -> s"h3_cell_area_cached_native(h3_unhex('$cell'))",
     "vec_dot_native" -> "vec_dot_native(array(1D, 2D, 3D), array(4D, 5D, 6D))",
-    "vec_cosine_native" -> "vec_cosine_native(array(1D, 0D), array(1D, 1D))"
+    "vec_cosine_native" -> "vec_cosine_native(array(1D, 0D), array(1D, 1D))",
+    "st_contains_point_native" ->
+      "st_contains_point_native('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))', 1D, 1D)"
   )
 
   test("every registered function answers a representative SQL call") {
@@ -117,6 +119,20 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = df.queryExecution.executedPlan.toString()
     assert(plan.contains("vec_dot_native"), plan)
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("vec_dot_native")), plan)
+  }
+
+  test("st_contains_point native agrees with the UDF on in/out/edge/null cases") {
+    graft.operators.SpatialJoin.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  st_contains_point_native(p, 1D, 1D) = st_contains_point(p, 1D, 1D) AS inside,
+        |  st_contains_point_native(p, 5D, 5D) = st_contains_point(p, 5D, 5D) AS outside,
+        |  st_contains_point_native(p, 1D, 1D) AS inside_true,
+        |  NOT st_contains_point_native(p, 5D, 5D) AS outside_false,
+        |  coalesce(st_contains_point_native(CAST(NULL AS STRING), 1D, 1D), false) = false AS null_wkt
+        |FROM (SELECT 'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))' AS p)
+        |""".stripMargin).head()
+    (0 until r.length).foreach(i => assert(r.getBoolean(i), s"field $i"))
   }
 
   test("native variants agree with their UDF twins") {
