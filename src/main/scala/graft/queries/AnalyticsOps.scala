@@ -527,6 +527,80 @@ object AnalyticsOps {
              |round(CAST(sum(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_ppl
              |FROM gated JOIN keep ON doc_id = keep_id
              |GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
+    // Full curation pipeline v3, composing the round-5 operators end to
+    // end: Gopher repetition gate (drop docs dominated by repeated
+    // 2-grams) → C4-style segment-level exact dedup over the survivors
+    // (planted exact + partial copies, as in dedup_segments, so the stage
+    // is exercised) → per-source rollup of what remains. Every stage is a
+    // bounded-key shuffle (gram counts, segment survivor min + rejoin,
+    // rollup); the corpus text is read once.
+    QueryDef(
+      "corpus_curation_v3",
+      (s, d) => {
+        val base = T(s, d, "documents").select("doc_id", "source", "text")
+        val exact = base.select((col("doc_id") + 100000).as("doc_id"),
+          col("source"), col("text"))
+        val partial = base.select((col("doc_id") + 200000).as("doc_id"),
+          col("source"),
+          concat(
+            expr("concat_ws(' ', slice(filter(split(text, ' +'), x -> x != ''), 1, 20))"),
+            lit(" tail "), col("doc_id").cast("string")).as("text"))
+        val all = base.unionByName(exact).unionByName(partial)
+          .withColumn("ws", expr("filter(split(text, ' +'), x -> x != '')"))
+
+        // stage 1: repetition gate (2-gram dup fraction over threshold)
+        val rep = all.where(size(col("ws")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', slice(ws, i, 2)))"))
+            .as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            (sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).cast("double") /
+              sum("c")).as("dupf"))
+        val gated = all.join(rep, "doc_id").where(col("dupf") <= 0.08)
+
+        // stage 2: segment-level dedup over the gated survivors
+        val segs = gated.select(col("doc_id"), col("source"), posexplode(expr(
+            "transform(sequence(0, (size(ws) - 1) div 10), k -> concat_ws(' ', slice(ws, k * 10 + 1, 10)))"))
+            .as(Seq("seg_idx", "seg")))
+          .withColumn("seg_h", md5(col("seg")))
+          .withColumn("rnk", col("doc_id") * 1000 + col("seg_idx"))
+        val firstSeg = segs.groupBy("seg_h").agg(min("rnk").as("keep_rnk"))
+        val kept = segs.join(firstSeg, "seg_h").where(col("rnk") === col("keep_rnk"))
+
+        // stage 3: per-source rollup of surviving content
+        kept.groupBy("source").agg(
+            count_distinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_segments"))
+          .orderBy("source")
+      },
+      Some("""WITH base AS (SELECT doc_id, source, text FROM documents),
+             |ex AS (SELECT doc_id + 100000 AS doc_id, source, text FROM base),
+             |pt AS (SELECT doc_id + 200000 AS doc_id, source,
+             |    array_to_string(list_filter(string_split_regex(text, ' +'),
+             |      x -> x <> '')[1:20], ' ') || ' tail ' || CAST(doc_id AS VARCHAR) AS text
+             |  FROM base),
+             |allv AS (SELECT * FROM base UNION ALL SELECT * FROM ex UNION ALL SELECT * FROM pt),
+             |t AS (SELECT doc_id, source, list_filter(string_split_regex(text, ' +'),
+             |    x -> x <> '') AS ws FROM allv),
+             |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+             |    i -> array_to_string(ws[i:i+1], ' '))) AS g FROM t WHERE len(ws) >= 2),
+             |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+             |rep AS (SELECT doc_id,
+             |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dupf
+             |  FROM c2 GROUP BY 1),
+             |gated AS (SELECT t.* FROM t JOIN rep USING (doc_id) WHERE dupf <= 0.08),
+             |segs AS (SELECT doc_id, source, k AS seg_idx,
+             |    md5(array_to_string(ws[k*10+1 : k*10+10], ' ')) AS seg_h,
+             |    doc_id * 1000 + k AS rnk
+             |  FROM gated, UNNEST(range(0, (len(ws) - 1) // 10 + 1)) AS u(k)),
+             |first AS (SELECT seg_h, min(rnk) AS keep_rnk FROM segs GROUP BY 1),
+             |kept AS (SELECT s.* FROM segs s JOIN first f
+             |  ON s.seg_h = f.seg_h AND s.rnk = f.keep_rnk)
+             |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_segments
+             |FROM kept GROUP BY source ORDER BY source""".stripMargin)
     )
   )
 }
