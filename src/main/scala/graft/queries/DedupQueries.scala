@@ -263,6 +263,48 @@ object DedupQueries {
           topK = 10, rerank = 8)
       }),
 
+    // Semantic decontamination: the embedding-space analog of
+    // text_decontaminate — train vectors whose cosine against ANY held-out
+    // eval vector exceeds the threshold are flagged (paraphrased eval
+    // leakage that n-gram overlap misses). Eval slice is tiny and
+    // broadcasts; the train side streams map-only through the codegen
+    // cosine kernel — one scan, no shuffle of the corpus. At billions of
+    // rows the same plan holds (or the LSH-bucketed variant prunes the
+    // candidate pairs, as in embedding_neardup_lsh). Planted +0.05
+    // perturbed copies (cos ≈ 0.93 vs their originals) give the flags.
+    QueryDef("embedding_decontaminate",
+      (s, d) => {
+        graft.engine.Expressions.register(s)
+        val all = embWithDups(s, d)
+        val eval_ = all.where(col("vec_id") < 100000 && pmod(col("vec_id"), lit(97)) === 0)
+          .select(col("vec_id").as("eval_id"), col("ve").as("ev"))
+        val train = all.where(col("vec_id") >= 100000)
+        train.crossJoin(broadcast(eval_))
+          .withColumn("cos", round(expr("vec_cosine_native(ve, ev)"), 6))
+          .groupBy("vec_id")
+          .agg(max("cos").as("max_cos"),
+            sum(when(col("cos") >= 0.9, 1L).otherwise(0L)).as("n_eval_hits"))
+          .where(col("max_cos") >= 0.9)
+          .select(col("vec_id"), col("max_cos"), col("n_eval_hits"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH all_v AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.05)
+             |  FROM embeddings),
+             |ev AS (SELECT vec_id AS eval_id, ve AS evv FROM all_v
+             |  WHERE vec_id < 100000 AND vec_id % 97 = 0),
+             |tr AS (SELECT * FROM all_v WHERE vec_id >= 100000),
+             |sc AS (SELECT tr.vec_id,
+             |    round(list_dot_product(tr.ve, ev.evv) /
+             |      (sqrt(list_dot_product(tr.ve, tr.ve)) * sqrt(list_dot_product(ev.evv, ev.evv))), 6) AS cos
+             |  FROM tr CROSS JOIN ev)
+             |SELECT vec_id, max(cos) AS max_cos,
+             |  CAST(sum(CASE WHEN cos >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_hits
+             |FROM sc GROUP BY vec_id HAVING max(cos) >= 0.9
+             |ORDER BY vec_id""".stripMargin)),
+
     // IVF-PQ composition: coarse cells prune the scan to nprobe/k of the
     // corpus, PQ codes shrink what's scanned 64×, exact rerank restores
     // true cosines (IvfPq.scala). Rows-only; PqSpec pins recall.
