@@ -155,6 +155,94 @@ object DedupQueries {
              |FROM tot t LEFT JOIN perdoc p USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // MinHash+LSH with an md5-derived hash family — the fully-ORACLED twin
+    // of dedup_minhash_lsh. The FNV+affine family is cheaper per hash but
+    // not SQL-expressible; md5-prefix hashes are computable bit-identically
+    // by DuckDB, so bucket keys, candidate pairs, and verified output all
+    // hash-match cross-engine — the strongest correctness statement the
+    // LSH pipeline can get. The Spark side is FULLY DECLARATIVE (shingles,
+    // signatures, and band keys are built-in HOFs inside whole-stage
+    // codegen — no UDF anywhere). Same scale shape as the FNV variant: one
+    // shuffle on (band, hash), candidates carry ids only.
+    QueryDef("dedup_minhash_lsh_md5",
+      (s, d) => {
+        val H = 16   // hash functions
+        val B = 4    // bands × 4 rows
+        val docs = docsWithDups(s, d)
+          .withColumn("ws", expr("filter(split(text, ' +'), x -> x != '')"))
+          .withColumn("sh", expr(
+            """CASE WHEN size(ws) >= 3
+              |  THEN transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))
+              |  ELSE array(concat_ws(' ', ws)) END""".stripMargin))
+        val sigs = (0 until H).map(k =>
+          expr(s"""aggregate(sh, 9223372036854775807L, (acc, t) ->
+                  |  least(acc, cast(conv(substring(md5(concat(t, ':$k')), 1, 15), 16, 10) as bigint)))"""
+            .stripMargin).as(s"sig$k"))
+        val withSig = docs.select((col("doc_id") +: sigs): _*)
+        val bands = (0 until B).map { b =>
+          val cols = (0 until H / B).map(r => s"sig${b * (H / B) + r}")
+          expr(s"md5(concat_ws(':', ${cols.mkString(", ")}))").as(s"band$b")
+        }
+        val buckets = withSig.select((col("doc_id") +: bands): _*)
+          .select(col("doc_id"), posexplode(array((0 until B).map(b => col(s"band$b")): _*))
+            .as(Seq("band", "bh")))
+        val cand = buckets.as("x").join(buckets.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+          .repartition(s.sparkContext.defaultParallelism)
+        val toks = docsWithDups(s, d).select(col("doc_id"),
+          expr("array_distinct(filter(split(text, ' +'), x -> x != ''))").as("ts"))
+        cand
+          .join(toks.select(col("doc_id").as("a"), col("ts").as("ta")), "a")
+          .join(toks.select(col("doc_id").as("b"), col("ts").as("tb")), "b")
+          .withColumn("jaccard", round(
+            size(array_intersect(col("ta"), col("tb"))).cast("double") /
+              size(array_union(col("ta"), col("tb"))), 6))
+          .where(col("jaccard") >= 0.5)
+          .select("a", "b", "jaccard")
+          .orderBy("a", "b")
+      },
+      Some {
+        val H = 16; val B = 4
+        val sigExprs = (0 until H).map(k =>
+          s"list_min(list_transform(sh, t -> CAST(('0x' || substr(md5(t || ':$k'), 1, 15)) AS BIGINT))) AS sig$k"
+        ).mkString(",\n             ")
+        val bandSelects = (0 until B).map { b =>
+          val cols = (0 until H / B).map(r => s"sig${b * (H / B) + r}")
+          s"SELECT doc_id, $b AS band, md5(concat_ws(':', ${cols.mkString(", ")})) AS bh FROM sig"
+        }.mkString("\n           |  UNION ALL ")
+        s"""WITH all_docs AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000,
+           |    substr(text, instr(text, ' ') + 1) || ' zzz' FROM documents),
+           |t AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+           |    x -> x <> '') AS ws FROM all_docs),
+           |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+           |    THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+           |    ELSE [array_to_string(ws, ' ')] END AS sh FROM t),
+           |sig AS (SELECT doc_id,
+           |  $sigExprs
+           |  FROM sh),
+           |buckets AS (
+           |  $bandSelects),
+           |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM buckets x JOIN buckets y
+           |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+           |toks AS (SELECT doc_id, list_distinct(list_filter(
+           |    string_split_regex(text, ' +'), x -> x <> '')) AS ts FROM all_docs)
+           |SELECT a, b,
+           |  round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
+           |        len(list_distinct(list_concat(ta.ts, tb.ts))), 6) AS jaccard
+           |FROM cand JOIN toks ta ON cand.a = ta.doc_id
+           |          JOIN toks tb ON cand.b = tb.doc_id
+           |WHERE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
+           |      len(list_distinct(list_concat(ta.ts, tb.ts))) >= 0.5
+           |ORDER BY a, b""".stripMargin
+      }),
+
     // SimHash near-dup: hamming ≤ 3 found exactly via 16-bit chunk buckets
     QueryDef("dedup_simhash",
       (s, d) => {
