@@ -21,6 +21,87 @@ object DedupQueries {
     docs.unionByName(perturbed)
   }
 
+  /** Verified near-dup pairs via the md5-derived MinHash family — the
+    * SQL-expressible LSH (see dedup_minhash_lsh_md5). Fully declarative:
+    * shingles, signature mins, and band keys are codegen HOFs, no UDF.
+    */
+  private def md5LshPairs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val H = 16; val B = 4
+    val docs = docsWithDups(s, d)
+      .withColumn("ws", expr("filter(split(text, ' +'), x -> x != '')"))
+      .withColumn("sh", expr(
+        """CASE WHEN size(ws) >= 3
+          |  THEN transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))
+          |  ELSE array(concat_ws(' ', ws)) END""".stripMargin))
+    val sigs = (0 until H).map(k =>
+      expr(s"""aggregate(sh, 9223372036854775807L, (acc, t) ->
+              |  least(acc, cast(conv(substring(md5(concat(t, ':$k')), 1, 15), 16, 10) as bigint)))"""
+        .stripMargin).as(s"sig$k"))
+    val withSig = docs.select((col("doc_id") +: sigs): _*)
+    val bands = (0 until B).map { b =>
+      val cols = (0 until H / B).map(r => s"sig${b * (H / B) + r}")
+      expr(s"md5(concat_ws(':', ${cols.mkString(", ")}))").as(s"band$b")
+    }
+    val buckets = withSig.select((col("doc_id") +: bands): _*)
+      .select(col("doc_id"), posexplode(array((0 until B).map(b => col(s"band$b")): _*))
+        .as(Seq("band", "bh")))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+      .repartition(s.sparkContext.defaultParallelism)
+    val toks = docsWithDups(s, d).select(col("doc_id"),
+      expr("array_distinct(filter(split(text, ' +'), x -> x != ''))").as("ts"))
+    cand
+      .join(toks.select(col("doc_id").as("a"), col("ts").as("ta")), "a")
+      .join(toks.select(col("doc_id").as("b"), col("ts").as("tb")), "b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))), 6))
+      .where(col("jaccard") >= 0.5)
+      .select("a", "b", "jaccard")
+  }
+
+  /** The WITH-body computing the same pairs in DuckDB (CTE `pairs`). */
+  private def md5LshPairsSqlCtes: String = {
+    val H = 16; val B = 4
+    val sigExprs = (0 until H).map(k =>
+      s"list_min(list_transform(sh, t -> CAST(('0x' || substr(md5(t || ':$k'), 1, 15)) AS BIGINT))) AS sig$k"
+    ).mkString(",\n  ")
+    val bandSelects = (0 until B).map { b =>
+      val cols = (0 until H / B).map(r => s"sig${b * (H / B) + r}")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(':', ${cols.mkString(", ")})) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000,
+       |    substr(text, instr(text, ' ') + 1) || ' zzz' FROM documents),
+       |t AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+       |    x -> x <> '') AS ws FROM all_docs),
+       |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+       |    THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+       |    ELSE [array_to_string(ws, ' ')] END AS sh FROM t),
+       |sig AS (SELECT doc_id,
+       |  $sigExprs
+       |  FROM sh),
+       |buckets AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |toks AS (SELECT doc_id, list_distinct(list_filter(
+       |    string_split_regex(text, ' +'), x -> x <> '')) AS ts FROM all_docs),
+       |pairs AS (SELECT a, b,
+       |  round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(ta.ts, tb.ts))), 6) AS jaccard
+       |FROM cand JOIN toks ta ON cand.a = ta.doc_id
+       |          JOIN toks tb ON cand.b = tb.doc_id
+       |WHERE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(ta.ts, tb.ts))) >= 0.5)""".stripMargin
+  }
+
   /** embeddings ∪ perturbed copies (+0.05 per component, cos ≈ 0.93). */
   private def embWithDups(s: SparkSession, d: String): DataFrame = {
     val e = T(s, d, "embeddings")
@@ -165,83 +246,35 @@ object DedupQueries {
     // codegen — no UDF anywhere). Same scale shape as the FNV variant: one
     // shuffle on (band, hash), candidates carry ids only.
     QueryDef("dedup_minhash_lsh_md5",
+      (s, d) => md5LshPairs(s, d).orderBy("a", "b"),
+      Some(s"""WITH ${md5LshPairsSqlCtes}
+              |SELECT a, b, jaccard FROM pairs ORDER BY a, b""".stripMargin)),
+
+    // The full consolidation pipeline under ONE oracle: md5-LSH verified
+    // pairs → connected components (large-star/small-star in Spark;
+    // recursive-CTE reachability in DuckDB) → cluster-size histogram.
+    // Every stage of "find near-dups, group them, summarize" hash-matches
+    // cross-engine — the oracled twin of dedup_lsh_clusters.
+    QueryDef("dedup_lsh_clusters_md5",
       (s, d) => {
-        val H = 16   // hash functions
-        val B = 4    // bands × 4 rows
-        val docs = docsWithDups(s, d)
-          .withColumn("ws", expr("filter(split(text, ' +'), x -> x != '')"))
-          .withColumn("sh", expr(
-            """CASE WHEN size(ws) >= 3
-              |  THEN transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))
-              |  ELSE array(concat_ws(' ', ws)) END""".stripMargin))
-        val sigs = (0 until H).map(k =>
-          expr(s"""aggregate(sh, 9223372036854775807L, (acc, t) ->
-                  |  least(acc, cast(conv(substring(md5(concat(t, ':$k')), 1, 15), 16, 10) as bigint)))"""
-            .stripMargin).as(s"sig$k"))
-        val withSig = docs.select((col("doc_id") +: sigs): _*)
-        val bands = (0 until B).map { b =>
-          val cols = (0 until H / B).map(r => s"sig${b * (H / B) + r}")
-          expr(s"md5(concat_ws(':', ${cols.mkString(", ")}))").as(s"band$b")
-        }
-        val buckets = withSig.select((col("doc_id") +: bands): _*)
-          .select(col("doc_id"), posexplode(array((0 until B).map(b => col(s"band$b")): _*))
-            .as(Seq("band", "bh")))
-        val cand = buckets.as("x").join(buckets.as("y"),
-            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .distinct()
-          .repartition(s.sparkContext.defaultParallelism)
-        val toks = docsWithDups(s, d).select(col("doc_id"),
-          expr("array_distinct(filter(split(text, ' +'), x -> x != ''))").as("ts"))
-        cand
-          .join(toks.select(col("doc_id").as("a"), col("ts").as("ta")), "a")
-          .join(toks.select(col("doc_id").as("b"), col("ts").as("tb")), "b")
-          .withColumn("jaccard", round(
-            size(array_intersect(col("ta"), col("tb"))).cast("double") /
-              size(array_union(col("ta"), col("tb"))), 6))
-          .where(col("jaccard") >= 0.5)
-          .select("a", "b", "jaccard")
-          .orderBy("a", "b")
+        val edges = md5LshPairs(s, d).select("a", "b")
+        graft.operators.ConnectedComponents.components(s, edges, "a", "b")
+          .groupBy("comp").agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .orderBy("cluster_size")
       },
-      Some {
-        val H = 16; val B = 4
-        val sigExprs = (0 until H).map(k =>
-          s"list_min(list_transform(sh, t -> CAST(('0x' || substr(md5(t || ':$k'), 1, 15)) AS BIGINT))) AS sig$k"
-        ).mkString(",\n             ")
-        val bandSelects = (0 until B).map { b =>
-          val cols = (0 until H / B).map(r => s"sig${b * (H / B) + r}")
-          s"SELECT doc_id, $b AS band, md5(concat_ws(':', ${cols.mkString(", ")})) AS bh FROM sig"
-        }.mkString("\n           |  UNION ALL ")
-        s"""WITH all_docs AS (
-           |  SELECT doc_id, text FROM documents
-           |  UNION ALL
-           |  SELECT doc_id + 100000,
-           |    substr(text, instr(text, ' ') + 1) || ' zzz' FROM documents),
-           |t AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'),
-           |    x -> x <> '') AS ws FROM all_docs),
-           |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3
-           |    THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
-           |    ELSE [array_to_string(ws, ' ')] END AS sh FROM t),
-           |sig AS (SELECT doc_id,
-           |  $sigExprs
-           |  FROM sh),
-           |buckets AS (
-           |  $bandSelects),
-           |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-           |  FROM buckets x JOIN buckets y
-           |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
-           |toks AS (SELECT doc_id, list_distinct(list_filter(
-           |    string_split_regex(text, ' +'), x -> x <> '')) AS ts FROM all_docs)
-           |SELECT a, b,
-           |  round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
-           |        len(list_distinct(list_concat(ta.ts, tb.ts))), 6) AS jaccard
-           |FROM cand JOIN toks ta ON cand.a = ta.doc_id
-           |          JOIN toks tb ON cand.b = tb.doc_id
-           |WHERE CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
-           |      len(list_distinct(list_concat(ta.ts, tb.ts))) >= 0.5
-           |ORDER BY a, b""".stripMargin
-      }),
+      Some(s"""WITH RECURSIVE ${md5LshPairsSqlCtes},
+              |und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+              |reach(node, r) AS (
+              |  SELECT a AS node, a AS r FROM und
+              |  UNION
+              |  SELECT u.a AS node, reach.r FROM und u JOIN reach ON u.b = reach.node
+              |),
+              |labels AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+              |sizes AS (SELECT comp, count(*) AS sz FROM labels GROUP BY comp)
+              |SELECT sz AS cluster_size, count(*) AS n_clusters
+              |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin)),
 
     // SimHash near-dup: hamming ≤ 3 found exactly via 16-bit chunk buckets
     QueryDef("dedup_simhash",
