@@ -102,6 +102,20 @@ object DedupQueries {
        |      len(list_distinct(list_concat(ta.ts, tb.ts))) >= 0.5)""".stripMargin
   }
 
+  /** 16 Rademacher hyperplanes over 64 dims, each sign pinned by the first
+    * md5 hex digit of "k:d" — derived once at code-generation time and
+    * embedded as LITERALS in both engines' expressions, so there is no
+    * runtime RNG to diverge.
+    */
+  private val RademacherH = 16
+  private val RademacherB = 4
+  private def rademacherSigns(k: Int): Seq[Int] = (0 until 64).map { dd =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$k:$dd".getBytes("UTF-8"))
+      .take(1).map(b => f"$b%02x").mkString
+    if (hex.head < '8') 1 else -1
+  }
+
   /** embeddings ∪ perturbed copies (+0.05 per component, cos ≈ 0.93). */
   private def embWithDups(s: SparkSession, d: String): DataFrame = {
     val e = T(s, d, "embeddings")
@@ -382,6 +396,80 @@ object DedupQueries {
         val model = graft.operators.ProductQuantizer.train(s, e, m = 8, k = 16, iters = 3)
         graft.operators.ProductQuantizer.search(s, e, Seq(0L, 1L, 2L, 3L, 4L), model,
           topK = 10, rerank = 8)
+      }),
+
+    // Hyperplane-LSH near-dup with md5-derived Rademacher hyperplanes —
+    // the fully-ORACLED twin of embedding_neardup_lsh (whose seeded
+    // Gaussian hyperplanes aren't SQL-expressible). Each of 16 hyperplanes
+    // is a ±1 vector pinned by md5("k:d") at code-generation time and
+    // embedded as literals in BOTH engines' expressions; sign bits band
+    // 4×4 into bucket keys, candidates verify by exact cosine. Planted
+    // +0.05 copies (cos ≈ 0.93) give ~97% per-pair recall at this banding;
+    // whatever the buckets emit is bit-identical cross-engine. Same scale
+    // shape as the production path: one shuffle on (band, key).
+    QueryDef("embedding_neardup_lsh_md5",
+      (s, d) => {
+        val all = embWithDups(s, d)
+        val bits = (0 until RademacherH).map { k =>
+          val arr = rademacherSigns(k).map(v => s"${v}D").mkString("array(", ", ", ")")
+          expr(s"""CASE WHEN aggregate(zip_with(ve, $arr, (x, sg) -> x * sg), 0D,
+                  |  (acc, v) -> acc + v) >= 0D THEN '1' ELSE '0' END""".stripMargin)
+            .as(s"bit$k")
+        }
+        val withBits = all.select((col("vec_id") +: bits): _*)
+        val bands = (0 until RademacherB).map { b =>
+          val cols = (0 until RademacherH / RademacherB)
+            .map(r => col(s"bit${b * (RademacherH / RademacherB) + r}"))
+          concat(cols: _*).as(s"band$b")
+        }
+        val buckets = withBits.select((col("vec_id") +: bands): _*)
+          .select(col("vec_id"),
+            posexplode(array((0 until RademacherB).map(b => col(s"band$b")): _*))
+              .as(Seq("band", "key")))
+        val cand = buckets.as("x").join(buckets.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+          .distinct()
+          .repartition(s.sparkContext.defaultParallelism)
+        graft.engine.Expressions.register(s)
+        cand
+          .join(all.select(col("vec_id").as("a"), col("ve").as("va")), "a")
+          .join(all.select(col("vec_id").as("b"), col("ve").as("vb")), "b")
+          .withColumn("cos", round(expr("vec_cosine_native(va, vb)"), 6))
+          .where(col("cos") >= 0.9)
+          .select("a", "b", "cos")
+          .orderBy("a", "b")
+      },
+      Some {
+        val bitExprs = (0 until RademacherH).map { k =>
+          val arr = rademacherSigns(k).map(v => s"$v.0").mkString("[", ", ", "]")
+          s"CASE WHEN list_dot_product(ve, $arr) >= 0 THEN '1' ELSE '0' END AS bit$k"
+        }.mkString(",\n  ")
+        val bandSelects = (0 until RademacherB).map { b =>
+          val cols = (0 until RademacherH / RademacherB)
+            .map(r => s"bit${b * (RademacherH / RademacherB) + r}")
+          s"SELECT vec_id, $b AS band, ${cols.mkString(" || ")} AS key FROM bits"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH all_v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.05)
+           |  FROM embeddings),
+           |bits AS (SELECT vec_id,
+           |  $bitExprs
+           |  FROM all_v),
+           |buckets AS (
+           |  $bandSelects),
+           |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           |  FROM buckets x JOIN buckets y
+           |    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+           |sc AS (SELECT a, b,
+           |  round(list_dot_product(va.ve, vb.ve) /
+           |    (sqrt(list_dot_product(va.ve, va.ve)) * sqrt(list_dot_product(vb.ve, vb.ve))), 6) AS cos
+           |  FROM cand JOIN all_v va ON cand.a = va.vec_id
+           |            JOIN all_v vb ON cand.b = vb.vec_id)
+           |SELECT a, b, cos FROM sc WHERE cos >= 0.9 ORDER BY a, b""".stripMargin
       }),
 
     // Semantic decontamination: the embedding-space analog of
