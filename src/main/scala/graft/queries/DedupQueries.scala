@@ -311,6 +311,84 @@ object DedupQueries {
           .orderBy("a", "b")
       }),
 
+    // SimHash with md5-derived bits — the fully-ORACLED twin of
+    // dedup_simhash (FNV bits aren't SQL-expressible). 64-bit signature
+    // from ONE md5 per token: bit b is the sign of an integer sum over the
+    // token multiset of ±1 taken from bit (b mod 4) of hex digit ⌊b/4⌋ of
+    // md5(token) — integer arithmetic end to end, so cross-engine
+    // exactness is unconditional. 16-bit chunk buckets find hamming ≤ 3
+    // exhaustively (pigeonhole over 4 chunks, same construction as the
+    // FNV variant); candidates verify by exact hamming. One shuffle on
+    // (chunk, value).
+    QueryDef("dedup_simhash_md5",
+      (s, d) => {
+        val H = 64; val C = 4
+        val docs = docsWithDups(s, d)
+          .withColumn("th", expr(
+            "transform(filter(split(text, ' +'), x -> x != ''), t -> md5(t))"))
+        val bits = (0 until H).map { b =>
+          val pos = b / 4 + 1; val mask = 1 << (b % 4)
+          expr(s"""CASE WHEN aggregate(th, 0, (acc, h) ->
+                  |  acc + (CASE WHEN (cast(conv(substring(h, $pos, 1), 16, 10) as int) & $mask) > 0
+                  |         THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END""".stripMargin)
+            .as(s"bit$b")
+        }
+        val sig = docs.select((col("doc_id") +: bits): _*)
+          .withColumn("key", concat((0 until H).map(b => col(s"bit$b")): _*))
+          .select("doc_id", "key")
+        val buckets = sig.select(col("doc_id"), col("key"),
+          posexplode(array((0 until C).map(c =>
+            expr(s"substring(key, ${c * (H / C) + 1}, ${H / C})")): _*))
+            .as(Seq("chunk", "cv")))
+        val ham = (1 to H).map(i =>
+          when(expr(s"substring(x.key, $i, 1)") =!= expr(s"substring(y.key, $i, 1)"), 1)
+            .otherwise(0)).reduce(_ + _)
+        buckets.as("x").join(buckets.as("y"),
+            col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+            ham.cast("long").as("hamming"))
+          .distinct()
+          .where(col("hamming") <= 3)
+          .orderBy("a", "b")
+      },
+      Some {
+        val H = 64; val C = 4
+        val bitExprs = (0 until H).map { b =>
+          val pos = b / 4 + 1; val mask = 1 << (b % 4)
+          s"""CASE WHEN list_sum(list_transform(th, h ->
+             |    CASE WHEN (CAST(('0x' || substr(h, $pos, 1)) AS INT) & $mask) > 0
+             |    THEN 1 ELSE -1 END)) >= 0 THEN '1' ELSE '0' END AS bit$b""".stripMargin
+        }.mkString(",\n  ")
+        val keyConcat = (0 until H).map(b => s"bit$b").mkString(" || ")
+        val chunkSelects = (0 until C).map(c =>
+          s"SELECT doc_id, key, $c AS chunk, substr(key, ${c * (H / C) + 1}, ${H / C}) AS cv FROM sig"
+        ).mkString("\n  UNION ALL ")
+        val hamExpr = (1 to H).map(i =>
+          s"(CASE WHEN substr(x.key, $i, 1) <> substr(y.key, $i, 1) THEN 1 ELSE 0 END)"
+        ).mkString(" + ")
+        s"""WITH all_docs AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000,
+           |    substr(text, instr(text, ' ') + 1) || ' zzz' FROM documents),
+           |t AS (SELECT doc_id, list_transform(list_filter(
+           |    string_split_regex(text, ' +'), x -> x <> ''), t -> md5(t)) AS th
+           |  FROM all_docs),
+           |b AS (SELECT doc_id,
+           |  $bitExprs
+           |  FROM t),
+           |sig AS (SELECT doc_id, $keyConcat AS key FROM b),
+           |buckets AS (
+           |  $chunkSelects)
+           |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           |  CAST($hamExpr AS BIGINT) AS hamming
+           |FROM buckets x JOIN buckets y
+           |  ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id
+           |WHERE $hamExpr <= 3
+           |ORDER BY a, b""".stripMargin
+      }),
+
     // embedding cosine near-dup, brute-force verification (oracle-able)
     QueryDef("embedding_neardup_pairs",
       (s, d) => {
