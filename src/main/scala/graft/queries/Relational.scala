@@ -245,6 +245,19 @@ object Relational {
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
+    // Stream-static enrichment: the event stream joins the static customer
+    // dimension (re-broadcast per micro-batch, never shuffling the
+    // stream) and rolls up per nation — the reference-data enrichment
+    // shape. Oracle = the equivalent batch join + rollup.
+    QueryDef(
+      "events_enrich_stream",
+      (s, d) => graft.streaming.EventStream.enrichRollup(s, d),
+      Some("""SELECT c.c_nationkey AS nation, e.event_type, count(*) AS n,
+             |CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
     // Streaming ingestion dedup: the file source delivers everything twice;
     // dropDuplicatesWithinWatermark collapses the redelivery before the
     // windowed rollup, so the oracle is the batch rollup over the

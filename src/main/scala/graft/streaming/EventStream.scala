@@ -54,6 +54,46 @@ object EventStream {
     spark.table(sinkName).orderBy("h", "event_type")
   }
 
+  /** Stream-static enrichment: the event stream joins a STATIC dimension
+    * table (customers) that Spark re-broadcasts per micro-batch — the
+    * standard shape for enriching a firehose with slowly-changing
+    * reference data. No stream state beyond the running aggregate; the
+    * static side never shuffles the stream. Driven to completion with
+    * AvailableNow; oracle = the equivalent batch join + rollup.
+    */
+  def enrichRollup(spark: SparkSession, dir: String): DataFrame = {
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val srcDir = Files.createTempDirectory("graft_enrich_src")
+    srcDir.toFile.deleteOnExit()
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val raw = spark.readStream.schema(batch.schema).parquet(srcDir.toString)
+    val events = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+    val dim = broadcast(spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey")))
+
+    val agg = events.join(dim, events("user_id") === dim("c_custkey"))
+      .groupBy(col("c_nationkey").as("nation"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+    val sinkName = s"graft_enrich_rollup_${math.abs(dir.hashCode)}"
+    val q = agg.writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_enrich_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).orderBy("nation", "event_type")
+  }
+
   /** Streaming ingestion dedup: the source delivers every file TWICE
     * (at-least-once delivery), and `dropDuplicatesWithinWatermark` on the
     * event key collapses redelivery before the windowed rollup — the
