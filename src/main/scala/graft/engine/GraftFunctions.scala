@@ -249,6 +249,9 @@ object GraftFunctions {
     // standard H3 API a user of an H3 engine expects)
     u.register("h3_grid_disk", (c: java.lang.Long, k: Int) =>
       if (c == null) null else H3.gridDisk(c.longValue, k))
+    u.register("h3_grid_distance", (a: java.lang.Long, b: java.lang.Long) =>
+      if (a == null || b == null) null.asInstanceOf[java.lang.Integer]
+      else Int.box(H3.gridDistance(a.longValue, b.longValue)))
     u.register("h3_is_valid", (c: java.lang.Long) =>
       if (c == null) null.asInstanceOf[java.lang.Boolean]
       else java.lang.Boolean.valueOf(H3Index.isValidCell(c.longValue)))

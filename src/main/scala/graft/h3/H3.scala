@@ -405,6 +405,35 @@ object H3 {
     seen.toArray
   }
 
+  /** Grid distance between two cells of the same resolution: BFS ring
+    * expansion from `a` until `b` appears. Upstream h3 computes this in
+    * O(1) via local IJ coordinates; the BFS is O(distance²) neighbor
+    * calls, so a `maxK` cap guards against cross-globe queries (upstream
+    * also FAILS for distant pairs — whenever the local-IJ projection
+    * overflows a face — so a bounded domain is inherent to the API).
+    */
+  def gridDistance(a: Long, b: Long, maxK: Int = 128): Int = {
+    require(H3Index.resolution(a) == H3Index.resolution(b),
+      s"gridDistance needs equal resolutions: $a vs $b")
+    if (a == b) return 0
+    val seen = mutable.HashSet(a)
+    var frontier = List(a)
+    var ring = 0
+    while (ring < maxK && frontier.nonEmpty) {
+      ring += 1
+      val next = mutable.ListBuffer.empty[Long]
+      frontier.foreach { c =>
+        neighbors(c).foreach { n =>
+          if (n == b) return ring
+          if (seen.add(n)) next += n
+        }
+      }
+      frontier = next.toList
+    }
+    throw new IllegalArgumentException(
+      s"cells farther than $maxK apart (or unreachable)")
+  }
+
   // ------------------------------------------------------------- hierarchy
 
   /** All descendants of `h` at `childRes` (published H3 hierarchy: each cell

@@ -34,6 +34,7 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     "h3_cell_area_cached" -> s"h3_cell_area_cached(h3_unhex('$cell'))",
     "h3_cell_info" -> s"h3_cell_info('$cell')._2",
     "h3_grid_disk" -> s"size(h3_grid_disk(h3_unhex('$cell'), 1))",
+    "h3_grid_distance" -> s"h3_grid_distance(h3_unhex('$cell'), h3_unhex('$cell'))",
     "h3_children" -> s"size(h3_children(h3_unhex('$cell'), 7))",
     "h3_compact" -> s"size(h3_compact(h3_children(h3_unhex('$cell'), 7)))",
     "h3_uncompact" -> s"size(h3_uncompact(array(h3_unhex('$cell')), 7))",

@@ -88,4 +88,18 @@ class H3PropertySpec extends AnyFunSuite {
       if (k > 0) assert(H3.gridDisk(c, k - 1).toSet.subsetOf(disk.toSet))
     }
   }
+
+  test("gridDistance: zero to self, one to neighbors, bounded by ring, symmetric") {
+    samples(7).take(60).foreach { case (lat, lng, _) =>
+      val c = H3.latLngToCell(lat, lng, 5)
+      assert(H3.gridDistance(c, c) == 0)
+      H3.neighbors(c).foreach(n => assert(H3.gridDistance(c, n) == 1))
+      val k = 3
+      H3.gridDisk(c, k).foreach { m =>
+        val dist = H3.gridDistance(c, m)
+        assert(dist <= k)
+        assert(H3.gridDistance(m, c) == dist) // symmetry
+      }
+    }
+  }
 }
