@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Plan-shape assertions pinning the scale claims of the round-5 queries:
+  * the sides we document as broadcast must actually broadcast (with
+  * size-based auto-broadcast DISABLED, so only explicit hints decide), and
+  * the corpus-side scans must not shuffle where the docs say they don't.
+  * These run against the real sf0.001 parquet so the plans are the ones
+  * the driver executes, not toy frames.
+  */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.engine.GraftFunctions.register(s)
+    s
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  private def planOf(name: String): String =
+    graft.SparkEntry.registry.find(_.name == name).get
+      .fn(spark, sf).queryExecution.executedPlan.toString()
+
+  test("hashed tf-idf broadcasts the bounded df side (explicit hint, auto off)") {
+    val p = planOf("text_tfidf_hashed")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
+  test("hashed pmi broadcasts both bounded unigram lookups") {
+    val p = planOf("text_pmi_hashed")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
+  test("semantic decontamination never shuffles or sort-merges the corpus") {
+    val p = planOf("embedding_decontaminate")
+    // eval side broadcast → nested-loop over the streamed corpus scan;
+    // the only exchange is the final per-vector aggregation
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+  }
+
+  test("brute-force cosine top-k streams the corpus against a broadcast query set") {
+    val p = planOf("sim_cosine_topk_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+  }
+
+  test("repetition filter aggregates map-side before the (doc, gram) shuffle") {
+    val p = planOf("text_repetition_filter")
+    // partial + final HashAggregate pairs for both n-gram orders
+    assert("partial_".r.findAllIn(p).size >= 2, p.take(4000))
+  }
+}
