@@ -399,7 +399,10 @@ object DedupQueries {
         // side across cores (the broadcast side is tiny)
         e.select(col("vec_id").as("a"), col("ve").as("va"))
           .repartition(s.sparkContext.defaultParallelism).as("x")
-          .join(e.select(col("vec_id").as("b"), col("ve").as("vb")).as("y"),
+          // explicit hint: without it the non-equi join degrades to a true
+          // CartesianProduct whenever size-based auto-broadcast declines
+          // (PlanShapeSpec lints every registered query for this)
+          .join(broadcast(e.select(col("vec_id").as("b"), col("ve").as("vb")).as("y")),
             col("a") < col("b"))
           // native codegen kernel, not the cosine_d UDF: this filter runs
           // on every one of the n²/2 joined pairs — the hottest vector

@@ -21,6 +21,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.adaptive.enabled", "false")
+      // events.parquet is TIMESTAMP(NANOS); same setting as graft.Sessions
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.engine.GraftFunctions.register(s)
@@ -60,5 +62,25 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = planOf("text_repetition_filter")
     // partial + final HashAggregate pairs for both n-gram orders
     assert("partial_".r.findAllIn(p).size >= 2, p.take(4000))
+  }
+
+  test("no registered batch query plans a CartesianProduct") {
+    // excluded: streaming twins (building the frame RUNS the stream),
+    // k-means/BPE training and resolve pipelines (eager jobs at build
+    // time), and the source round-trip (writes files when built). None of
+    // them contain a join that could degrade to a cartesian anyway.
+    val eager = Set("text_bpe_train")
+    def excluded(n: String) =
+      n.endsWith("_stream") || n.startsWith("sim_ann") ||
+        n.startsWith("h3_resolve") || n == "geojson_source_roundtrip" ||
+        eager(n)
+    val offenders = graft.SparkEntry.registry
+      .filterNot(q => excluded(q.name))
+      .flatMap { q =>
+        val p = q.fn(spark, sf).queryExecution.executedPlan.toString()
+        if (p.contains("CartesianProduct")) Some(q.name) else None
+      }
+    assert(offenders.isEmpty,
+      s"queries planning a CartesianProduct: ${offenders.mkString(", ")}")
   }
 }
