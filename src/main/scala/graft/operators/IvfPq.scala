@@ -14,12 +14,107 @@ import org.apache.spark.sql.functions._
   * cluster, so a probe is a partition-pruned scan; queries and their ADC
   * tables broadcast; only candidate ids shuffle for the exact rerank.
   *
-  * Codes quantize the raw (normalized) vectors, not residuals — the
-  * residual refinement of Jégou et al.'s original IVFADC needs per-cell
-  * codebooks trained on v − centroid; with the exact rerank downstream the
-  * simpler shared codebook loses little recall and keeps train() one pass.
+  * `search` quantizes the raw (normalized) vectors; `searchResidual` is
+  * the IVFADC refinement of Jégou et al. (TPAMI 2011): codes quantize
+  * v − centroid(v) instead, which concentrates the quantizer's dynamic
+  * range on the within-cell variation (residuals are much smaller than
+  * raw vectors, so the same codebook budget yields finer distances). One
+  * shared residual codebook rather than per-cell codebooks — trains in
+  * the same single pass per iteration; the per-query ADC table is then
+  * built per PROBED CELL from q − centroid(cell).
   */
 object IvfPq {
+
+  private def unitCentroid(ivf: IvfIndex.Model, c: Int): Array[Double] =
+    ProductQuantizer.l2normalize(ivf.centroids(c).toSeq)
+
+  private def residualOf(nv: Array[Double], ch: Array[Double]): Array[Double] = {
+    val r = new Array[Double](nv.length)
+    var i = 0
+    while (i < nv.length) { r(i) = nv(i) - ch(i); i += 1 }
+    r
+  }
+
+  /** Train a PQ codebook on IVF residuals (normalized vector minus its
+    * cell's unit centroid). Residuals span a much smaller range than raw
+    * vectors, so the same codebook budget quantizes finer — the IVFADC
+    * refinement. Distributed exactly like ProductQuantizer.train; the
+    * residual map is one extra map-only pass.
+    */
+  def trainResidual(spark: SparkSession, emb: DataFrame, ivf: IvfIndex.Model,
+                    m: Int, k: Int, iters: Int): ProductQuantizer.PQModel = {
+    val bcIvf = spark.sparkContext.broadcast(ivf)
+    val res = udf { (v: Seq[Double]) =>
+      val nv = ProductQuantizer.l2normalize(v)
+      val cl = bcIvf.value.nearest(nv, 1)(0)
+      residualOf(nv, unitCentroid(bcIvf.value, cl))
+    }
+    ProductQuantizer.train(spark,
+      emb.select(col("id"), res(col("v")).as("v")),
+      m, k, iters, normalizeInput = false)
+  }
+
+  /** IVFADC search: codes quantize residuals, and each query builds one
+    * ADC table PER PROBED CELL from (q − that cell's unit centroid) — the
+    * per-cell offset cancels, so ADC approximates ||q − v||² directly.
+    * Same scan/rerank shape as `search`.
+    */
+  def searchResidual(spark: SparkSession, emb: DataFrame, queryIds: Seq[Long],
+                     ivf: IvfIndex.Model, pqRes: ProductQuantizer.PQModel,
+                     nprobe: Int, topK: Int, rerank: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!pqRes.normalize, "searchResidual needs a residual-trained model")
+
+    val bcIvf = spark.sparkContext.broadcast(ivf)
+    val bcPq = spark.sparkContext.broadcast(pqRes)
+    val assignEncode = udf { (v: Seq[Double]) =>
+      val nv = ProductQuantizer.l2normalize(v)
+      val cl = bcIvf.value.nearest(nv, 1)(0)
+      (cl, bcPq.value.encodeOne(residualOf(nv, unitCentroid(bcIvf.value, cl))))
+    }
+    val index = emb.select(col("id").as("nid"), assignEncode(col("v")).as("ac"))
+      .select(col("nid"), col("ac._1").as("cluster"), col("ac._2").as("codes"))
+
+    val queries = emb.where(col("id").isin(queryIds: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    // one ADC table per (query, probed cell): built from q − ĉ(cell)
+    val tables = queries.flatMap { case (qid, qv) =>
+      val nq = ProductQuantizer.l2normalize(qv)
+      ivf.nearest(nq.toSeq, nprobe).map { c =>
+        (qid, c) -> pqRes.adcTable(residualOf(nq, unitCentroid(ivf, c)).toSeq)
+      }
+    }.toMap
+    val bcT = spark.sparkContext.broadcast(tables)
+    val adc = udf { (qid: Long, cluster: Int, codes: Seq[Int]) =>
+      val t = bcT.value((qid, cluster))
+      var d = 0.0; var s = 0
+      while (s < codes.length) { d += t(s)(codes(s)); s += 1 }
+      d
+    }
+
+    val probes = broadcast(spark.createDataFrame(
+      tables.keys.toSeq.sorted).toDF("qid", "cluster"))
+
+    val wApprox = Window.partitionBy("qid").orderBy(col("adist").asc, col("nid"))
+    val cands = index.join(probes, "cluster")
+      .withColumn("adist", adc(col("qid"), col("cluster"), col("codes")))
+      .withColumn("arn", row_number().over(wApprox))
+      .where(col("arn") <= topK * rerank)
+      .select(col("qid"), col("nid"))
+
+    val bcQ = spark.sparkContext.broadcast(queries.toMap)
+    val exact = udf { (qid: Long, nv: Seq[Double]) =>
+      1.0 - IvfIndex.cosineDist(bcQ.value(qid), nv)
+    }
+    val wExact = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))
+    emb.select(col("id").as("nid"), col("v").as("nv"))
+      .join(broadcast(cands), "nid")
+      .withColumn("score", round(exact(col("qid"), col("nv")), 6))
+      .withColumn("rn", row_number().over(wExact).cast("long"))
+      .where(col("rn") <= topK)
+      .select(col("qid"), col("nid"), col("score"), col("rn"))
+      .orderBy("qid", "rn")
+  }
 
   def search(spark: SparkSession, emb: DataFrame, queryIds: Seq[Long],
              ivf: IvfIndex.Model, pq: ProductQuantizer.PQModel,

@@ -27,12 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object ProductQuantizer {
 
-  /** codebooks(sub)(code) is a dsub-dim centroid. */
-  final case class PQModel(m: Int, dsub: Int, codebooks: Array[Array[Array[Double]]]) {
+  /** codebooks(sub)(code) is a dsub-dim centroid. `normalize` records
+    * whether inputs are L2-normalized before quantizing — true for raw
+    * vectors (cosine geometry), false for IVF residuals, which are already
+    * differences of unit-sphere points and must NOT be re-scaled.
+    */
+  final case class PQModel(m: Int, dsub: Int, codebooks: Array[Array[Array[Double]]],
+                           normalize: Boolean = true) {
     def k: Int = codebooks(0).length
 
     def encodeOne(v: Seq[Double]): Array[Int] = {
-      val nv = l2normalize(v)
+      val nv = if (normalize) l2normalize(v) else v.toArray
       Array.tabulate(m) { s =>
         val off = s * dsub
         var best = 0; var bestD = Double.MaxValue
@@ -50,7 +55,7 @@ object ProductQuantizer {
       * squared L2 from the query's subvector to that codebook entry.
       */
     def adcTable(q: Seq[Double]): Array[Array[Double]] = {
-      val nq = l2normalize(q)
+      val nq = if (normalize) l2normalize(q) else q.toArray
       Array.tabulate(m)(s =>
         Array.tabulate(codebooks(s).length)(c => l2sqOff(nq, s * dsub, codebooks(s)(c))))
     }
@@ -83,14 +88,16 @@ object ProductQuantizer {
     *
     * `emb` needs columns (id: long, v: array<double>).
     */
-  def train(spark: SparkSession, emb: DataFrame, m: Int, k: Int, iters: Int): PQModel = {
+  def train(spark: SparkSession, emb: DataFrame, m: Int, k: Int, iters: Int,
+            normalizeInput: Boolean = true): PQModel = {
     import spark.implicits._
     val dim = emb.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
 
     val norm = udf((v: Seq[Double]) => l2normalize(v))
-    val nemb = emb.select(col("id"), norm(col("v")).as("v"))
+    val nemb = if (normalizeInput) emb.select(col("id"), norm(col("v")).as("v"))
+               else emb.select("id", "v")
 
     // deterministic init: evenly-spaced ids seed every subspace's codebook
     val n = nemb.count()
@@ -134,7 +141,7 @@ object ProductQuantizer {
       }
       codebooks = next
     }
-    PQModel(m, dsub, codebooks)
+    PQModel(m, dsub, codebooks, normalize = normalizeInput)
   }
 
   /** Map-only encode: (id, codes array<int>) — the m-byte index rows. */

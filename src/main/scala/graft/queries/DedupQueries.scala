@@ -608,6 +608,20 @@ object DedupQueries {
           nprobe = 3, topK = 10, rerank = 8)
       }),
 
+    // IVFADC: the residual-encoding refinement — codes quantize
+    // v − centroid(v), concentrating the codebook budget on within-cell
+    // variation; per-(query, cell) ADC tables cancel the offset. Rows-only;
+    // PqSpec proves residual ≥ raw codes on clustered data.
+    QueryDef("sim_ann_ivfpq_residual",
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+        val ivf = graft.operators.IvfIndex.train(s, e, k = 8, iters = 3)
+        val pq = graft.operators.IvfPq.trainResidual(s, e, ivf, m = 8, k = 16, iters = 3)
+        graft.operators.IvfPq.searchResidual(s, e, Seq(0L, 1L, 2L, 3L, 4L), ivf, pq,
+          nprobe = 3, topK = 10, rerank = 8)
+      }),
+
     // multimodal: binary payload + stubbed decode through mapPartitions
     QueryDef("multimodal_features",
       (s, d) => Multimodal.extractFeatures(s, Multimodal.mediaTable(s, d))

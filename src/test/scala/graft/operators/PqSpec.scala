@@ -95,6 +95,55 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("residual (IVFADC) search beats raw codes on clustered data at low rerank") {
+    // The residual refinement pays off when cells are TIGHT (residual
+    // dynamic range << vector range) — real-embedding geometry. On
+    // diffuse uniform-random vectors residuals are LARGER than the unit
+    // vectors (nv and ĉ nearly uncorrelated ⇒ ‖nv − ĉ‖ > 1) and the
+    // refinement rightly does nothing, so this test builds clustered
+    // data: 8 anchors + small noise.
+    val rnd = new scala.util.Random(7)
+    val anchors = Array.fill(8)(Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    val rows = (0 until 512).map { i =>
+      val a = anchors(i % 8)
+      (i.toLong, a.map(x => x + (rnd.nextDouble() * 0.2 - 0.1)).toSeq)
+    }
+    import spark.implicits._
+    val e = rows.toDF("id", "v")
+
+    val ivf = IvfIndex.train(spark, e, k = 8, iters = 3)
+    val raw = ProductQuantizer.train(spark, e, m = 8, k = 16, iters = 3)
+    val res = IvfPq.trainResidual(spark, e, ivf, m = 8, k = 16, iters = 3)
+    assert(!res.normalize && raw.normalize)
+
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val all = rows.toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      qids.map { q =>
+        val qv = all(q)
+        val truth = all.toSeq.sortBy { case (_, v) => IvfIndex.cosineDist(qv, v) }
+          .take(10).map(_._1).toSet
+        (got(q) & truth).size / 10.0
+      }.sum / qids.size
+    }
+    // rerank=1 → pure ADC ranking, where quantization fidelity shows
+    val rawRec = recallOf(IvfPq.search(spark, e, qids, ivf, raw,
+      nprobe = 2, topK = 10, rerank = 1))
+    val resRec = recallOf(IvfPq.searchResidual(spark, e, qids, ivf, res,
+      nprobe = 2, topK = 10, rerank = 1))
+    assert(resRec >= rawRec, s"residual $resRec < raw $rawRec")
+    // absolute floor is modest: rerank=1 asks ADC to ORDER 64 near-identical
+    // noise-ball members — precisely the regime the exact rerank exists for
+    assert(resRec >= 0.45, s"residual recall $resRec")
+    // self still at rank 1 with exact cosine 1.0
+    IvfPq.searchResidual(spark, e, qids, ivf, res, nprobe = 2, topK = 10, rerank = 8)
+      .where(col("rn") === 1).collect().foreach { r =>
+        assert(r.getLong(0) == r.getLong(1) && r.getDouble(2) == 1.0)
+      }
+  }
+
   test("training and search are deterministic") {
     val a = ProductQuantizer.train(spark, emb, m = 4, k = 8, iters = 2)
     val b = ProductQuantizer.train(spark, emb, m = 4, k = 8, iters = 2)
