@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Near-duplicate detection primitives for training-data pipelines: MinHash
   * signatures over n-gram shingles, SimHash, and token-set Jaccard. Pure
@@ -157,22 +159,92 @@ object Dedup {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Global first-occurrence survivor pick for segment-level dedup: for each
+    * `seg_h`, keep only the row with the lexicographically smallest
+    * `(doc_id, seg_idx)`. One shuffle on the hash (min-of-struct partial
+    * aggregates map-side), then a co-partitioned rejoin on the same key.
+    *
+    * Deliberately NOT an arithmetic rank like `doc_id * K + seg_idx`: any
+    * fixed K silently overflows into the next doc's range once a document
+    * has ≥ K segments (a ~10·K-token document), mis-picking the survivor
+    * while an oracle using the same formula still matches.
+    */
+  def keepFirstOccurrence(segs: DataFrame): DataFrame = {
+    val first = segs.groupBy("seg_h")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("keep"))
+    segs.join(first, "seg_h")
+      .where(col("doc_id") === col("keep.doc_id") &&
+        col("seg_idx") === col("keep.seg_idx"))
+      .drop("keep")
+  }
+
+  /** Per-row serialized-size estimate in bytes: actual lengths for
+    * string/binary/array payloads, fixed width for everything else. Used by
+    * [[fitsBroadcast]] so the guard thresholds on BYTES — 2M rows of long
+    * documents are multi-GB (never broadcastable) while 2M bare ids are
+    * ~16 MB (fine).
+    */
+  private[graft] def approxRowBytes(schema: StructType): Column =
+    schema.fields.map { f =>
+      f.dataType match {
+        case StringType => coalesce(octet_length(col(f.name)).cast("long"), lit(0L))
+        case BinaryType => coalesce(length(col(f.name)).cast("long"), lit(0L))
+        case ArrayType(_, _) =>
+          coalesce(size(col(f.name)).cast("long"), lit(0L)) * 8L + lit(16L)
+        case _ => lit(8L)
+      }
+    }.reduceOption(_ + _).getOrElse(lit(8L))
+
+  // Broadcast decisions memoized per (session, canonicalized plan): the
+  // probe is one bounded job, and repeated builds of the same query (bench
+  // reps, twin queries over one corpus) must not pay it again. WeakHashMap
+  // on the session so a closed session frees its entries.
+  private val broadcastDecisions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[
+          (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Long),
+          java.lang.Boolean]]())
+
   /** Broadcast a verify-stage corpus side only when it is provably small.
     *
     * The LSH plans re-join id-only candidate pairs to the corpus to fetch
     * payloads; broadcasting the corpus is right at test scale and impossible
-    * at 100 TB. The probe is a capped count (limit maxRows+1 → count), so
-    * deciding costs one bounded scan; above the cap the caller gets the bare
-    * frame and the join shuffles both sides on the id — the only plan that
-    * survives an unbroadcastable corpus. Callers probe once per corpus and
-    * reuse the decision for both join sides.
+    * at 100 TB. The probe is ONE bounded job over `limit(maxRows+1)` that
+    * returns both the capped row count and the summed payload bytes
+    * ([[approxRowBytes]]); the frame fits only if it is under BOTH caps.
+    * Above either cap the caller gets the bare frame and the join shuffles
+    * both sides on the id — the only plan that survives an unbroadcastable
+    * corpus. Decisions are memoized per (session, canonicalized plan), so
+    * bench reps and twin queries pay the probe once, not per build.
     */
-  def fitsBroadcast(df: org.apache.spark.sql.DataFrame,
-                    maxRows: Long = 2000000L): Boolean =
-    df.limit((maxRows + 1).min(Int.MaxValue).toInt).count() <= maxRows
+  def fitsBroadcast(df: DataFrame,
+                    maxRows: Long = 2000000L,
+                    maxBytes: Long = 256L << 20): Boolean = {
+    val perSession = broadcastDecisions.synchronized {
+      var m = broadcastDecisions.get(df.sparkSession)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap()
+        broadcastDecisions.put(df.sparkSession, m)
+      }
+      m
+    }
+    val key = (df.queryExecution.analyzed.canonicalized, maxRows, maxBytes)
+    val cached = perSession.get(key)
+    if (cached != null) return cached.booleanValue()
+    val capped = df.limit((maxRows + 1).min(Int.MaxValue).toInt)
+    val probe = capped
+      .agg(count(lit(1)).as("n"), sum(approxRowBytes(df.schema)).as("bytes"))
+      .head()
+    val n = probe.getLong(0)
+    val bytes = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+    val fits = n <= maxRows && bytes <= maxBytes
+    perSession.put(key, java.lang.Boolean.valueOf(fits))
+    fits
+  }
 
-  def hintIf(df: org.apache.spark.sql.DataFrame, small: Boolean): org.apache.spark.sql.DataFrame =
-    if (small) org.apache.spark.sql.functions.broadcast(df) else df
+  def hintIf(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df
 
   private val registeredSessions =
     java.util.Collections.synchronizedSet(

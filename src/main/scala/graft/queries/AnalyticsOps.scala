@@ -566,9 +566,9 @@ object AnalyticsOps {
             "transform(sequence(0, (size(ws) - 1) div 10), k -> concat_ws(' ', slice(ws, k * 10 + 1, 10)))"))
             .as(Seq("seg_idx", "seg")))
           .withColumn("seg_h", md5(col("seg")))
-          .withColumn("rnk", col("doc_id") * 1000 + col("seg_idx"))
-        val firstSeg = segs.groupBy("seg_h").agg(min("rnk").as("keep_rnk"))
-        val kept = segs.join(firstSeg, "seg_h").where(col("rnk") === col("keep_rnk"))
+        // min(struct) survivor pick — same overflow-proof form as
+        // dedup_segments (rank arithmetic breaks at ≥1000 segments/doc)
+        val kept = graft.operators.Dedup.keepFirstOccurrence(segs)
 
         // stage 3: per-source rollup of surviving content
         kept.groupBy("source").agg(
@@ -593,12 +593,14 @@ object AnalyticsOps {
              |  FROM c2 GROUP BY 1),
              |gated AS (SELECT t.* FROM t JOIN rep USING (doc_id) WHERE dupf <= 0.08),
              |segs AS (SELECT doc_id, source, k AS seg_idx,
-             |    md5(array_to_string(ws[k*10+1 : k*10+10], ' ')) AS seg_h,
-             |    doc_id * 1000 + k AS rnk
+             |    md5(array_to_string(ws[k*10+1 : k*10+10], ' ')) AS seg_h
              |  FROM gated, UNNEST(range(0, (len(ws) - 1) // 10 + 1)) AS u(k)),
-             |first AS (SELECT seg_h, min(rnk) AS keep_rnk FROM segs GROUP BY 1),
-             |kept AS (SELECT s.* FROM segs s JOIN first f
-             |  ON s.seg_h = f.seg_h AND s.rnk = f.keep_rnk)
+             |first AS (SELECT seg_h, min(doc_id) AS k_doc FROM segs GROUP BY 1),
+             |first2 AS (SELECT s.seg_h, f.k_doc, min(s.seg_idx) AS k_seg
+             |  FROM segs s JOIN first f ON s.seg_h = f.seg_h AND s.doc_id = f.k_doc
+             |  GROUP BY 1, 2),
+             |kept AS (SELECT s.* FROM segs s JOIN first2 f
+             |  ON s.seg_h = f.seg_h AND s.doc_id = f.k_doc AND s.seg_idx = f.k_seg)
              |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_segments
              |FROM kept GROUP BY source ORDER BY source""".stripMargin)
     )

@@ -211,9 +211,9 @@ object DedupQueries {
             "transform(sequence(0, (size(ws) - 1) div 10), k -> concat_ws(' ', slice(ws, k * 10 + 1, 10)))"))
             .as(Seq("seg_idx", "seg")))
           .withColumn("seg_h", md5(col("seg")))
-          .withColumn("rnk", col("doc_id") * 1000 + col("seg_idx"))
-        val first = segs.groupBy("seg_h").agg(min("rnk").as("keep_rnk"))
-        val kept = segs.join(first, "seg_h").where(col("rnk") === col("keep_rnk"))
+        // survivor pick via min(struct(doc_id, seg_idx)) — immune to the
+        // rank-arithmetic overflow a doc with ≥1000 segments would trigger
+        val kept = Dedup.keepFirstOccurrence(segs)
         val perDoc = kept.groupBy("doc_id").agg(
           count(lit(1)).as("n_kept"),
           md5(concat_ws(" ", expr(
@@ -236,12 +236,14 @@ object DedupQueries {
              |    x -> x <> '') AS ws FROM allv),
              |segs AS (SELECT doc_id, k AS seg_idx,
              |    array_to_string(ws[k*10+1 : k*10+10], ' ') AS seg,
-             |    md5(array_to_string(ws[k*10+1 : k*10+10], ' ')) AS seg_h,
-             |    doc_id * 1000 + k AS rnk
+             |    md5(array_to_string(ws[k*10+1 : k*10+10], ' ')) AS seg_h
              |  FROM t, UNNEST(range(0, (len(ws) - 1) // 10 + 1)) AS u(k)),
-             |first AS (SELECT seg_h, min(rnk) AS keep_rnk FROM segs GROUP BY 1),
-             |kept AS (SELECT s.* FROM segs s JOIN first f
-             |  ON s.seg_h = f.seg_h AND s.rnk = f.keep_rnk),
+             |first AS (SELECT seg_h, min(doc_id) AS k_doc FROM segs GROUP BY 1),
+             |first2 AS (SELECT s.seg_h, f.k_doc, min(s.seg_idx) AS k_seg
+             |  FROM segs s JOIN first f ON s.seg_h = f.seg_h AND s.doc_id = f.k_doc
+             |  GROUP BY 1, 2),
+             |kept AS (SELECT s.* FROM segs s JOIN first2 f
+             |  ON s.seg_h = f.seg_h AND s.doc_id = f.k_doc AND s.seg_idx = f.k_seg),
              |perdoc AS (SELECT doc_id, count(*) AS n_kept,
              |    md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS kept_md5
              |  FROM kept GROUP BY 1),

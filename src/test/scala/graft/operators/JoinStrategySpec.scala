@@ -39,6 +39,52 @@ class JoinStrategySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Dedup.fitsBroadcast(corpus, maxRows = 10))
   }
 
+  test("fitsBroadcast thresholds on bytes, not just rows") {
+    // 2M rows of ~1 KB documents ≈ 2 GB — far past any broadcast limit even
+    // though the row count is exactly at the default cap
+    val longText = spark.range(2000000L)
+      .select(col("id"), lit("x" * 1000).as("text"))
+    assert(!Dedup.fitsBroadcast(longText),
+      "a multi-GB corpus must not be declared broadcastable by row count alone")
+    // the same 2M rows as bare ids are ~16 MB — fine to broadcast
+    val ids = spark.range(2000000L).select(col("id"))
+    assert(Dedup.fitsBroadcast(ids))
+  }
+
+  test("fitsBroadcast memoizes the probe per (session, plan, caps)") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, s"memo $i")).toDF("id", "text")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(Dedup.fitsBroadcast(df, maxRows = 1000))
+    val afterFirst = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // an identical frame (same canonicalized plan) must not launch a new job
+    val df2 = (1L to 500L).map(i => (i, s"memo $i")).toDF("id", "text")
+    assert(Dedup.fitsBroadcast(df2, maxRows = 1000))
+    val afterSecond = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(afterFirst > before, "first probe should run a job")
+    assert(afterSecond == afterFirst,
+      "repeat probe on the same plan+caps must be answered from the memo")
+    // a different cap is a different decision — re-probed, not served stale
+    assert(!Dedup.fitsBroadcast(df, maxRows = 100))
+  }
+
+  test("keepFirstOccurrence picks the global (doc_id, seg_idx) minimum past 1000 segments") {
+    import spark.implicits._
+    // doc 1 has 1500 segments; the shared segment sits at (1, 1200).
+    // Rank arithmetic doc_id*1000+seg_idx gives 2200 for it vs 2000 for
+    // (2, 0) — the overflow would mis-pick doc 2's copy as survivor.
+    val segs = ((0 until 1500).map(i => (1L, i.toLong, if (i == 1200) "dup" else s"seg$i"))
+      :+ (2L, 0L, "dup"))
+      .toDF("doc_id", "seg_idx", "seg")
+      .withColumn("seg_h", md5(col("seg")))
+    val kept = Dedup.keepFirstOccurrence(segs)
+    assert(kept.count() == 1500, "one of the two 'dup' copies must drop")
+    val survivor = kept.where(col("seg") === "dup")
+      .select("doc_id", "seg_idx").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(survivor.sameElements(Array((1L, 1200L))),
+      s"survivor must be the global first occurrence (1,1200), got ${survivor.mkString}")
+  }
+
   test("large corpus: no BroadcastExchange; small corpus: broadcast; same rows") {
     def plan(small: Boolean) = cand
       .join(Dedup.hintIf(corpus.select(col("id").as("a"), col("text").as("ta")), small), "a")
