@@ -415,6 +415,16 @@ object H3 {
   def gridDistance(a: Long, b: Long, maxK: Int = 128): Int = {
     require(H3Index.resolution(a) == H3Index.resolution(b),
       s"gridDistance needs equal resolutions: $a vs $b")
+    // O(1) local-IJ distance where defined (upstream h3Distance); BFS only
+    // outside that domain (LocalIJ's own calibration uses the BFS directly)
+    LocalIJ.gridDistance(a, b) match {
+      case Some(d) => return d
+      case None =>
+    }
+    gridDistanceBfs(a, b, maxK)
+  }
+
+  private[h3] def gridDistanceBfs(a: Long, b: Long, maxK: Int = 128): Int = {
     if (a == b) return 0
     val seen = mutable.HashSet(a)
     var frontier = List(a)
@@ -572,15 +582,34 @@ object H3 {
 
   // ------------------------------------------------------------------ path
 
-  /** Cells along the geodesic between two points at res: dense sampling at
-    * quarter-edge spacing, deduplicated, ordered by first touch. Matches the
-    * "cells along the line" contract of the reference's line indexing
-    * (grid-path between consecutive vertices); the exact cell chain may
-    * differ from h3Line's IJ-space interpolation on rare diagonal ties —
-    * downstream PCT_LENGTH ratios are computed geometrically, so results
-    * stay consistent (SURVEY.md §2.7).
+  /** Cells along the line between two points at res. Primary path: the
+    * exact h3 v3 `h3_line` algorithm — endpoint cells interpolated in
+    * local-IJ cube space ([[LocalIJ.gridPathCells]]) — matching the
+    * reference's line indexing (h3-pyspark `index_shape` → `h3_line`,
+    * SURVEY.md §2.7). Where local-IJ is undefined (pentagon neighborhoods,
+    * endpoints beyond adjacent base cells — upstream ERRORS there), falls
+    * back to dense geodesic sampling at quarter-edge spacing, deduplicated,
+    * ordered by first touch: strictly more useful than failing, and the
+    * divergence domain is exactly upstream's failure domain.
     */
   def pathCells(a: LatLng, b: LatLng, res: Int): Array[Long] = {
+    val start = latLngToCell(a, res)
+    val end = latLngToCell(b, res)
+    LocalIJ.gridPathCells(start, end).getOrElse(sampledPathCells(a, b, res))
+  }
+
+  /** Every cell the geodesic from `a` to `b` touches (dense quarter-edge
+    * sampling, deduplicated, ordered by first touch). This is a SUPERSET
+    * primitive: unlike the IJ-space line (which cuts corners in grid
+    * space), sampling follows the true geodesic, so cells the arc passes
+    * through are never skipped — required by SpatialJoin's cover-cell
+    * superset invariant. Also the fallback for [[pathCells]] where
+    * local-IJ is undefined.
+    */
+  def geodesicPathCells(a: LatLng, b: LatLng, res: Int): Array[Long] =
+    sampledPathCells(a, b, res)
+
+  private[h3] def sampledPathCells(a: LatLng, b: LatLng, res: Int): Array[Long] = {
     val d = a.distRads(b)
     val step = hexEdgeLengthRads(res) / 4
     val n = math.max(1, math.ceil(d / step).toInt)

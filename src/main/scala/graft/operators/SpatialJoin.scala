@@ -37,7 +37,10 @@ object SpatialJoin {
     def ringPath(cs: Array[org.locationtech.jts.geom.Coordinate]): Unit = {
       var i = 1
       while (i < cs.length) {
-        out ++= H3.pathCells(LatLng.degrees(cs(i - 1).y, cs(i - 1).x),
+        // geodesic sampling, NOT the IJ-space line: the cover must contain
+        // every cell the ring edge passes through (superset invariant);
+        // the grid-space line may cut corners relative to the arc
+        out ++= H3.geodesicPathCells(LatLng.degrees(cs(i - 1).y, cs(i - 1).x),
           LatLng.degrees(cs(i).y, cs(i).x), res)
         i += 1
       }
