@@ -232,12 +232,20 @@ object Expressions {
 
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_dot_native"
+    // ragged pair → NULL: zip_with null-pads the shorter side, so the HOF
+    // aggregate this kernel replaces yields NULL there; truncating to the
+    // common prefix would return a plausible-but-wrong dot instead
+    override def nullable: Boolean = true
 
-    override protected def nullSafeEval(a: Any, b: Any): Any =
-      VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val aa = a.asInstanceOf[ArrayData]; val bb = b.asInstanceOf[ArrayData]
+      if (aa.numElements() != bb.numElements()) null else VecOps.dot(aa, bb)
+    }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, (a, b) => s"graft.engine.VecOps.dot($a, $b)")
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+           |else { ${ev.value} = graft.engine.VecOps.dot($a, $b); }""".stripMargin)
 
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression = copy(l, r)
@@ -253,15 +261,94 @@ object Expressions {
 
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_cosine_native"
+    // ragged pair → NULL (see VecDotExpr)
+    override def nullable: Boolean = true
 
-    override protected def nullSafeEval(a: Any, b: Any): Any =
-      VecOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val aa = a.asInstanceOf[ArrayData]; val bb = b.asInstanceOf[ArrayData]
+      if (aa.numElements() != bb.numElements()) null else VecOps.cosine(aa, bb)
+    }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, (a, b) => s"graft.engine.VecOps.cosine($a, $b)")
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+           |else { ${ev.value} = graft.engine.VecOps.cosine($a, $b); }""".stripMargin)
 
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** nearest_centroid(v ARRAY<DOUBLE>) → INT against a plan-embedded
+    * centroid matrix (k×dim, a few KB — small enough to ship in the
+    * serialized plan; a broadcast would only add a lookup). Replaces the
+    * per-row Seq[Double]-boxing assignment UDF in IVF k-means: generated
+    * code hands the row-backed ArrayData straight to a primitive kernel
+    * with the UDF's exact operation order, so assignments are identical
+    * and each Lloyd pass skips ~corpus×dim box allocations.
+    */
+  case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Double]])
+      extends UnaryExpression {
+
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "nearest_centroid_native"
+
+    override protected def nullSafeEval(v: Any): Any =
+      VecOps.nearestCentroid(v.asInstanceOf[ArrayData], centroids)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cents", centroids, "double[][]")
+      defineCodeGen(ctx, ev, v => s"graft.engine.VecOps.nearestCentroid($v, $ref)")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** nearest_centroids(v ARRAY<DOUBLE>) → ARRAY<INT>: the n nearest
+    * centroid indices (probe list), distance asc / index tie-break —
+    * ordering-identical to Model.nearest's stable sort.
+    */
+  case class NearestCentroidsExpr(child: Expression,
+      centroids: Array[Array[Double]], n: Int) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "nearest_centroids_native"
+
+    override protected def nullSafeEval(v: Any): Any =
+      VecOps.nearestCentroids(v.asInstanceOf[ArrayData], centroids, n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cents", centroids, "double[][]")
+      defineCodeGen(ctx, ev, v =>
+        s"graft.engine.VecOps.nearestCentroids($v, $ref, $n)")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** pq_assign(sub INT, sv ARRAY<DOUBLE>) → INT: nearest code in the
+    * sub-th PQ codebook by L2² — the native twin of the boxed PQ training
+    * assignment UDF (same loop, first-min tie-break).
+    */
+  case class PqAssignExpr(left: Expression, right: Expression,
+      codebooks: Array[Array[Array[Double]]]) extends BinaryExpression {
+
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "pq_assign_native"
+
+    override protected def nullSafeEval(s: Any, sv: Any): Any =
+      VecOps.nearestSubCode(codebooks(s.asInstanceOf[Int]),
+        sv.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("books", codebooks, "double[][][]")
+      defineCodeGen(ctx, ev, (s, sv) =>
+        s"graft.engine.VecOps.nearestSubCode($ref[$s], $sv)")
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
   }
 
   /** st_contains_point_native(wkt STRING, lat DOUBLE, lng DOUBLE) → BOOLEAN.

@@ -479,16 +479,16 @@ object GraftJob {
       // opt-in reject sink: one extra map-only pass per input that re-reads
       // the same splits and keeps only the rows validate() drops. Written
       // before indexing so a later failure still leaves the rejects behind
-      // for triage. Partitioned by input name → per-input volume alerting
-      // is a cheap partition listing, no scan.
+      // for triage. Each input's partition path is overwritten STATICALLY
+      // (not partitionBy + dynamic overwrite): a rerun that produces zero
+      // rejects must still clear the previous run's partition, and dynamic
+      // mode only replaces partitions it writes rows into — stale rejects
+      // would survive and poison per-input volume alerting.
       job.quarantinePath.foreach { qp =>
         vectors.foreach { in =>
           Validator.quarantine(spark, in, loadInput(spark, in))
-            .withColumn("input_name", lit(in.name))
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("input_name")
-            .parquet(qp)
+            .parquet(s"$qp/input_name=${in.name}")
         }
       }
       state = state.advance(JobStatus.Validated)

@@ -46,15 +46,17 @@ object IvfIndex {
       .select("v").as[Seq[Double]].collect().map(_.toArray)
 
     for (_ <- 1 to iters) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      val assign = udf((v: Seq[Double]) =>
-        bc.value.indices.minBy(i => cosineDist(bc.value(i), v)))
+      // native codegen assignment (engine.Expressions.NearestCentroidExpr):
+      // the centroid matrix rides in the plan and the kernel reads doubles
+      // straight from the row buffer — no Seq boxing per row, identical
+      // argmin to the former UDF (same op order, first-min ties)
+      val assign = nearestCentroidCol(col("v"), centroids)
       // per-(cluster, dim) partial sums: the aggregation buffer is a single
       // double per key, so no cluster's member vectors ever materialize in
       // one row (round-1's collect_list variant OOMed by construction at
       // large cluster sizes). Only k×dim tiny rows reach the driver.
       val sums = emb
-        .withColumn("c", assign(col("v")))
+        .withColumn("c", assign)
         .select(col("c"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy("c", "d")
         .agg(sum("x").as("sx"), count(lit(1)).as("n"))
@@ -72,19 +74,29 @@ object IvfIndex {
     Model(centroids)
   }
 
+  /** Native codegen centroid-assignment columns (no per-row boxing). */
+  private[operators] def nearestCentroidCol(
+      v: org.apache.spark.sql.Column, cents: Array[Array[Double]]) =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.engine.Expressions.NearestCentroidExpr(
+        org.apache.spark.sql.GraftBridge.expression(v), cents))
+
+  private[operators] def nearestCentroidsCol(
+      v: org.apache.spark.sql.Column, cents: Array[Array[Double]], n: Int) =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.engine.Expressions.NearestCentroidsExpr(
+        org.apache.spark.sql.GraftBridge.expression(v), cents, n))
+
   /** Top-k nearest neighbors for each query id, probing nprobe IVF cells. */
   def search(spark: SparkSession, emb: DataFrame, queryIds: Seq[Long],
              model: Model, nprobe: Int, topK: Int): DataFrame = {
     AnnLsh.register(spark)
-    val bc = spark.sparkContext.broadcast(model)
-    val assignOne = udf((v: Seq[Double]) => bc.value.nearest(v, 1)(0))
-    val assignProbe = udf((v: Seq[Double]) => bc.value.nearest(v, nprobe))
-
     val corpus = emb
-      .withColumn("cluster", assignOne(col("v")))
+      .withColumn("cluster", nearestCentroidCol(col("v"), model.centroids))
       .select(col("id").as("nid"), col("cluster"), col("v").as("nv"))
     val queries = emb.where(col("id").isin(queryIds: _*))
-      .withColumn("cluster", explode(assignProbe(col("v"))))
+      .withColumn("cluster",
+        explode(nearestCentroidsCol(col("v"), model.centroids, nprobe)))
       .select(col("id").as("qid"), col("cluster"), col("v").as("qv"))
 
     val w = org.apache.spark.sql.expressions.Window

@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   final case class MediaRow(media_id: Long, mime_type: String, payload: Array[Byte])
+  // All integral fields are Long and content_hash is an md5 hex string so
+  // the whole feature row is DuckDB-expressible (the driver's oracle
+  // compares every column; computed ints arrive as BIGINT there).
   final case class MediaFeatures(
-      media_id: Long, n_bytes: Long, byte_mean: Double, content_hash: Long,
-      width: Int, height: Int, thumb_bytes: Int, n_frames: Int)
+      media_id: Long, n_bytes: Long, byte_mean: Double, content_hash: String,
+      width: Long, height: Long, thumb_bytes: Long, n_frames: Long)
 
   /** PNG signature (8) + IHDR chunk (4 len + 4 type + 13 data + 4 crc). */
   val PngHeaderLen = 33
@@ -77,13 +80,40 @@ object Multimodal {
         .otherwise(encode(col("text"), "UTF-8")).as("payload"))
   }
 
-  /** STUB decoder for codec-less mimes — deterministic fake dimensions. */
+  /** STUB decoder for codec-less mimes — deterministic fake dimensions.
+    * Derived from the payload byte SUM (not a chained hash) so an oracle
+    * engine can reproduce them with plain integer SQL.
+    */
   def decodeStub(payload: Array[Byte]): (Int, Int) = {
     // ??? real decode unavailable offline; deterministic fake dimensions
-    val h = payload.foldLeft(0xcbf29ce484222325L)((a, b) => (a ^ b) * 0x100000001b3L)
-    val w = 64 + math.floorMod(h, 448).toInt        // 64..511
-    val ht = 64 + math.floorMod(h >>> 16, 448).toInt
-    (w, ht)
+    var s = 0L
+    var i = 0
+    while (i < payload.length) { s += (payload(i) & 0xff); i += 1 }
+    (64 + (s % 448).toInt, 64 + ((s / 7) % 448).toInt) // 64..511 each
+  }
+
+  /** Uppercase hex of a payload (the cross-engine canonical byte string:
+    * DuckDB's hex(BLOB) is uppercase).
+    */
+  def hexUpper(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    var i = 0
+    while (i < b.length) { sb.append(f"${b(i) & 0xff}%02X"); i += 1 }
+    sb.toString
+  }
+
+  /** Content hash = md5 of the uppercase-hex payload encoding. Hashing the
+    * HEX (not the raw bytes) keeps the value computable by SQL engines
+    * whose md5 only accepts text — arbitrary payload bytes are not valid
+    * UTF-8, their hex always is.
+    */
+  def contentHash(payload: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(hexUpper(payload).getBytes("US-ASCII"))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) { sb.append(f"${d(i) & 0xff}%02x"); i += 1 }
+    sb.toString
   }
 
   /** "Resize": stub thumbnail = stride-subsampled bytes. */
@@ -177,18 +207,21 @@ object Multimodal {
       rows.map { r =>
         val dec = registry.forMime(r.mime_type)
         val (w, h) = dec.dims(r.payload)
-        val mean =
-          if (r.payload.isEmpty) 0.0
-          else r.payload.map(b => (b & 0xff).toDouble).sum / r.payload.length
+        var bsum = 0L
+        var i = 0
+        while (i < r.payload.length) { bsum += (r.payload(i) & 0xff); i += 1 }
         MediaFeatures(
           media_id = r.media_id,
           n_bytes = r.payload.length.toLong,
-          byte_mean = math.rint(mean * 1e6) / 1e6,
-          content_hash = Dedup.fnv64(new String(r.payload, "UTF-8")),
-          width = w,
-          height = h,
-          thumb_bytes = resizeStub(r.payload, 256).length,
-          n_frames = dec.frames(r.payload))
+          // one exact-integer-over-exact-integer double division: bit-equal
+          // across engines with no rounding convention to agree on
+          byte_mean = if (r.payload.isEmpty) 0.0
+                      else bsum.toDouble / r.payload.length,
+          content_hash = contentHash(r.payload),
+          width = w.toLong,
+          height = h.toLong,
+          thumb_bytes = resizeStub(r.payload, 256).length.toLong,
+          n_frames = dec.frames(r.payload).toLong)
       }
     }.toDF()
   }

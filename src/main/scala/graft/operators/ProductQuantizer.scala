@@ -115,21 +115,16 @@ object ProductQuantizer {
       .as(Seq("sub", "sv")))
 
     for (_ <- 1 to iters) {
-      val bc = spark.sparkContext.broadcast(codebooks)
-      val assign = udf { (s: Int, sv: Seq[Double]) =>
-        val cb = bc.value(s)
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cb.length) {
-          var d = 0.0; var i = 0
-          while (i < cb(c).length) { val x = sv(i) - cb(c)(i); d += x * x; i += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        best
-      }
+      // native codegen code-assignment (engine.Expressions.PqAssignExpr):
+      // same L2² loop and first-min tie-break as the former boxed UDF, but
+      // reading the subvector straight from the row buffer
+      val assign = org.apache.spark.sql.GraftBridge.column(
+        graft.engine.Expressions.PqAssignExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("sub")),
+          org.apache.spark.sql.GraftBridge.expression(col("sv")),
+          codebooks))
       val sums = subs
-        .withColumn("c", assign(col("sub"), col("sv")))
+        .withColumn("c", assign)
         .select(col("sub"), col("c"), posexplode(col("sv")).as(Seq("d", "x")))
         .groupBy("sub", "c", "d")
         .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))

@@ -260,18 +260,31 @@ object AnalyticsOps {
     ),
 
     // HLL distinct-count sketch per group (custom Aggregator, fixed 4 KB
-    // buffer, merge = register max): rows-only — a sketch estimate can't
-    // hash-match DuckDB — with the 1.6%-stderr bound and partition
-    // invariance asserted in HllSpec.
+    // buffer, merge = register max). ORACLED via a tolerance contract: the
+    // output carries the EXACT distinct count (computable by DuckDB) plus
+    // a flag asserting the HLL estimate landed within 5% (≈2σ of the
+    // sketch's 1.6% stderr) — the estimate is deterministic for a given
+    // dataset, so the flag is stable and a hash mismatch means the sketch
+    // actually degraded. Internals (merge invariance, stderr bound) stay
+    // pinned in HllSpec.
     QueryDef(
       "stats_approx_distinct",
       (s, d) => {
         s.udf.register("hll_distinct", udaf(graft.operators.Hll.hll))
         T(s, d, "lineitem")
           .groupBy("l_returnflag")
-          .agg(expr("hll_distinct(CAST(l_orderkey AS STRING))").as("approx_orders"))
+          .agg(
+            expr("hll_distinct(CAST(l_orderkey AS STRING))").as("est"),
+            countDistinct(col("l_orderkey")).as("exact_orders"))
+          .select(col("l_returnflag"), col("exact_orders"),
+            (abs(col("est") - col("exact_orders")).cast("double") /
+              col("exact_orders") <= 0.05).as("hll_within_5pct"))
           .orderBy("l_returnflag")
-      }),
+      },
+      Some("""SELECT l_returnflag,
+             |CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             |true AS hll_within_5pct
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
     // KLL/MRL quantile sketch per group (custom Aggregator, O(k·log n)
     // buffer, level-wise compacting merge): rows-only — approx values
@@ -292,6 +305,39 @@ object AnalyticsOps {
             posexplode(col("price_quantiles")).as(Seq("q_idx", "q_value")))
           .orderBy("l_returnflag", "q_idx")
       }),
+
+    // Tolerance-contract twin of stats_quantile_sketch (the same pattern
+    // that oracles the HLL): each sketch quantile's TRUE rank fraction is
+    // recomputed against the data and asserted within the sketch's 2%
+    // rank-error bound; the oracle emits the (group, q) grid with a
+    // literal `true`, so a hash mismatch means the sketch actually broke
+    // its published guarantee. Estimates are deterministic → the flag is
+    // stable.
+    QueryDef(
+      "stats_quantile_sketch_checked",
+      (s, d) => {
+        s.udf.register("approx_quantiles",
+          udaf(graft.operators.QuantileSketch.agg(Array(0.1, 0.5, 0.9, 0.99))))
+        val li = T(s, d, "lineitem").select("l_returnflag", "l_extendedprice")
+        val qArr = array(lit(0.1), lit(0.5), lit(0.9), lit(0.99))
+        val est = li.groupBy("l_returnflag")
+          .agg(expr("approx_quantiles(l_extendedprice)").as("qv"))
+          .select(col("l_returnflag"), posexplode(col("qv")).as(Seq("q_idx", "est")))
+          .withColumn("q", element_at(qArr, col("q_idx") + 1))
+        broadcast(est).join(li, "l_returnflag")
+          .groupBy("l_returnflag", "q_idx", "q")
+          .agg((sum(when(col("l_extendedprice") <= col("est"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("frac"))
+          .select(col("l_returnflag"), col("q_idx").cast("long").as("q_idx"),
+            col("q"), (abs(col("frac") - col("q")) <= 0.02).as("rank_ok"))
+          .orderBy("l_returnflag", "q_idx")
+      },
+      Some("""WITH g AS (SELECT DISTINCT l_returnflag FROM lineitem),
+             |q AS (SELECT CAST(i AS BIGINT) AS q_idx,
+             |    CAST(([0.1, 0.5, 0.9, 0.99])[CAST(i AS INT) + 1] AS DOUBLE) AS q
+             |  FROM range(0, 4) r(i))
+             |SELECT l_returnflag, q_idx, q, true AS rank_ok
+             |FROM g, q ORDER BY l_returnflag, q_idx""".stripMargin)),
 
     // Exact correlation per group via DECIMAL moments: the five sums are
     // order-independent exact decimals; the final Pearson arithmetic is a

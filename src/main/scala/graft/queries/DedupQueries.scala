@@ -328,6 +328,10 @@ object DedupQueries {
         val docs = docsWithDups(s, d)
           .withColumn("th", expr(
             "transform(filter(split(text, ' +'), x -> x != ''), t -> md5(t))"))
+          // empty token list: Spark's aggregate(th, 0, …) yields 0 → bit
+          // '1' while DuckDB's list_sum of an empty list is NULL → bit '0'
+          // — drop tokenless docs on BOTH sides (they carry no signal)
+          .where(size(col("th")) >= 1)
         val bits = (0 until H).map { b =>
           val pos = b / 4 + 1; val mask = 1 << (b % 4)
           expr(s"""CASE WHEN aggregate(th, 0, (acc, h) ->
@@ -376,7 +380,8 @@ object DedupQueries {
            |    substr(text, instr(text, ' ') + 1) || ' zzz' FROM documents),
            |t AS (SELECT doc_id, list_transform(list_filter(
            |    string_split_regex(text, ' +'), x -> x <> ''), t -> md5(t)) AS th
-           |  FROM all_docs),
+           |  FROM all_docs
+           |  WHERE len(list_filter(string_split_regex(text, ' +'), x -> x <> '')) >= 1),
            |b AS (SELECT doc_id,
            |  $bitExprs
            |  FROM t),
@@ -624,11 +629,42 @@ object DedupQueries {
           nprobe = 3, topK = 10, rerank = 8)
       }),
 
-    // multimodal: binary payload + stubbed decode through mapPartitions
+    // Multimodal: binary payload + per-mime decode through mapPartitions.
+    // FULLY ORACLED: every feature is a deterministic function of
+    // (doc_id, text) — PNG rows carry a spec-valid header whose bytes are
+    // integer arithmetic over doc_id, stub dims derive from the payload
+    // byte sum, and the content hash is md5 over the uppercase-hex payload
+    // (hex precisely so a text-only md5 can compute it) — so DuckDB
+    // reconstructs the byte stream and hash-matches the whole row.
     QueryDef("multimodal_features",
       (s, d) => Multimodal.extractFeatures(s, Multimodal.mediaTable(s, d))
-        .orderBy("media_id"))
-    ,
+        .orderBy("media_id"),
+      Some("""WITH base AS (
+             |  SELECT doc_id AS media_id, mod(doc_id, 3) AS m, text,
+             |    octet_length(encode(text)) AS tlen,
+             |    coalesce(list_sum(list_transform(range(1, length(text) + 1),
+             |      i -> unicode(substr(text, CAST(i AS INT), 1)))), 0) AS tsum,
+             |    64 + mod(doc_id, 448) AS pw, 64 + mod(doc_id // 7, 448) AS ph
+             |  FROM documents),
+             |b2 AS (
+             |  SELECT *,
+             |    CASE WHEN m = 0 THEN 33 + tlen ELSE tlen END AS n,
+             |    CASE WHEN m = 0 THEN 747 + (pw // 256) + mod(pw, 256)
+             |      + (ph // 256) + mod(ph, 256) + tsum ELSE tsum END AS bsum,
+             |    CASE WHEN m = 0 THEN '89504E470D0A1A0A' || '0000000D' || '49484452'
+             |      || lpad(hex(pw), 8, '0') || lpad(hex(ph), 8, '0')
+             |      || '08' || '06' || '000000' || '00000000' ELSE '' END AS hdr
+             |  FROM base)
+             |SELECT media_id,
+             |  CAST(n AS BIGINT) AS n_bytes,
+             |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(bsum AS DOUBLE) / n END AS byte_mean,
+             |  md5(hdr || hex(encode(text))) AS content_hash,
+             |  CAST(CASE WHEN m = 0 THEN pw ELSE 64 + mod(bsum, 448) END AS BIGINT) AS width,
+             |  CAST(CASE WHEN m = 0 THEN ph ELSE 64 + mod(bsum // 7, 448) END AS BIGINT) AS height,
+             |  CAST(CASE WHEN n <= 256 THEN n
+             |    ELSE (n - 1) // (n // 256 + 1) + 1 END AS BIGINT) AS thumb_bytes,
+             |  CAST(greatest(1, n // 4096) AS BIGINT) AS n_frames
+             |FROM b2 ORDER BY media_id""".stripMargin)),
 
     // Duplicate-cluster consolidation: near-dup PAIRS → components →
     // per-cluster summary (large-star/small-star, ConnectedComponents.scala).

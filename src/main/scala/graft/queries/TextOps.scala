@@ -140,9 +140,13 @@ object TextOps {
     ),
 
     // Heavy-hitter tokens via the SpaceSaving sketch (O(m) state per group
-    // vs the exact groupBy's unbounded key space). Rows-only — sketch
-    // counts can overestimate — with the guarantee spec'd in
-    // SpaceSavingSpec; the exact twin text_vocab_topk is DuckDB-oracled.
+    // vs the exact groupBy's unbounded key space). ORACLED: with the
+    // corpus vocabulary below the sketch capacity (m=256 vs a 31-word
+    // synthetic vocab) SpaceSaving provably never evicts, so its counts
+    // are exact and its (count desc, token asc) top-k must hash-match the
+    // exact SQL top-k — an end-to-end oracle of the insert/merge/topk
+    // machinery. The eviction/overestimation path is pinned separately by
+    // SpaceSavingSpec on zipf streams over capacity.
     QueryDef(
       "text_heavy_hitters",
       (s, d) => {
@@ -155,7 +159,14 @@ object TextOps {
           .select(col("rank").cast("long").as("rank"),
             col("entry._1").as("tok"), col("entry._2").as("est_count"))
           .orderBy("rank")
-      }),
+      },
+      Some("""SELECT CAST(row_number() OVER (ORDER BY c DESC, tok) - 1 AS BIGINT) AS rank,
+             |  tok, c AS est_count
+             |FROM (SELECT tok, CAST(count(*) AS BIGINT) AS c
+             |      FROM (SELECT unnest(string_split_regex(text, ' +')) AS tok
+             |            FROM documents)
+             |      GROUP BY tok)
+             |ORDER BY rank LIMIT 10""".stripMargin)),
 
     // BPE merge training (Sennrich 2016) on the word-frequency table: one
     // corpus pass builds the vocab, every merge iteration is vocab-sized.

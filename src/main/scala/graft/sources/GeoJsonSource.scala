@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.geo.GeoIO
+import scala.jdk.CollectionConverters._
 
 /** Newline-delimited GeoJSON source/sink (one RFC 7946 `Feature` object per
   * line — the splittable at-scale layout; a whole-file `FeatureCollection`
@@ -86,9 +87,13 @@ object GeoJson {
   }
 
   /** Write as newline-delimited GeoJSON: `geomCol` (WKT) becomes the
-    * feature geometry, every other column a property. `to_json` omits
-    * null-valued properties, which round-trips to null on read (GeoJSON
-    * has no schema, so an absent key and a null key are equivalent).
+    * feature geometry, every other column a property. Null-valued
+    * properties are emitted as explicit `"key":null` (ignoreNullFields
+    * off): omission would be value-equivalent per row (GeoJSON is
+    * schemaless), but a column that is null in EVERY row would then be
+    * absent from every feature line and read-side schema inference would
+    * drop the column entirely — explicit nulls keep the round trip
+    * schema-preserving.
     */
   def write(df: DataFrame, geomCol: String, path: String): Unit = {
     val props = df.columns.filterNot(_ == geomCol)
@@ -96,7 +101,8 @@ object GeoJson {
       lit("""{"type":"Feature","geometry":"""),
       coalesce(wktToGeojson(col(geomCol)), lit("null")),
       lit(""","properties":"""),
-      coalesce(to_json(struct(props.map(col): _*)), lit("{}")),
+      coalesce(to_json(struct(props.map(col): _*),
+        Map("ignoreNullFields" -> "false").asJava), lit("{}")),
       lit("}"))
     df.select(line.as("value")).write.mode("overwrite").text(path)
   }

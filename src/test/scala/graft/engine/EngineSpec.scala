@@ -86,13 +86,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("lines PCT_LENGTH: ratios sum to ~1 per route") {
+  test("lines PCT_LENGTH: h3_line-exact cells, valid ratios per route") {
     val (in, data) = linesInput
     val out = Indexer.index(spark, in, Validator.validate(spark, in, data), 6)
     val sums = out.groupBy("route_id").agg(sum(Cols.Ratio).as("s"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(sums.keySet == Set("r1", "r2"))
-    sums.values.foreach(s => assert(s > 0.97 && s < 1.0001, s"ratio sum $s"))
+    // Round 6: line cells are the exact h3 v3 h3_line chain (reference
+    // parity — h3-pyspark index_shape → h3_line), and the reference's
+    // PCT_LENGTH is clip-length/total over exactly those cells. The IJ-space
+    // line legitimately cuts corners relative to the planar segment on long
+    // legs, so ratio sums are ≤ 1 but NOT ~1 — same numbers the reference
+    // produces. The geodesic-superset primitive (H3.geodesicPathCells)
+    // retains the sum≈1 property and is spec'd in SpatialJoinSpec's cover.
+    sums.values.foreach(s => assert(s > 0.5 && s < 1.0001, s"ratio sum $s"))
+    // every per-cell ratio is a valid fraction
+    out.select(Cols.Ratio).collect().foreach { r =>
+      val x = r.getDouble(0)
+      assert(x >= 0.0 && x <= 1.0001, s"ratio $x out of range")
+    }
     // total_length_km consistent with Vincenty on the raw geometry
     val l1 = out.where(col("route_id") === "r1").select(Cols.TotalLengthKm).head().getDouble(0)
     assert(l1 > 10 && l1 < 20, s"r1 length $l1")

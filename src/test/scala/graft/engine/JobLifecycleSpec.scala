@@ -99,6 +99,27 @@ class JobLifecycleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getString(2) == "pts")
   }
 
+  test("quarantine rerun with zero rejects clears the input's stale partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graftq2")
+    def jobFor(path: String) = Job("j", "1.0.0", 6, s"$dir/out", Seq(VectorInput(
+      "pts", Some(path), None, None, None, "pid",
+      GeometryType.Point, None, Some("lat"), Some("lon"), Method.Within, Seq("v"))),
+      quarantinePath = Some(s"$dir/rejects"))
+    // run 1: one reject lands in the pts partition
+    val bad = df("pid BIGINT, lat DOUBLE, lon DOUBLE, v DOUBLE", Seq(
+      R(1L, 37.7, -122.4, 10.0), R(2L, null, -122.3, 5.0)))
+    bad.write.mode("overwrite").parquet(s"$dir/bad.parquet")
+    GraftJob.run(spark, jobFor(s"$dir/bad.parquet"))
+    assert(spark.read.parquet(s"$dir/rejects").count() == 1)
+    // run 2: all rows valid — the previous reject must NOT survive the rerun
+    val good = df("pid BIGINT, lat DOUBLE, lon DOUBLE, v DOUBLE", Seq(
+      R(1L, 37.7, -122.4, 10.0), R(2L, 37.8, -122.3, 5.0)))
+    good.write.mode("overwrite").parquet(s"$dir/good.parquet")
+    GraftJob.run(spark, jobFor(s"$dir/good.parquet"))
+    assert(spark.read.parquet(s"$dir/rejects/input_name=pts").count() == 0,
+      "a zero-reject rerun must clear the input's stale quarantine partition")
+  }
+
   test("quarantine_path parses from yaml and normalizes s3 scheme") {
     val y =
       """name: j

@@ -106,8 +106,10 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         |    (aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v) /
         |     (sqrt(aggregate(transform(a, x -> x * x), 0D, (acc, v) -> acc + v)) *
         |      sqrt(aggregate(transform(b, x -> x * x), 0D, (acc, v) -> acc + v)))) AS cos_eq,
-        |  vec_cosine_native(array(0D, 0D), b) = 0D AS zero_norm,
-        |  vec_dot_native(NULL, b) IS NULL AS null_through
+        |  vec_cosine_native(array(0D, 0D, 0D, 0D), b) = 0D AS zero_norm,
+        |  vec_dot_native(NULL, b) IS NULL AS null_through,
+        |  vec_dot_native(array(1D, 2D), b) IS NULL AS ragged_null,
+        |  vec_cosine_native(array(1D, 2D), b) IS NULL AS ragged_cos_null
         |FROM (SELECT array(0.1D, -2.5D, 3.75D, 0.003D) AS a,
         |             array(1.5D, 2.25D, -0.5D, 8.125D) AS b)
         |""".stripMargin).head()

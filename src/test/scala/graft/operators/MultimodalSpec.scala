@@ -48,14 +48,14 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(png.nonEmpty)
     png.foreach { r =>
       val (w, h) = Multimodal.dimsFor(r.getLong(0))
-      assert(r.getInt(1) == w && r.getInt(2) == h)
+      assert(r.getLong(1) == w && r.getLong(2) == h)
     }
     // stub mimes keep the fake-dim range
     val other = feats.where(col("mt") =!= "image/png")
       .select("width", "height").collect()
     assert(other.nonEmpty)
-    other.foreach(r => assert(r.getInt(0) >= 64 && r.getInt(0) < 512 &&
-      r.getInt(1) >= 64 && r.getInt(1) < 512))
+    other.foreach(r => assert(r.getLong(0) >= 64 && r.getLong(0) < 512 &&
+      r.getLong(1) >= 64 && r.getLong(1) < 512))
   }
 
   test("registry dispatches by mime and falls back for unknown types") {
@@ -82,9 +82,9 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = Multimodal.extractFeatures(spark, media,
         new Multimodal.DecoderRegistry(Seq(counted)))
       .orderBy("media_id").collect()
-    assert(out(0).getAs[Int]("width") == 1 && out(0).getAs[Int]("height") == 2)
+    assert(out(0).getAs[Long]("width") == 1L && out(0).getAs[Long]("height") == 2L)
     // the wav row hit the registry fallback, not the custom decoder
-    assert(out(1).getAs[Int]("width") >= 64)
+    assert(out(1).getAs[Long]("width") >= 64L)
   }
 
   test("openAll runs exactly once per input partition") {

@@ -51,6 +51,35 @@ class GeoJsonSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back(1).getString(4).contains("0.30000000000000004"))
   }
 
+  test("an all-null property column survives the round-trip (schema-preserving)") {
+    import spark.implicits._
+    val df = Seq((1L, "POINT (1 2)"), (2L, "POINT (3 4)")).toDF("id", "geom_wkt")
+      .withColumn("always_null", lit(null).cast("string"))
+    val dir = tmp("graft_geojson_nullcol")
+    GeoJson.write(df, "geom_wkt", dir)
+    val back = GeoJson.read(spark, dir)
+    assert(back.columns.contains("always_null"),
+      s"all-null column dropped on round-trip: ${back.columns.mkString(",")}")
+    assert(back.where(col("always_null").isNull).count() == 2)
+  }
+
+  test("geojson roundtrip query uses per-session temp dirs (concurrent sessions)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val q = graft.SparkEntry.registry.find(_.name == "geojson_source_roundtrip").get
+    val s2 = spark.newSession()
+    assert(!(s2 eq spark))
+    val dir = "/root/testdata/sf0.001"
+    val Seq(r1, r2) = Await.result(
+      Future.sequence(Seq(
+        Future(q.fn(spark, dir).collect()),
+        Future(q.fn(s2, dir).collect()))), 120.seconds)
+    assert(r1.length == r2.length && r1.length > 0)
+    assert(r1.map(_.toSeq).sameElements(r2.map(_.toSeq)),
+      "concurrent sessions over the same data dir must not corrupt each other")
+  }
+
   test("all geometry types survive the round-trip") {
     import spark.implicits._
     val geoms = Seq(
