@@ -348,6 +348,72 @@ object Relational {
       "events_hourly_quantiles_stream",
       (s, d) => graft.streaming.EventStream.hourlyValueQuantiles(s, d)),
 
+    // Tolerance-contract twin of the streaming HLL rollup: the streamed
+    // per-hour estimate is joined to the BATCH exact distinct count and
+    // flagged within 5%; the oracle recomputes the exact side and emits
+    // literal true. An inner join on the hour also makes any dropped or
+    // duplicated window a row-count mismatch — stream completeness and
+    // sketch accuracy under one hash compare.
+    QueryDef(
+      "events_hourly_distinct_stream_checked",
+      (s, d) => {
+        val est = graft.streaming.EventStream.hourlyDistinctUsers(s, d)
+          .select(col("h"), col("approx_users"), col("n_events"))
+        val exact = T.events(s, d)
+          .groupBy(date_format(date_trunc("hour", col("ts")),
+            "yyyy-MM-dd HH:mm:ss").as("h"))
+          .agg(count_distinct(col("user_id")).as("exact_users"))
+        // bound = max(3 absolute, 5% relative): at the tens-of-users-per-
+        // hour scale the register-collision residual is ±O(1) while 5% of
+        // a small exact count is < 1 — a pure relative bound would flag
+        // healthy off-by-one estimates
+        est.join(exact, "h")
+          .select(col("h"), col("exact_users"), col("n_events"),
+            (abs(col("approx_users") - col("exact_users")).cast("double") <=
+              greatest(lit(3.0), col("exact_users") * 0.05)).as("hll_ok"))
+          .orderBy("h")
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+             |count(DISTINCT user_id) AS exact_users, count(*) AS n_events,
+             |true AS hll_ok
+             |FROM events GROUP BY 1 ORDER BY h""".stripMargin)),
+
+    // Tolerance-contract twin of the streaming KLL rollup: a returned
+    // quantile VALUE is correct iff the target q lies within the value's
+    // rank INTERVAL [P(x<v), P(x≤v)] widened by the sketch's 2% rank error
+    // and the 1/n discretization floor — the interval form (not a point
+    // |frac−q| check) is what stays sound under tied values, where a
+    // single repeated value can legitimately cover a wide rank range.
+    QueryDef(
+      "events_hourly_quantiles_stream_checked",
+      (s, d) => {
+        val qArr = array(lit(0.1), lit(0.5), lit(0.9))
+        val est = graft.streaming.EventStream.hourlyValueQuantiles(s, d)
+          .withColumn("q", element_at(qArr, col("q_idx") + 1))
+        val ev = T.events(s, d)
+          .select(date_format(date_trunc("hour", col("ts")),
+            "yyyy-MM-dd HH:mm:ss").as("h"), col("value"))
+        val slack = lit(0.02) + lit(1.0) / col("n_events")
+        broadcast(est).join(ev, "h")
+          .groupBy("h", "q_idx", "q", "n_events")
+          .agg(
+            (sum(when(col("value") < col("q_value"), 1L).otherwise(0L))
+              .cast("double") / count(lit(1))).as("frac_lt"),
+            (sum(when(col("value") <= col("q_value"), 1L).otherwise(0L))
+              .cast("double") / count(lit(1))).as("frac_le"))
+          .select(col("h"), col("q_idx").cast("long").as("q_idx"), col("q"),
+            (col("q") >= col("frac_lt") - slack &&
+              col("q") <= col("frac_le") + slack).as("rank_ok"))
+          .orderBy("h", "q_idx")
+      },
+      Some("""WITH g AS (SELECT strftime(date_trunc('hour', ts),
+             |    '%Y-%m-%d %H:%M:%S') AS h FROM events GROUP BY 1),
+             |q AS (SELECT CAST(i AS BIGINT) AS q_idx,
+             |    CAST(([0.1, 0.5, 0.9])[CAST(i AS INT) + 1] AS DOUBLE) AS q
+             |  FROM range(0, 3) r(i))
+             |SELECT g.h, q.q_idx, q.q, true AS rank_ok
+             |FROM g, q ORDER BY h, q_idx""".stripMargin)),
+
     // J8: bloom-filter-pruned join — the probe (orders) is filtered by the
     // build side's key bloom BEFORE its shuffle (operators/BloomJoin.scala).
     // The bloom's false positives are removed by the join, so the result —
