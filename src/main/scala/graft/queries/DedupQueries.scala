@@ -116,6 +116,74 @@ object DedupQueries {
     if (hex.head < '8') 1 else -1
   }
 
+  /** The planted segment-dedup corpus: documents ∪ one exact copy per doc
+    * (+100000) ∪ one partial copy sharing the first two segments plus a
+    * unique tail (+200000), exploded to non-overlapping 10-token segments
+    * with md5 keys. Shared by the batch `dedup_segments` and its streaming
+    * twin so both answer the same DuckDB oracle.
+    */
+  private[queries] def segmentsWithDups(s: SparkSession, d: String): DataFrame = {
+    val base = T(s, d, "documents").select("doc_id", "text")
+    val exact = base.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val partial = base.select((col("doc_id") + 200000).as("doc_id"),
+      concat(
+        expr("concat_ws(' ', slice(filter(split(text, ' +'), x -> x != ''), 1, 20))"),
+        lit(" tail "), col("doc_id").cast("string")).as("text"))
+    base.unionByName(exact).unionByName(partial)
+      .withColumn("ws", expr("filter(split(text, ' +'), x -> x != '')"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (size(ws) - 1) div 10), k -> concat_ws(' ', slice(ws, k * 10 + 1, 10)))"))
+        .as(Seq("seg_idx", "seg")))
+      .withColumn("seg_h", md5(col("seg")))
+  }
+
+  /** Shared oracle for the batch segment dedup and its streaming twin —
+    * both compute the identical survivor set, so one SQL serves both.
+    */
+  private val segmentsOracleSql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |ex AS (SELECT doc_id + 100000 AS doc_id, text FROM base),
+      |pt AS (SELECT doc_id + 200000 AS doc_id,
+      |    array_to_string(list_filter(string_split_regex(text, ' +'),
+      |      x -> x <> '')[1:20], ' ') || ' tail ' || CAST(doc_id AS VARCHAR) AS text
+      |  FROM base),
+      |allv AS (SELECT * FROM base UNION ALL SELECT * FROM ex UNION ALL SELECT * FROM pt),
+      |t AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+      |    x -> x <> '') AS ws FROM allv),
+      |segs AS (SELECT doc_id, k AS seg_idx,
+      |    array_to_string(ws[k*10+1 : k*10+10], ' ') AS seg,
+      |    md5(array_to_string(ws[k*10+1 : k*10+10], ' ')) AS seg_h
+      |  FROM t, UNNEST(range(0, (len(ws) - 1) // 10 + 1)) AS u(k)),
+      |first AS (SELECT seg_h, min(doc_id) AS k_doc FROM segs GROUP BY 1),
+      |first2 AS (SELECT s.seg_h, f.k_doc, min(s.seg_idx) AS k_seg
+      |  FROM segs s JOIN first f ON s.seg_h = f.seg_h AND s.doc_id = f.k_doc
+      |  GROUP BY 1, 2),
+      |kept AS (SELECT s.* FROM segs s JOIN first2 f
+      |  ON s.seg_h = f.seg_h AND s.doc_id = f.k_doc AND s.seg_idx = f.k_seg),
+      |perdoc AS (SELECT doc_id, count(*) AS n_kept,
+      |    md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS kept_md5
+      |  FROM kept GROUP BY 1),
+      |tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY 1)
+      |SELECT t.doc_id, t.n_segs, coalesce(p.n_kept, 0) AS n_kept, p.kept_md5
+      |FROM tot t LEFT JOIN perdoc p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-doc reassembly of surviving segments — shared by the batch and
+    * streaming segment-dedup queries.
+    */
+  private def segmentsAssembly(segs: DataFrame, kept: DataFrame): DataFrame = {
+    val perDoc = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      md5(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(seg_idx, seg))), x -> x.seg)")))
+        .as("kept_md5"))
+    segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_md5"))
+      .orderBy("doc_id")
+  }
+
   /** embeddings ∪ perturbed copies (+0.05 per component, cos ≈ 0.93). */
   private def embWithDups(s: SparkSession, d: String): DataFrame = {
     val e = T(s, d, "embeddings")
@@ -198,59 +266,29 @@ object DedupQueries {
     // a per-doc reassembly groupBy. No vocabulary, no driver state.
     QueryDef("dedup_segments",
       (s, d) => {
-        val base = T(s, d, "documents").select("doc_id", "text")
-        val exact = base.select((col("doc_id") + 100000).as("doc_id"), col("text"))
-        val partial = base.select((col("doc_id") + 200000).as("doc_id"),
-          concat(
-            expr("concat_ws(' ', slice(filter(split(text, ' +'), x -> x != ''), 1, 20))"),
-            lit(" tail "), col("doc_id").cast("string")).as("text"))
-        val all = base.unionByName(exact).unionByName(partial)
-        val segs = all
-          .withColumn("ws", expr("filter(split(text, ' +'), x -> x != '')"))
-          .select(col("doc_id"), posexplode(expr(
-            "transform(sequence(0, (size(ws) - 1) div 10), k -> concat_ws(' ', slice(ws, k * 10 + 1, 10)))"))
-            .as(Seq("seg_idx", "seg")))
-          .withColumn("seg_h", md5(col("seg")))
+        val segs = segmentsWithDups(s, d)
         // survivor pick via min(struct(doc_id, seg_idx)) — immune to the
         // rank-arithmetic overflow a doc with ≥1000 segments would trigger
-        val kept = Dedup.keepFirstOccurrence(segs)
-        val perDoc = kept.groupBy("doc_id").agg(
-          count(lit(1)).as("n_kept"),
-          md5(concat_ws(" ", expr(
-            "transform(array_sort(collect_list(struct(seg_idx, seg))), x -> x.seg)")))
-            .as("kept_md5"))
-        segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
-          .join(perDoc, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_segs"),
-            coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_md5"))
-          .orderBy("doc_id")
+        segmentsAssembly(segs, Dedup.keepFirstOccurrence(segs))
       },
-      Some("""WITH base AS (SELECT doc_id, text FROM documents),
-             |ex AS (SELECT doc_id + 100000 AS doc_id, text FROM base),
-             |pt AS (SELECT doc_id + 200000 AS doc_id,
-             |    array_to_string(list_filter(string_split_regex(text, ' +'),
-             |      x -> x <> '')[1:20], ' ') || ' tail ' || CAST(doc_id AS VARCHAR) AS text
-             |  FROM base),
-             |allv AS (SELECT * FROM base UNION ALL SELECT * FROM ex UNION ALL SELECT * FROM pt),
-             |t AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'),
-             |    x -> x <> '') AS ws FROM allv),
-             |segs AS (SELECT doc_id, k AS seg_idx,
-             |    array_to_string(ws[k*10+1 : k*10+10], ' ') AS seg,
-             |    md5(array_to_string(ws[k*10+1 : k*10+10], ' ')) AS seg_h
-             |  FROM t, UNNEST(range(0, (len(ws) - 1) // 10 + 1)) AS u(k)),
-             |first AS (SELECT seg_h, min(doc_id) AS k_doc FROM segs GROUP BY 1),
-             |first2 AS (SELECT s.seg_h, f.k_doc, min(s.seg_idx) AS k_seg
-             |  FROM segs s JOIN first f ON s.seg_h = f.seg_h AND s.doc_id = f.k_doc
-             |  GROUP BY 1, 2),
-             |kept AS (SELECT s.* FROM segs s JOIN first2 f
-             |  ON s.seg_h = f.seg_h AND s.doc_id = f.k_doc AND s.seg_idx = f.k_seg),
-             |perdoc AS (SELECT doc_id, count(*) AS n_kept,
-             |    md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS kept_md5
-             |  FROM kept GROUP BY 1),
-             |tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY 1)
-             |SELECT t.doc_id, t.n_segs, coalesce(p.n_kept, 0) AS n_kept, p.kept_md5
-             |FROM tot t LEFT JOIN perdoc p USING (doc_id)
-             |ORDER BY doc_id""".stripMargin)),
+      Some(segmentsOracleSql)),
+
+    // STREAMING twin of dedup_segments: the same corpus arrives as a file
+    // stream in doc-id band order and a stateful first-occurrence gate
+    // (flatMapGroupsWithState keyed on the segment hash,
+    // streaming/DocStream.scala) suppresses every re-arrival across
+    // micro-batches — the continuous-ingestion form of C4 segment dedup.
+    // The emitted survivor set equals the batch min(doc_id, seg_idx) pick,
+    // so the query answers the IDENTICAL DuckDB oracle.
+    QueryDef("dedup_segments_stream",
+      (s, d) => {
+        val segs = segmentsWithDups(s, d)
+        val (kept, nBatches) = graft.streaming.DocStream.segmentDedup(s, segs)
+        require(nBatches >= 3,
+          s"expected >=3 micro-batches (one per doc-id band), saw $nBatches")
+        segmentsAssembly(segs, kept)
+      },
+      Some(segmentsOracleSql)),
 
     // MinHash+LSH with an md5-derived hash family — the fully-ORACLED twin
     // of dedup_minhash_lsh. The FNV+affine family is cheaper per hash but

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming segment-dedup gate must (a) pick the min (doc_id,
+  * seg_idx) within a micro-batch, (b) suppress re-arrivals in LATER
+  * micro-batches through keyed state, and (c) actually process multiple
+  * micro-batches (band staging + maxFilesPerTrigger).
+  */
+class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  test("first-occurrence gate: within-batch min pick + cross-batch suppression") {
+    import spark.implicits._
+    // band 0: docs 3 and 7 share segment A (min pick → doc 3);
+    // band 1: doc 100001 re-sends A (state suppression) and introduces B
+    val segs = Seq(
+      (7L, 0L, "seg A text", "hA"),
+      (3L, 2L, "seg A text", "hA"),
+      (3L, 0L, "seg C text", "hC"),
+      (100001L, 0L, "seg A text", "hA"),
+      (100001L, 1L, "seg B text", "hB"))
+      .toDF("doc_id", "seg_idx", "seg", "seg_h")
+    val (kept, nBatches) = DocStream.segmentDedup(spark, segs)
+    assert(nBatches >= 2, s"expected >=2 micro-batches, saw $nBatches")
+    val rows = kept.select("seg_h", "doc_id", "seg_idx").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(("hA", 3L, 2L), ("hC", 3L, 0L), ("hB", 100001L, 1L)),
+      s"got $rows")
+  }
+
+  test("stream survivor set equals the batch keepFirstOccurrence pick") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val segs = (1 to 300).map { i =>
+      val doc = rnd.nextInt(3) * 100000L + rnd.nextInt(20)
+      (doc, rnd.nextInt(50).toLong, s"seg ${rnd.nextInt(40)}")
+    }.toDF("doc_id", "seg_idx", "seg")
+      .withColumn("seg_h", md5(col("seg")))
+      .dropDuplicates("doc_id", "seg_idx")
+    val (kept, _) = DocStream.segmentDedup(spark, segs)
+    val streamed = kept.select("seg_h", "doc_id", "seg_idx").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.Dedup.keepFirstOccurrence(segs)
+      .select("seg_h", "doc_id", "seg_idx").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+}
