@@ -86,6 +86,46 @@ object Dedup {
   def minHashBands(text: String): Array[Long] =
     bandHashes(minHashSignature(shingleHashes(text)))
 
+  /** Lowest-b-bits compression of a minhash signature (b-bit minhash,
+    * Li & König 2010): keeps only the low `b` bits of every hash, packed
+    * little-endian — a 64/b× smaller signature. Random collisions between
+    * unequal hashes (probability 1/2^b) are corrected in
+    * [[bBitSimilarity]]'s estimator. `b` must divide 64 so no value
+    * straddles a word boundary.
+    */
+  def bBitSignature(sig: Array[Long], b: Int): Array[Long] = {
+    require(64 % b == 0, s"b=$b must divide 64")
+    val out = new Array[Long]((sig.length * b + 63) / 64)
+    val mask = (1L << b) - 1
+    var i = 0
+    while (i < sig.length) {
+      val bit = i * b
+      out(bit / 64) |= (sig(i) & mask) << (bit % 64)
+      i += 1
+    }
+    out
+  }
+
+  /** Collision-corrected Jaccard estimate from two b-bit signatures:
+    * E[match] = j + (1-j)/2^b, so ĵ = (matchFrac − 1/2^b)/(1 − 1/2^b),
+    * clamped at 0.
+    */
+  def bBitSimilarity(pa: Array[Long], pb: Array[Long],
+                     numHashes: Int, b: Int): Double = {
+    val mask = (1L << b) - 1
+    var matches = 0
+    var i = 0
+    while (i < numHashes) {
+      val bit = i * b
+      val va = (pa(bit / 64) >>> (bit % 64)) & mask
+      val vb = (pb(bit / 64) >>> (bit % 64)) & mask
+      if (va == vb) matches += 1
+      i += 1
+    }
+    val c = 1.0 / (1L << b)
+    math.max(0.0, (matches.toDouble / numHashes - c) / (1 - c))
+  }
+
   /** Estimated Jaccard from two signatures (fraction of agreeing rows). */
   def signatureSimilarity(a: Array[Long], b: Array[Long]): Double = {
     var eq = 0
@@ -256,6 +296,10 @@ object Dedup {
     val u = spark.udf
     u.register("minhash_bands", (t: String) => minHashBands(t))
     u.register("minhash_sig", (t: String) => minHashSignature(shingleHashes(t)))
+    u.register("minhash_bbit", (t: String, b: Int) =>
+      bBitSignature(minHashSignature(shingleHashes(t)), b))
+    u.register("bbit_similarity", (pa: Seq[Long], pb: Seq[Long], n: Int, b: Int) =>
+      bBitSimilarity(pa.toArray, pb.toArray, n, b))
     u.register("shingle_jaccard", (a: String, b: String) => shingleJaccard(a, b))
     u.register("token_jaccard", (a: String, b: String) => tokenJaccard(a, b))
     u.register("simhash64", (t: String) => simHash64(t))

@@ -25,8 +25,8 @@ object DedupQueries {
     * SQL-expressible LSH (see dedup_minhash_lsh_md5). Fully declarative:
     * shingles, signature mins, and band keys are codegen HOFs, no UDF.
     */
-  private def md5LshPairs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val H = 16; val B = 4
+  /** doc_id + the H md5-derived minhash columns sig0..sig{H-1}. */
+  private def md5SigTable(s: SparkSession, d: String, H: Int): DataFrame = {
     val docs = docsWithDups(s, d)
       .withColumn("ws", expr("filter(split(text, ' +'), x -> x != '')"))
       .withColumn("sh", expr(
@@ -37,7 +37,12 @@ object DedupQueries {
       expr(s"""aggregate(sh, 9223372036854775807L, (acc, t) ->
               |  least(acc, cast(conv(substring(md5(concat(t, ':$k')), 1, 15), 16, 10) as bigint)))"""
         .stripMargin).as(s"sig$k"))
-    val withSig = docs.select((col("doc_id") +: sigs): _*)
+    docs.select((col("doc_id") +: sigs): _*)
+  }
+
+  /** Deduplicated candidate pairs (a < b) from banding the sig table. */
+  private def md5BandCandidates(s: SparkSession, withSig: DataFrame,
+                                H: Int, B: Int): DataFrame = {
     val bands = (0 until B).map { b =>
       val cols = (0 until H / B).map(r => s"sig${b * (H / B) + r}")
       expr(s"md5(concat_ws(':', ${cols.mkString(", ")}))").as(s"band$b")
@@ -45,12 +50,18 @@ object DedupQueries {
     val buckets = withSig.select((col("doc_id") +: bands): _*)
       .select(col("doc_id"), posexplode(array((0 until B).map(b => col(s"band$b")): _*))
         .as(Seq("band", "bh")))
-    val cand = buckets.as("x").join(buckets.as("y"),
+    buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
       .repartition(s.sparkContext.defaultParallelism)
+  }
+
+  private def md5LshPairs(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val H = 16; val B = 4
+    val withSig = md5SigTable(s, d, H)
+    val cand = md5BandCandidates(s, withSig, H, B)
     val toks = docsWithDups(s, d).select(col("doc_id"),
       expr("array_distinct(filter(split(text, ' +'), x -> x != ''))").as("ts"))
     cand
@@ -303,6 +314,51 @@ object DedupQueries {
       (s, d) => md5LshPairs(s, d).orderBy("a", "b"),
       Some(s"""WITH ${md5LshPairsSqlCtes}
               |SELECT a, b, jaccard FROM pairs ORDER BY a, b""".stripMargin)),
+
+    // b-bit minhash (Li & König 2010) with the md5-derived hash family —
+    // fully ORACLED: candidates come from the same banding join, but the
+    // verify stage compares only the LOW 2 BITS of each of the 16 minhash
+    // values (a 32× smaller signature than the 64-bit originals) and
+    // estimates Jaccard with the collision correction
+    // ĵ = (frac − 1/4)/(3/4). Everything is integer/dyadic arithmetic, so
+    // Spark and DuckDB agree bit-for-bit. The production FNV-family
+    // signatures get the same compression via Dedup.bBitSignature /
+    // bBitSimilarity (DedupSpec pins the estimator's accuracy and the
+    // packing round trip).
+    QueryDef("dedup_minhash_bbit_md5",
+      (s, d) => {
+        val H = 16
+        val withSig = md5SigTable(s, d, H)
+        val cand = md5BandCandidates(s, withSig, H, 4)
+        val bbA = withSig.select(col("doc_id").as("a") +:
+          (0 until H).map(k => expr(s"sig$k & 3").as(s"ba$k")): _*)
+        val bbB = withSig.select(col("doc_id").as("b") +:
+          (0 until H).map(k => expr(s"sig$k & 3").as(s"bb$k")): _*)
+        val matches = (0 until H).map(k =>
+          when(col(s"ba$k") === col(s"bb$k"), 1).otherwise(0)).reduce(_ + _)
+        cand.join(bbA, "a").join(bbB, "b")
+          .withColumn("match_frac", matches.cast("double") / H)
+          .withColumn("jaccard_est",
+            round((col("match_frac") - 0.25) / 0.75, 6))
+          .where(col("jaccard_est") >= 0.35)
+          .select("a", "b", "match_frac", "jaccard_est")
+          .orderBy("a", "b")
+      },
+      Some {
+        val H = 16
+        val matchExpr = (0 until H).map(k =>
+          s"(CASE WHEN (sa.sig$k & 3) = (sb.sig$k & 3) THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH ${md5LshPairsSqlCtes},
+           |bb AS (SELECT cand.a, cand.b,
+           |    CAST($matchExpr AS DOUBLE) / $H AS match_frac
+           |  FROM cand JOIN sig sa ON cand.a = sa.doc_id
+           |            JOIN sig sb ON cand.b = sb.doc_id)
+           |SELECT a, b, match_frac,
+           |  round((match_frac - 0.25) / 0.75, 6) AS jaccard_est
+           |FROM bb WHERE round((match_frac - 0.25) / 0.75, 6) >= 0.35
+           |ORDER BY a, b""".stripMargin
+      }),
 
     // The full consolidation pipeline under ONE oracle: md5-LSH verified
     // pairs → connected components (large-star/small-star in Spark;

@@ -31,6 +31,31 @@ class DedupSpec extends AnyFunSuite {
       Dedup.minHashSignature(Dedup.shingleHashes(t))) == 1.0)
   }
 
+  test("b-bit minhash: packing round-trips and the corrected estimate tracks the full signature") {
+    val rnd = new Random(23)
+    // packing: low b bits of every hash are recoverable (match of a sig
+    // with itself is exact 1.0 similarity for any b)
+    Seq(1, 2, 4, 8).foreach { b =>
+      val sig = Dedup.minHashSignature(Dedup.shingleHashes(randText(rnd, 60)))
+      val packed = Dedup.bBitSignature(sig, b)
+      assert(packed.length == sig.length * b / 64)
+      assert(Dedup.bBitSimilarity(packed, packed, sig.length, b) == 1.0)
+    }
+    // estimator: within ±0.3 of the full-signature similarity at 64
+    // hashes / b=2 (stderr of the corrected match fraction ≈ 0.09)
+    for (_ <- 1 to 25) {
+      val base = randText(rnd, 80)
+      val toks = base.split(" ")
+      val perturbed = toks.map(t => if (rnd.nextInt(8) == 0) "zzz" else t).mkString(" ")
+      val sa = Dedup.minHashSignature(Dedup.shingleHashes(base))
+      val sb = Dedup.minHashSignature(Dedup.shingleHashes(perturbed))
+      val full = Dedup.signatureSimilarity(sa, sb)
+      val bbit = Dedup.bBitSimilarity(
+        Dedup.bBitSignature(sa, 2), Dedup.bBitSignature(sb, 2), sa.length, 2)
+      assert(math.abs(full - bbit) < 0.3, s"full=$full bbit=$bbit")
+    }
+  }
+
   test("simhash: similar texts have small hamming distance, dissimilar large") {
     val rnd = new Random(11)
     val base = randText(rnd, 100)
