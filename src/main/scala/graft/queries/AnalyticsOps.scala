@@ -22,6 +22,36 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsOps {
 
+  /** Shared oracle for corpus_curation_v3 and its streaming twin. */
+  private val curationV3OracleSql: String =
+    """WITH base AS (SELECT doc_id, source, text FROM documents),
+      |ex AS (SELECT doc_id + 100000 AS doc_id, source, text FROM base),
+      |pt AS (SELECT doc_id + 200000 AS doc_id, source,
+      |    array_to_string(list_filter(string_split_regex(text, ' +'),
+      |      x -> x <> '')[1:20], ' ') || ' tail ' || CAST(doc_id AS VARCHAR) AS text
+      |  FROM base),
+      |allv AS (SELECT * FROM base UNION ALL SELECT * FROM ex UNION ALL SELECT * FROM pt),
+      |t AS (SELECT doc_id, source, list_filter(string_split_regex(text, ' +'),
+      |    x -> x <> '') AS ws FROM allv),
+      |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |    i -> array_to_string(ws[i:i+1], ' '))) AS g FROM t WHERE len(ws) >= 2),
+      |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+      |rep AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dupf
+      |  FROM c2 GROUP BY 1),
+      |gated AS (SELECT t.* FROM t JOIN rep USING (doc_id) WHERE dupf <= 0.08),
+      |segs AS (SELECT doc_id, source, k AS seg_idx,
+      |    md5(array_to_string(ws[k*10+1 : k*10+10], ' ')) AS seg_h
+      |  FROM gated, UNNEST(range(0, (len(ws) - 1) // 10 + 1)) AS u(k)),
+      |first AS (SELECT seg_h, min(doc_id) AS k_doc FROM segs GROUP BY 1),
+      |first2 AS (SELECT s.seg_h, f.k_doc, min(s.seg_idx) AS k_seg
+      |  FROM segs s JOIN first f ON s.seg_h = f.seg_h AND s.doc_id = f.k_doc
+      |  GROUP BY 1, 2),
+      |kept AS (SELECT s.* FROM segs s JOIN first2 f
+      |  ON s.seg_h = f.seg_h AND s.doc_id = f.k_doc AND s.seg_idx = f.k_seg)
+      |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_segments
+      |FROM kept GROUP BY source ORDER BY source""".stripMargin
+
   val qs: Seq[QueryDef] = Seq(
     // Ranked top-k per group: row_number window, deterministic tie-break on
     // the table PK. One shuffle on the partition key.
@@ -622,33 +652,39 @@ object AnalyticsOps {
             count(lit(1)).as("n_segments"))
           .orderBy("source")
       },
-      Some("""WITH base AS (SELECT doc_id, source, text FROM documents),
-             |ex AS (SELECT doc_id + 100000 AS doc_id, source, text FROM base),
-             |pt AS (SELECT doc_id + 200000 AS doc_id, source,
-             |    array_to_string(list_filter(string_split_regex(text, ' +'),
-             |      x -> x <> '')[1:20], ' ') || ' tail ' || CAST(doc_id AS VARCHAR) AS text
-             |  FROM base),
-             |allv AS (SELECT * FROM base UNION ALL SELECT * FROM ex UNION ALL SELECT * FROM pt),
-             |t AS (SELECT doc_id, source, list_filter(string_split_regex(text, ' +'),
-             |    x -> x <> '') AS ws FROM allv),
-             |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
-             |    i -> array_to_string(ws[i:i+1], ' '))) AS g FROM t WHERE len(ws) >= 2),
-             |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
-             |rep AS (SELECT doc_id,
-             |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dupf
-             |  FROM c2 GROUP BY 1),
-             |gated AS (SELECT t.* FROM t JOIN rep USING (doc_id) WHERE dupf <= 0.08),
-             |segs AS (SELECT doc_id, source, k AS seg_idx,
-             |    md5(array_to_string(ws[k*10+1 : k*10+10], ' ')) AS seg_h
-             |  FROM gated, UNNEST(range(0, (len(ws) - 1) // 10 + 1)) AS u(k)),
-             |first AS (SELECT seg_h, min(doc_id) AS k_doc FROM segs GROUP BY 1),
-             |first2 AS (SELECT s.seg_h, f.k_doc, min(s.seg_idx) AS k_seg
-             |  FROM segs s JOIN first f ON s.seg_h = f.seg_h AND s.doc_id = f.k_doc
-             |  GROUP BY 1, 2),
-             |kept AS (SELECT s.* FROM segs s JOIN first2 f
-             |  ON s.seg_h = f.seg_h AND s.doc_id = f.k_doc AND s.seg_idx = f.k_seg)
-             |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_segments
-             |FROM kept GROUP BY source ORDER BY source""".stripMargin)
+      Some(curationV3OracleSql)
+    ),
+
+    // STREAMING twin of the curation pipeline: the same planted corpus
+    // arrives as a band-ordered file stream; the repetition gate runs
+    // STATELESS per document (the 2-gram duplicate fraction as one HOF
+    // projection — batch stage 1's groupBy collapses to
+    // total-minus-exactly-once arithmetic, identical values), segments
+    // pass the stateful first-occurrence gate (streaming/DocStream), and
+    // the per-source rollup summarizes the survivors. Answers the
+    // IDENTICAL DuckDB oracle as corpus_curation_v3.
+    QueryDef(
+      "corpus_curation_stream",
+      (s, d) => {
+        val base = T(s, d, "documents").select("doc_id", "source", "text")
+        val exact = base.select((col("doc_id") + 100000).as("doc_id"),
+          col("source"), col("text"))
+        val partial = base.select((col("doc_id") + 200000).as("doc_id"),
+          col("source"),
+          concat(
+            expr("concat_ws(' ', slice(filter(split(text, ' +'), x -> x != ''), 1, 20))"),
+            lit(" tail "), col("doc_id").cast("string")).as("text"))
+        val all = base.unionByName(exact).unionByName(partial)
+        val (kept, nBatches) = graft.streaming.DocStream.curationGate(s, all)
+        require(nBatches >= 3,
+          s"expected >=3 micro-batches (one per doc-id band), saw $nBatches")
+        kept.groupBy("source").agg(
+            count_distinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_segments"))
+          .orderBy("source")
+      },
+      Some(curationV3OracleSql)
     )
   )
+
 }

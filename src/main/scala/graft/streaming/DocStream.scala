@@ -44,21 +44,16 @@ object DocStream {
     }
   }
 
-  /** Run the gate over `segs` (doc_id, seg_idx, seg, seg_h), staged as a
-    * file stream in doc-id band order (one file per 100000-wide band,
-    * maxFilesPerTrigger=1 → one micro-batch per band) so cross-batch
-    * suppression is exercised deterministically. Returns the kept segment
-    * rows plus the number of micro-batches processed.
+  /** Stage a frame as one parquet file per 100000-wide doc-id band,
+    * written in band order (coalesce(1): a band split across files could
+    * process out of order WITHIN the band and break min-pick
+    * determinism), and open it as a one-file-per-trigger stream.
     */
-  def segmentDedup(spark: SparkSession, segs: DataFrame): (DataFrame, Long) = {
+  private def stageByBand(spark: SparkSession, typed: DataFrame,
+                          prefix: String): DataFrame = {
     import spark.implicits._
-    val typed = segs.select(col("doc_id").cast("long"),
-      col("seg_idx").cast("long"), col("seg"), col("seg_h"))
-    val srcDir = Files.createTempDirectory("graft_segdedup_src")
+    val srcDir = Files.createTempDirectory(prefix)
     srcDir.toFile.deleteOnExit()
-    // one file per band, written in band order (coalesce(1): a band split
-    // across files could process out of order WITHIN the band and break
-    // the min-pick determinism)
     val bands = typed.select(expr("doc_id div 100000").as("b"))
       .distinct().orderBy("b").as[Long].collect()
     bands.foreach { b =>
@@ -66,23 +61,92 @@ object DocStream {
         .coalesce(1).write.mode("overwrite")
         .parquet(srcDir.resolve(f"$b%02d_band").toString)
     }
-    val raw = spark.readStream.schema(typed.schema)
+    spark.readStream.schema(typed.schema)
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir.toString)
-    val kept = raw.as[SegRow].groupByKey(_.seg_h)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        firstOccurrenceFn)
-    val sinkName = s"graft_stream_segdedup_${math.abs(srcDir.toString.hashCode)}"
-    val q = kept.toDF().writeStream
+  }
+
+  /** Drive a streaming frame to completion into a memory sink; returns the
+    * result plus the number of non-empty micro-batches.
+    */
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  private def runToMemory(spark: SparkSession, df: DataFrame,
+                          tag: String): (DataFrame, Long) = {
+    val sinkName = s"graft_stream_${tag}_${sinkSeq.incrementAndGet()}"
+    val q = df.writeStream
       .format("memory").queryName(sinkName)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation",
-        Files.createTempDirectory("graft_segdedup_ckpt").toString)
+        Files.createTempDirectory(s"graft_${tag}_ckpt").toString)
       .start()
     q.awaitTermination()
     val nBatches = q.recentProgress.count(_.numInputRows > 0).toLong
     (spark.table(sinkName), nBatches)
+  }
+
+  /** Run the gate over `segs` (doc_id, seg_idx, seg, seg_h). Returns the
+    * kept segment rows plus the number of micro-batches processed.
+    */
+  def segmentDedup(spark: SparkSession, segs: DataFrame): (DataFrame, Long) = {
+    import spark.implicits._
+    val typed = segs.select(col("doc_id").cast("long"),
+      col("seg_idx").cast("long"), col("seg"), col("seg_h"))
+    val raw = stageByBand(spark, typed, "graft_segdedup_src")
+    val kept = raw.as[SegRow].groupByKey(_.seg_h)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        firstOccurrenceFn)
+    runToMemory(spark, kept.toDF(), "segdedup")
+  }
+
+  final case class CurSeg(doc_id: Long, source: String, seg_idx: Long, seg_h: String)
+
+  private def curFirstFn(key: String, rows: Iterator[CurSeg],
+      state: GroupState[Boolean]): Iterator[CurSeg] = {
+    if (state.exists) Iterator.empty
+    else {
+      var best: CurSeg = null
+      rows.foreach { r =>
+        if (best == null || r.doc_id < best.doc_id ||
+          (r.doc_id == best.doc_id && r.seg_idx < best.seg_idx)) best = r
+      }
+      state.update(true)
+      if (best == null) Iterator.empty else Iterator.single(best)
+    }
+  }
+
+  /** The full streaming curation pipeline over an arriving corpus
+    * (doc_id, source, text): a STATELESS per-document repetition gate
+    * (2-gram duplicate fraction via HOFs — no shuffle, no state), segment
+    * explode, then the stateful first-occurrence segment gate. The
+    * repetition fraction is computed with the exact arithmetic of the
+    * batch corpus_curation_v3 stage (sum of over-1 gram counts over total
+    * = total minus exactly-once grams), so the streamed survivor set
+    * answers the same oracle.
+    */
+  def curationGate(spark: SparkSession, docs: DataFrame): (DataFrame, Long) = {
+    import spark.implicits._
+    val typed = docs.select(col("doc_id").cast("long"), col("source"), col("text"))
+    val raw = stageByBand(spark, typed, "graft_curation_src")
+    val segs = raw
+      .withColumn("ws", expr("filter(split(text, ' +'), x -> x != '')"))
+      .where(expr("size(ws) >= 2"))
+      .withColumn("g", expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', slice(ws, i, 2)))"))
+      .withColumn("dupf", expr(
+        """CAST(size(g) - size(filter(array_distinct(g),
+          |  d -> size(filter(g, x -> x = d)) = 1)) AS DOUBLE) / size(g)""".stripMargin))
+      .where(col("dupf") <= 0.08)
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        "transform(sequence(0, (size(ws) - 1) div 10), k -> concat_ws(' ', slice(ws, k * 10 + 1, 10)))"))
+        .as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("source"), col("seg_idx").cast("long").as("seg_idx"),
+        md5(col("seg")).as("seg_h"))
+    val kept = segs.as[CurSeg].groupByKey(_.seg_h)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        curFirstFn)
+    runToMemory(spark, kept.toDF(), "curation")
   }
 }

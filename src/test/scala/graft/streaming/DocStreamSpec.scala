@@ -40,6 +40,28 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $rows")
   }
 
+  test("curation gate: repetition drop + cross-band segment suppression") {
+    import spark.implicits._
+    // doc 1 (band 0): clean 20-word text → 2 segments survive.
+    // doc 2 (band 0): one phrase repeated 10× → dupf ≈ 1 → dropped whole.
+    // doc 100001 (band 1): re-sends doc 1's first 10 words as its own
+    //   opening segment → suppressed by the stateful gate; its distinct
+    //   second segment survives.
+    val w = (1 to 20).map(i => s"w$i").mkString(" ")
+    val rep = Seq.fill(10)("spam spam").mkString(" ")
+    val tail = (21 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a", w),
+      (2L, "a", rep),
+      (100001L, "b", ((1 to 10).map(i => s"w$i") ++ tail.split(" ")).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val (kept, nBatches) = DocStream.curationGate(spark, docs)
+    assert(nBatches >= 2, s"expected >=2 micro-batches, saw $nBatches")
+    val rows = kept.select("doc_id", "seg_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 0L), (1L, 1L), (100001L, 1L)), s"got $rows")
+  }
+
   test("stream survivor set equals the batch keepFirstOccurrence pick") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
