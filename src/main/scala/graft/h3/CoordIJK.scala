@@ -30,10 +30,13 @@ final case class CoordIJK(i: Int, j: Int, k: Int) {
     Vec2d(ii - 0.5 * jj, jj * Constants.Sqrt3_2)
   }
 
-  /** Unit-vector digit (0-6) for a normalized unit ijk; -1 if not a unit. */
+  /** Unit-vector digit (0-6) for a normalized unit ijk; -1 if not a unit.
+    * UnitVecs is ordered so that digit = 4i + 2j + k over components in
+    * {0,1} — computed arithmetically instead of a linear indexOf.
+    */
   def toDigit: Int = {
     val n = normalize
-    CoordIJK.UnitVecs.indexOf(n)
+    if (((n.i | n.j | n.k) & ~1) == 0) (n.i << 2) | (n.j << 1) | n.k else -1
   }
 
   /** Aggregate to the next-coarser aperture-7 counter-clockwise resolution. */

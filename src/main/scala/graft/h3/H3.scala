@@ -97,24 +97,56 @@ object H3 {
     * cell unset) and the res-0 FaceIJK.
     */
   private[h3] def aggregateDigits(fijk: FaceIJK, res: Int): (Long, FaceIJK) = {
+    // Primitive-int unrolling of the CoordIJK chain (upAp7[r] → downAp7[r] →
+    // diff → digit) — this is the latLngToCell hot loop and the case-class
+    // version allocated ~15 objects per level. Same arithmetic, same
+    // rounding, digit = 4i+2j+k of the normalized unit diff.
     var h = H3Index.setResolution(H3Index.Init, res)
-    var ijk = fijk.coord
+    var ci = fijk.coord.i; var cj = fijk.coord.j; var ck = fijk.coord.k
     var r = res - 1
     while (r >= 0) {
-      val lastIJK = ijk
-      var lastCenter = ijk
+      val li = ci; val lj = cj; val lk = ck
+      // aperture-7 up-aggregate (ccw at odd child res, cw at even)
+      val ii = ci - ck; val jj = cj - ck
+      var ui = 0; var uj = 0; var uk = 0
       if (isResClassIII(r + 1)) {
-        ijk = ijk.upAp7
-        lastCenter = ijk.downAp7
+        ui = math.round((3 * ii - jj) / 7.0).toInt
+        uj = math.round((ii + 2 * jj) / 7.0).toInt
       } else {
-        ijk = ijk.upAp7r
-        lastCenter = ijk.downAp7r
+        ui = math.round((2 * ii + jj) / 7.0).toInt
+        uj = math.round((3 * jj - ii) / 7.0).toInt
       }
-      val diff = (lastIJK - lastCenter).normalize
-      h = H3Index.setDigit(h, r + 1, diff.toDigit)
+      if (ui < 0) { uj -= ui; uk -= ui; ui = 0 }
+      if (uj < 0) { ui -= uj; uk -= uj; uj = 0 }
+      if (uk < 0) { ui -= uk; uj -= uk; uk = 0 }
+      var mn = if (ui < uj) ui else uj; if (uk < mn) mn = uk
+      if (mn > 0) { ui -= mn; uj -= mn; uk -= mn }
+      ci = ui; cj = uj; ck = uk
+      // center of the parent in the child grid: downAp7 (ccw) / downAp7r (cw)
+      var di = 0; var dj = 0; var dk = 0
+      if (isResClassIII(r + 1)) {
+        di = 3 * ui + uj; dj = 3 * uj + uk; dk = ui + 3 * uk
+      } else {
+        di = 3 * ui + uk; dj = ui + 3 * uj; dk = uj + 3 * uk
+      }
+      if (di < 0) { dj -= di; dk -= di; di = 0 }
+      if (dj < 0) { di -= dj; dk -= dj; dj = 0 }
+      if (dk < 0) { di -= dk; dj -= dk; dk = 0 }
+      mn = if (di < dj) di else dj; if (dk < mn) mn = dk
+      if (mn > 0) { di -= mn; dj -= mn; dk -= mn }
+      // diff = last - center, normalized, must be a unit vector → digit
+      var qi = li - di; var qj = lj - dj; var qk = lk - dk
+      if (qi < 0) { qj -= qi; qk -= qi; qi = 0 }
+      if (qj < 0) { qi -= qj; qk -= qj; qj = 0 }
+      if (qk < 0) { qi -= qk; qj -= qk; qk = 0 }
+      mn = if (qi < qj) qi else qj; if (qk < mn) mn = qk
+      if (mn > 0) { qi -= mn; qj -= mn; qk -= mn }
+      require(((qi | qj | qk) & ~1) == 0,
+        s"non-unit digit diff ($qi,$qj,$qk) at res ${r + 1} from $fijk")
+      h = H3Index.setDigit(h, r + 1, (qi << 2) | (qj << 1) | qk)
       r -= 1
     }
-    (h, FaceIJK(fijk.face, ijk))
+    (h, FaceIJK(fijk.face, CoordIJK(ci, cj, ck)))
   }
 
   /** Rotate a digit string into the base cell's canonical orientation. */
@@ -153,14 +185,22 @@ object H3 {
     val info = BaseCells.cells(bc)
     var fijk = FaceIJK(info.homeFace, info.homeIjk)
     val res0 = H3Index.resolution(h)
-    // descend the digit string on the home face
-    var ijk = fijk.coord
+    // descend the digit string on the home face (primitive-int unrolling of
+    // downAp7[r] + neighbor + normalize — same arithmetic as CoordIJK)
+    var ci = fijk.coord.i; var cj = fijk.coord.j; var ck = fijk.coord.k
     var r = 1
     while (r <= res0) {
-      ijk = if (isResClassIII(r)) ijk.downAp7 else ijk.downAp7r
-      ijk = ijk.neighbor(H3Index.digit(h, r))
+      var di = 0; var dj = 0; var dk = 0
+      if (isResClassIII(r)) { di = 3 * ci + cj; dj = 3 * cj + ck; dk = ci + 3 * ck }
+      else { di = 3 * ci + ck; dj = ci + 3 * cj; dk = cj + 3 * ck }
+      val dig = H3Index.digit(h, r)
+      di += (dig >> 2) & 1; dj += (dig >> 1) & 1; dk += dig & 1
+      var mn = if (di < dj) di else dj; if (dk < mn) mn = dk
+      if (mn > 0) { di -= mn; dj -= mn; dk -= mn }
+      ci = di; cj = dj; ck = dk
       r += 1
     }
+    val ijk = CoordIJK(ci, cj, ck)
     fijk = FaceIJK(fijk.face, ijk)
     val origIJK = ijk
     // adjust for overage onto a neighboring face if necessary

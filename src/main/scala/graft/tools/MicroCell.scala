@@ -15,6 +15,9 @@ object MicroCell {
       var i = 0; while (i < n) { s += f(cells(i)); i += 1 }
       println(f"$label%-28s ${(System.nanoTime()-t0)/1e3/n}%8.2f us/cell   (sink=$s%.3f)")
     }
+    time("latLngToCell r6")(c => H3.latLngToCell(10 + (c % 700) * 0.09, -120 + ((c / 700) % 70) * 0.09, 6).toDouble % 97)
+    time("latLngToCell r9")(c => H3.latLngToCell(10 + (c % 700) * 0.09, -120 + ((c / 700) % 70) * 0.09, 9).toDouble % 97)
+    time("latLngToCell r12")(c => H3.latLngToCell(10 + (c % 700) * 0.09, -120 + ((c / 700) % 70) * 0.09, 12).toDouble % 97)
     time("cellToBoundary")(c => H3.cellToBoundary(c).length)
     time("boundary+ringArea") { c =>
       val b = H3.cellToBoundary(c)
