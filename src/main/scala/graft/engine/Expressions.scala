@@ -351,6 +351,134 @@ object Expressions {
         l: Expression, r: Expression): Expression = copy(left = l, right = r)
   }
 
+  /** l2_normalize_native(v ARRAY<DOUBLE>) → ARRAY<DOUBLE>: unit-scaled copy
+    * with ProductQuantizer.l2normalize's arithmetic (zero vector → zeros).
+    */
+  case class L2NormalizeExpr(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "l2_normalize_native"
+
+    override protected def nullSafeEval(v: Any): Any =
+      VecOps.l2normalized(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, v => s"graft.engine.VecOps.l2normalized($v)")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** pq_encode(v ARRAY<DOUBLE>) → ARRAY<INT>: the m PQ codes of a vector
+    * against plan-embedded codebooks — PQModel.encodeOne (same subspace L2²
+    * loops, first-min ties) reading straight from the row buffer. Replaces
+    * the per-row Seq-boxing encode UDF on the full-corpus scan.
+    */
+  case class PqEncodeExpr(child: Expression,
+      codebooks: Array[Array[Array[Double]]], dsub: Int, normalizeInput: Boolean)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "pq_encode_native"
+
+    override protected def nullSafeEval(v: Any): Any =
+      VecOps.pqEncode(v.asInstanceOf[ArrayData], codebooks, dsub, normalizeInput)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("books", codebooks, "double[][][]")
+      defineCodeGen(ctx, ev, v =>
+        s"graft.engine.VecOps.pqEncode($v, $ref, $dsub, $normalizeInput)")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** pq_adc(key BIGINT, codes ARRAY<INT>) → DOUBLE: ADC distance against a
+    * plan-embedded per-key table map (key = qid, or qid<<32|cluster for the
+    * per-probed-cell residual tables). The map is Q·m·k doubles — a few
+    * hundred KB at most, the same rides-in-the-plan envelope as the
+    * centroid matrices.
+    */
+  case class PqAdcExpr(left: Expression, right: Expression,
+      tables: Map[Long, Array[Array[Double]]]) extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "pq_adc_native"
+
+    override protected def nullSafeEval(k: Any, codes: Any): Any =
+      VecOps.adcLookup(tables, k.asInstanceOf[Long], codes.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("tables", tables,
+        "scala.collection.immutable.Map")
+      defineCodeGen(ctx, ev, (k, codes) =>
+        s"graft.engine.VecOps.adcLookup($ref, $k, $codes)")
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
+  /** ivf_residual(v ARRAY<DOUBLE>) → ARRAY<DOUBLE>: l2normalize(v) minus
+    * the unit centroid of its nearest IVF cell — the residual-training map
+    * (IvfPq.trainResidual) without per-row boxing.
+    */
+  case class IvfResidualExpr(child: Expression,
+      centroids: Array[Array[Double]], unitCentroids: Array[Array[Double]])
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "ivf_residual_native"
+
+    override protected def nullSafeEval(v: Any): Any =
+      ArrayData.toArrayData(VecOps.ivfResidual(
+        v.asInstanceOf[ArrayData], centroids, unitCentroids))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = ctx.addReferenceObj("cents", centroids, "double[][]")
+      val u = ctx.addReferenceObj("ucents", unitCentroids, "double[][]")
+      defineCodeGen(ctx, ev, v =>
+        s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+          s"graft.engine.VecOps.ivfResidual($v, $c, $u))")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** ivf_residual_encode(v ARRAY<DOUBLE>) → STRUCT<cluster INT, codes
+    * ARRAY<INT>>: the IVFADC index row (nearest cell + residual PQ codes)
+    * in ONE pass — the argmin over centroids runs once for both outputs,
+    * where the UDF pair ran it twice.
+    */
+  case class IvfResidualEncodeExpr(child: Expression,
+      centroids: Array[Array[Double]], unitCentroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], dsub: Int)
+      extends UnaryExpression {
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("cluster", IntegerType, nullable = false),
+      StructField("codes", ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    override def prettyName: String = "ivf_residual_encode_native"
+
+    override protected def nullSafeEval(v: Any): Any =
+      VecOps.ivfResidualEncode(v.asInstanceOf[ArrayData],
+        centroids, unitCentroids, codebooks, dsub)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val c = ctx.addReferenceObj("cents", centroids, "double[][]")
+      val u = ctx.addReferenceObj("ucents", unitCentroids, "double[][]")
+      val b = ctx.addReferenceObj("books", codebooks, "double[][][]")
+      defineCodeGen(ctx, ev, v =>
+        s"graft.engine.VecOps.ivfResidualEncode($v, $c, $u, $b, $dsub)")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** st_contains_point_native(wkt STRING, lat DOUBLE, lng DOUBLE) → BOOLEAN.
     * Codegen twin of the st_contains_point UDF for the spatial join's
     * candidate filter: the generated code passes the row-backed UTF8String
@@ -401,6 +529,7 @@ object Expressions {
     "st_ratio_area_cell_native" -> (es => RatioAreaCellExpr(asS(es(0)), asL(es(1)))),
     "st_ratio_length_cell_native" -> (es => RatioLengthCellExpr(asS(es(0)), asL(es(1)))),
     "h3_cell_area_cached_native" -> (es => CellAreaCachedExpr(asL(es.head))),
+    "l2_normalize_native" -> (es => L2NormalizeExpr(asAD(es.head))),
     "vec_dot_native" -> (es => VecDotExpr(asAD(es(0)), asAD(es(1)))),
     "vec_cosine_native" -> (es => VecCosineExpr(asAD(es(0)), asAD(es(1)))),
     "st_contains_point_native" ->

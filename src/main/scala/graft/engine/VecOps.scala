@@ -89,4 +89,135 @@ object VecOps {
     }
     best
   }
+
+  /** L2-normalized primitive copy — the arithmetic of
+    * ProductQuantizer.l2normalize (zero vector → zeros).
+    */
+  def l2normalize(v: ArrayData): Array[Double] = {
+    val n = v.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) { val x = v.getDouble(i); s += x * x; i += 1 }
+    val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = v.getDouble(i) * inv; i += 1 }
+    out
+  }
+
+  def l2normalized(v: ArrayData): ArrayData = ArrayData.toArrayData(l2normalize(v))
+
+  /** PQ-encode a full vector: nearest code per dsub-wide subvector by L2²
+    * (first-min ties) — PQModel.encodeOne without the Seq boxing.
+    */
+  def pqEncode(v: ArrayData, books: Array[Array[Array[Double]]], dsub: Int,
+               normalize: Boolean): ArrayData =
+    ArrayData.toArrayData(pqEncodeArr(
+      if (normalize) l2normalize(v) else v.toDoubleArray(), books, dsub))
+
+  private def pqEncodeArr(nv: Array[Double], books: Array[Array[Array[Double]]],
+                          dsub: Int): Array[Int] = {
+    val m = books.length
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cb = books(s); val off = s * dsub
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val row = cb(c)
+        var d = 0.0; var i = 0
+        while (i < row.length) { val x = nv(off + i) - row(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    codes
+  }
+
+  /** ADC score: Σ_sub table(sub)(code) — the boxed per-row lookup loop. */
+  def adcDist(table: Array[Array[Double]], codes: ArrayData): Double = {
+    var d = 0.0; var s = 0
+    val n = codes.numElements()
+    while (s < n) { d += table(s)(codes.getInt(s)); s += 1 }
+    d
+  }
+
+  /** ADC score against a plan-embedded per-query table map. */
+  def adcLookup(tables: scala.collection.immutable.Map[Long, Array[Array[Double]]],
+                key: Long, codes: ArrayData): Double =
+    adcDist(tables(key), codes)
+
+  /** Residual of the normalized vector against its nearest cell's unit
+    * centroid: l2normalize(v) − unitCents(argmin cosineDist) — the exact
+    * composition of IvfPq's residual UDFs (nearest on the NORMALIZED
+    * vector, like Model.nearest there).
+    */
+  def ivfResidual(v: ArrayData, cents: Array[Array[Double]],
+                  unitCents: Array[Array[Double]]): Array[Double] = {
+    val nv = l2normalize(v)
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val d = cosineDistArr(cents(c), nv)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    val ch = unitCents(best)
+    val out = new Array[Double](nv.length)
+    var i = 0
+    while (i < nv.length) { out(i) = nv(i) - ch(i); i += 1 }
+    out
+  }
+
+  /** cosineDistCent over a primitive vector (same op order). */
+  private def cosineDistArr(cent: Array[Double], v: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(cent.length, v.length)
+    while (i < n) {
+      val a = cent(i); val b = v(i)
+      dot += a * b; na += a * a; nb += b * b
+      i += 1
+    }
+    if (na == 0 || nb == 0) 1.0 else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Cluster index of the normalized vector (the argmin inside ivfResidual,
+    * exposed for the combined assign+encode row).
+    */
+  def ivfCluster(v: ArrayData, cents: Array[Array[Double]]): Int = {
+    val nv = l2normalize(v)
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val d = cosineDistArr(cents(c), nv)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Combined IVFADC index row: (cluster, residual PQ codes) in one pass —
+    * the nearest-cell argmin runs once for both outputs.
+    */
+  def ivfResidualEncode(v: ArrayData, cents: Array[Array[Double]],
+      unitCents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      dsub: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val nv = l2normalize(v)
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val d = cosineDistArr(cents(c), nv)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    val ch = unitCents(best)
+    val r = new Array[Double](nv.length)
+    var i = 0
+    while (i < nv.length) { r(i) = nv(i) - ch(i); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, ArrayData.toArrayData(pqEncodeArr(r, books, dsub))))
+  }
 }

@@ -99,12 +99,17 @@ object IvfIndex {
         explode(nearestCentroidsCol(col("v"), model.centroids, nprobe)))
       .select(col("id").as("qid"), col("cluster"), col("v").as("qv"))
 
+    // native codegen cosine on the joined pairs; `1.0 - (1.0 - cos)` keeps
+    // the former UDF's exact arithmetic (score = 1 − cosineDist), and
+    // VecOps.cosine accumulates dot/na/nb in the same element order
+    val cosCol = org.apache.spark.sql.GraftBridge.column(
+      graft.engine.Expressions.VecCosineExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("qv")),
+        org.apache.spark.sql.GraftBridge.expression(col("nv"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("score").desc, col("nid"))
     queries.join(corpus, "cluster")
-      .withColumn("score",
-        round(lit(1.0) - udf((a: Seq[Double], b: Seq[Double]) => cosineDist(a, b))
-          .apply(col("qv"), col("nv")), 6))
+      .withColumn("score", round(lit(1.0) - (lit(1.0) - cosCol), 6))
       .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= topK)
       .select(col("qid"), col("nid"), col("score"), col("rn"))

@@ -43,14 +43,15 @@ object IvfPq {
     */
   def trainResidual(spark: SparkSession, emb: DataFrame, ivf: IvfIndex.Model,
                     m: Int, k: Int, iters: Int): ProductQuantizer.PQModel = {
-    val bcIvf = spark.sparkContext.broadcast(ivf)
-    val res = udf { (v: Seq[Double]) =>
-      val nv = ProductQuantizer.l2normalize(v)
-      val cl = bcIvf.value.nearest(nv, 1)(0)
-      residualOf(nv, unitCentroid(bcIvf.value, cl))
-    }
+    // native codegen residual map (engine.Expressions.IvfResidualExpr):
+    // normalize → nearest cell → subtract unit centroid, one primitive pass
+    val unitCents = ivf.centroids.map(c => ProductQuantizer.l2normalize(c.toSeq))
+    val resCol = org.apache.spark.sql.GraftBridge.column(
+      graft.engine.Expressions.IvfResidualExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("v")),
+        ivf.centroids, unitCents))
     ProductQuantizer.train(spark,
-      emb.select(col("id"), res(col("v")).as("v")),
+      emb.select(col("id"), resCol.as("v")),
       m, k, iters, normalizeInput = false)
   }
 
@@ -65,39 +66,40 @@ object IvfPq {
     import org.apache.spark.sql.expressions.Window
     require(!pqRes.normalize, "searchResidual needs a residual-trained model")
 
-    val bcIvf = spark.sparkContext.broadcast(ivf)
-    val bcPq = spark.sparkContext.broadcast(pqRes)
-    val assignEncode = udf { (v: Seq[Double]) =>
-      val nv = ProductQuantizer.l2normalize(v)
-      val cl = bcIvf.value.nearest(nv, 1)(0)
-      (cl, bcPq.value.encodeOne(residualOf(nv, unitCentroid(bcIvf.value, cl))))
-    }
-    val index = emb.select(col("id").as("nid"), assignEncode(col("v")).as("ac"))
-      .select(col("nid"), col("ac._1").as("cluster"), col("ac._2").as("codes"))
+    // native codegen assign+encode (engine.Expressions.IvfResidualEncodeExpr):
+    // the nearest-cell argmin runs ONCE for both the cluster id and the
+    // residual codes (the UDF pair ran it twice per row)
+    val unitCents = ivf.centroids.map(c => ProductQuantizer.l2normalize(c.toSeq))
+    val aeCol = org.apache.spark.sql.GraftBridge.column(
+      graft.engine.Expressions.IvfResidualEncodeExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("v")),
+        ivf.centroids, unitCents, pqRes.codebooks, pqRes.dsub))
+    val index = emb.select(col("id").as("nid"), aeCol.as("ac"))
+      .select(col("nid"), col("ac.cluster").as("cluster"), col("ac.codes").as("codes"))
 
     val queries = emb.where(col("id").isin(queryIds: _*))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
-    // one ADC table per (query, probed cell): built from q − ĉ(cell)
-    val tables = queries.flatMap { case (qid, qv) =>
+    // one ADC table per (query, probed cell): built from q − ĉ(cell),
+    // keyed qid<<32|cluster for the plan-embedded native lookup
+    val probePairs = queries.flatMap { case (qid, qv) =>
       val nq = ProductQuantizer.l2normalize(qv)
       ivf.nearest(nq.toSeq, nprobe).map { c =>
         (qid, c) -> pqRes.adcTable(residualOf(nq, unitCentroid(ivf, c)).toSeq)
       }
-    }.toMap
-    val bcT = spark.sparkContext.broadcast(tables)
-    val adc = udf { (qid: Long, cluster: Int, codes: Seq[Int]) =>
-      val t = bcT.value((qid, cluster))
-      var d = 0.0; var s = 0
-      while (s < codes.length) { d += t(s)(codes(s)); s += 1 }
-      d
     }
+    val tables = probePairs.map { case ((qid, c), t) => ((qid << 32) | c.toLong) -> t }.toMap
+    val adcCol = org.apache.spark.sql.GraftBridge.column(
+      graft.engine.Expressions.PqAdcExpr(
+        org.apache.spark.sql.GraftBridge.expression(
+          shiftleft(col("qid"), 32).bitwiseOR(col("cluster").cast("long"))),
+        org.apache.spark.sql.GraftBridge.expression(col("codes")), tables))
 
     val probes = broadcast(spark.createDataFrame(
-      tables.keys.toSeq.sorted).toDF("qid", "cluster"))
+      probePairs.map(_._1).toSeq.sorted).toDF("qid", "cluster"))
 
     val wApprox = Window.partitionBy("qid").orderBy(col("adist").asc, col("nid"))
     val cands = index.join(probes, "cluster")
-      .withColumn("adist", adc(col("qid"), col("cluster"), col("codes")))
+      .withColumn("adist", adcCol)
       .withColumn("arn", row_number().over(wApprox))
       .where(col("arn") <= topK * rerank)
       .select(col("qid"), col("nid"))
@@ -121,27 +123,24 @@ object IvfPq {
              nprobe: Int, topK: Int, rerank: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
-    val bcIvf = spark.sparkContext.broadcast(ivf)
-    val assignOne = udf((v: Seq[Double]) => bcIvf.value.nearest(v, 1)(0))
-    val bcPq = spark.sparkContext.broadcast(pq)
-    val enc = udf((v: Seq[Double]) => bcPq.value.encodeOne(v))
-
-    // the stored index: cluster id + m-int code per vector
+    // the stored index: cluster id + m-int code per vector — both columns
+    // native codegen (NearestCentroidExpr / PqEncodeExpr), no per-row boxing
+    val encCol = org.apache.spark.sql.GraftBridge.column(
+      graft.engine.Expressions.PqEncodeExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("v")),
+        pq.codebooks, pq.dsub, pq.normalize))
     val index = emb.select(col("id").as("nid"), col("v"))
-      .withColumn("cluster", assignOne(col("v")))
-      .withColumn("codes", enc(col("v")))
+      .withColumn("cluster", IvfIndex.nearestCentroidCol(col("v"), ivf.centroids))
+      .withColumn("codes", encCol)
       .select("nid", "cluster", "codes")
 
     val queries = emb.where(col("id").isin(queryIds: _*))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
     val tables = queries.map { case (qid, qv) => qid -> pq.adcTable(qv) }.toMap
-    val bcT = spark.sparkContext.broadcast(tables)
-    val adc = udf { (qid: Long, codes: Seq[Int]) =>
-      val t = bcT.value(qid)
-      var d = 0.0; var s = 0
-      while (s < codes.length) { d += t(s)(codes(s)); s += 1 }
-      d
-    }
+    val adcCol = org.apache.spark.sql.GraftBridge.column(
+      graft.engine.Expressions.PqAdcExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("qid")),
+        org.apache.spark.sql.GraftBridge.expression(col("codes")), tables))
 
     // each query probes its nprobe nearest cells — the equi-join on
     // cluster IS the partition pruning
@@ -152,7 +151,7 @@ object IvfPq {
 
     val wApprox = Window.partitionBy("qid").orderBy(col("adist").asc, col("nid"))
     val cands = index.join(probes, "cluster")
-      .withColumn("adist", adc(col("qid"), col("codes")))
+      .withColumn("adist", adcCol)
       .withColumn("arn", row_number().over(wApprox))
       .where(col("arn") <= topK * rerank)
       .select(col("qid"), col("nid"))

@@ -95,9 +95,13 @@ object ProductQuantizer {
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
 
-    val norm = udf((v: Seq[Double]) => l2normalize(v))
-    val nemb = if (normalizeInput) emb.select(col("id"), norm(col("v")).as("v"))
-               else emb.select("id", "v")
+    // native codegen normalize (engine.Expressions.L2NormalizeExpr) — the
+    // same arithmetic as l2normalize without the per-row Seq boxing
+    val nemb = if (normalizeInput)
+      emb.select(col("id"), org.apache.spark.sql.GraftBridge.column(
+        graft.engine.Expressions.L2NormalizeExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("v")))).as("v"))
+    else emb.select("id", "v")
 
     // deterministic init: evenly-spaced ids seed every subspace's codebook
     val n = nemb.count()
@@ -139,12 +143,16 @@ object ProductQuantizer {
     PQModel(m, dsub, codebooks, normalize = normalizeInput)
   }
 
-  /** Map-only encode: (id, codes array<int>) — the m-byte index rows. */
-  def encode(spark: SparkSession, emb: DataFrame, model: PQModel): DataFrame = {
-    val bc = spark.sparkContext.broadcast(model)
-    val enc = udf((v: Seq[Double]) => bc.value.encodeOne(v))
-    emb.select(col("id"), enc(col("v")).as("codes"))
-  }
+  /** Map-only encode: (id, codes array<int>) — the m-byte index rows.
+    * Native codegen (engine.Expressions.PqEncodeExpr): encodeOne's exact
+    * subspace loops reading straight from the row buffer; the codebook
+    * matrix (m·k·dsub doubles) rides in the plan like the IVF centroids.
+    */
+  def encode(spark: SparkSession, emb: DataFrame, model: PQModel): DataFrame =
+    emb.select(col("id"), org.apache.spark.sql.GraftBridge.column(
+      graft.engine.Expressions.PqEncodeExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("v")),
+        model.codebooks, model.dsub, model.normalize)).as("codes"))
 
   /** Top-k per query id: ADC scan over the code table, then exact cosine
     * rerank of the top rerank·topK candidates.
@@ -163,14 +171,13 @@ object ProductQuantizer {
     val queries = emb.where(col("id").isin(queryIds: _*))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
     val tables = queries.map { case (qid, qv) => qid -> model.adcTable(qv) }.toMap
-    val bcT = spark.sparkContext.broadcast(tables)
 
-    val adc = udf { (qid: Long, codes: Seq[Int]) =>
-      val t = bcT.value(qid)
-      var d = 0.0; var s = 0
-      while (s < codes.length) { d += t(s)(codes(s)); s += 1 }
-      d
-    }
+    // native codegen ADC (engine.Expressions.PqAdcExpr): the Q·m·k table
+    // map rides in the plan; each scanned row costs m primitive lookups
+    val adcCol = org.apache.spark.sql.GraftBridge.column(
+      graft.engine.Expressions.PqAdcExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("qid")),
+        org.apache.spark.sql.GraftBridge.expression(col("codes")), tables))
 
     val qdf = broadcast(
       spark.createDataFrame(queries.map(q => Tuple1(q._1)).toSeq).toDF("qid"))
@@ -178,7 +185,7 @@ object ProductQuantizer {
 
     val wApprox = Window.partitionBy("qid").orderBy(col("adist").asc, col("id"))
     val cands = codes.crossJoin(qdf)
-      .withColumn("adist", adc(col("qid"), col("codes")))
+      .withColumn("adist", adcCol)
       .withColumn("arn", row_number().over(wApprox))
       .where(col("arn") <= topK * rerank)
       .select(col("qid"), col("id").as("nid"))
