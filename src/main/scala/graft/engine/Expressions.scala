@@ -479,6 +479,29 @@ object Expressions {
       copy(child = c)
   }
 
+  /** bloom_all_set(positions ARRAY<INT>) → BOOLEAN against a plan-embedded
+    * bitset (m/64 longs — fixed size regardless of build-corpus size).
+    * True = all bits set ("maybe present"); any clear bit proves absence,
+    * so filtering on NOT bloom_all_set never drops a genuinely new row.
+    */
+  case class BloomAllSetExpr(child: Expression, words: Array[Long])
+      extends UnaryExpression {
+
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "bloom_all_set"
+
+    override protected def nullSafeEval(ps: Any): Any =
+      BitsetOps.allSet(words, ps.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("words", words, "long[]")
+      defineCodeGen(ctx, ev, ps => s"graft.engine.BitsetOps.allSet($ref, $ps)")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** st_contains_point_native(wkt STRING, lat DOUBLE, lng DOUBLE) → BOOLEAN.
     * Codegen twin of the st_contains_point UDF for the spatial join's
     * candidate filter: the generated code passes the row-backed UTF8String

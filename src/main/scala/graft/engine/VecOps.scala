@@ -221,3 +221,25 @@ object VecOps {
       Array[Any](best, ArrayData.toArrayData(pqEncodeArr(r, books, dsub))))
   }
 }
+
+/** Static bitset kernels for the plan-embedded Bloom filter
+  * (Expressions.BloomAllSetExpr). The filter is a fixed Array[Long] —
+  * m/64 words regardless of corpus size — so it rides in the serialized
+  * plan like the ANN codebooks.
+  */
+object BitsetOps {
+
+  /** True iff every position in `ps` has its bit set (the Bloom
+    * "maybe present" test; any clear bit proves absence).
+    */
+  def allSet(words: Array[Long], ps: ArrayData): Boolean = {
+    val n = ps.numElements()
+    var i = 0
+    while (i < n) {
+      val p = ps.getInt(i)
+      if ((words(p >>> 6) & (1L << (p & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+}

@@ -218,6 +218,40 @@ object Dedup {
       .drop("keep")
   }
 
+  /** Cross-corpus exact dedup via a fixed-size Bloom filter: drop probe
+    * rows whose key is (probably) already in the build corpus.
+    *
+    * This is the incremental-crawl shape: the kept corpus is orders of
+    * magnitude larger than the new batch, so shuffling build-side KEYS into
+    * a join is the wrong plan at 100 TB. Instead the build side folds into
+    * an mBits-wide bitset — `posCol` yields each row's k bit positions, the
+    * distinct positions (≤ mBits values, REGARDLESS of corpus size) come
+    * back to the driver, and the O(KB) word array rides in the probe plan
+    * (Expressions.BloomAllSetExpr), making the probe pass map-only with no
+    * shuffle and no broadcast of corpus keys.
+    *
+    * Guarantees: no false negatives (a clear bit proves the key is new), so
+    * every true duplicate is dropped; false positives drop ~(1-e^{-kn/m})^k
+    * of genuinely-new rows — acceptable for crawl dedup where recall of
+    * NEW content matters more than keeping every last row, and measurable
+    * by re-checking kept rows exactly downstream if needed.
+    */
+  def bloomDedup(build: DataFrame, probe: DataFrame, posCol: Column,
+                 mBits: Int): DataFrame = {
+    require(mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
+    val words = new Array[Long](mBits / 64)
+    build.select(explode(posCol).as("p")).distinct()
+      .collect().foreach { r =>
+        val p = r.getInt(0)
+        require(p >= 0 && p < mBits, s"position $p outside [0, $mBits)")
+        words(p >>> 6) |= 1L << (p & 63)
+      }
+    val maybePresent = org.apache.spark.sql.GraftBridge.column(
+      graft.engine.Expressions.BloomAllSetExpr(
+        org.apache.spark.sql.GraftBridge.expression(posCol), words))
+    probe.where(!maybePresent)
+  }
+
   /** Per-row serialized-size estimate in bytes: actual lengths for
     * string/binary/array payloads, fixed width for everything else. Used by
     * [[fitsBroadcast]] so the guard thresholds on BYTES — 2M rows of long

@@ -65,6 +65,76 @@ object Multimodal {
     Some((bb.getInt(16), bb.getInt(20)))
   }
 
+  // ------------------------------------------------------------------ WAV
+  // PCM WAV is a published container whose header needs no codec: RIFF
+  // chunk + fmt subchunk + data subchunk, all little-endian. The parse
+  // below is REAL (like the PNG IHDR path); only lossy codecs stay stubs.
+
+  /** Canonical 44-byte PCM WAV header. */
+  val WavHeaderLen = 44
+
+  final case class WavMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                           dataLen: Int) {
+    def blockAlign: Int = channels * bitsPerSample / 8
+    def nSamples: Long = if (blockAlign == 0) 0L else dataLen.toLong / blockAlign
+    def durationMs: Long =
+      if (sampleRate == 0) 0L else nSamples * 1000L / sampleRate
+  }
+
+  private val WavRates = Array(8000, 16000, 22050, 44100, 48000)
+
+  /** Deterministic audio parameters per id (reproducible by integer SQL). */
+  def wavParamsFor(id: Long): WavMeta = WavMeta(
+    sampleRate = WavRates(math.floorMod(id, 5).toInt),
+    channels = 1 + math.floorMod(id, 2).toInt,
+    bitsPerSample = if (math.floorMod(id / 2, 2) == 0) 8 else 16,
+    dataLen = 0)
+
+  /** Wrap bytes in a spec-valid PCM WAV header (RIFF little-endian). */
+  def wavWrap(id: Long, body: Array[Byte]): Array[Byte] = {
+    val p = wavParamsFor(id)
+    val out = java.nio.ByteBuffer.allocate(WavHeaderLen + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("ASCII"))
+    out.putInt(36 + body.length)
+    out.put("WAVE".getBytes("ASCII"))
+    out.put("fmt ".getBytes("ASCII"))
+    out.putInt(16)                       // fmt subchunk length (PCM)
+    out.putShort(1)                      // audio format = PCM
+    out.putShort(p.channels.toShort)
+    out.putInt(p.sampleRate)
+    out.putInt(p.sampleRate * p.blockAlign)
+    out.putShort(p.blockAlign.toShort)
+    out.putShort(p.bitsPerSample.toShort)
+    out.put("data".getBytes("ASCII"))
+    out.putInt(body.length)
+    out.put(body)
+    out.array()
+  }
+
+  /** REAL PCM WAV metadata decode: validate RIFF/WAVE/fmt/data markers and
+    * PCM format, read the little-endian fields. None when not a canonical
+    * PCM WAV — caller falls back.
+    */
+  def decodeWavMeta(payload: Array[Byte]): Option[WavMeta] = {
+    if (payload.length < WavHeaderLen) return None
+    def ascii(off: Int, s: String): Boolean =
+      s.indices.forall(i => payload(off + i) == s.charAt(i).toByte)
+    if (!ascii(0, "RIFF") || !ascii(8, "WAVE") || !ascii(12, "fmt ") ||
+        !ascii(36, "data")) return None
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (bb.getShort(20) != 1) return None // PCM only
+    val meta = WavMeta(
+      sampleRate = bb.getInt(24),
+      channels = bb.getShort(22).toInt,
+      bitsPerSample = bb.getShort(34).toInt,
+      dataLen = bb.getInt(40))
+    if (meta.sampleRate <= 0 || meta.channels <= 0 || meta.bitsPerSample <= 0)
+      None
+    else Some(meta)
+  }
+
   /** Synthesize a media table from documents: image payloads are valid
     * PNG-framed bytes, audio/video stay raw utf-8.
     */
@@ -152,6 +222,47 @@ object Multimodal {
       decodePngDims(payload).getOrElse(decodeStub(payload))
     override def frames(payload: Array[Byte]): Int =
       frameSampleStub(payload, 4096)
+  }
+
+  /** Audio metadata row: real header fields + derived duration. */
+  final case class AudioMeta(
+      media_id: Long, sample_rate: Long, n_channels: Long,
+      bits_per_sample: Long, n_samples: Long, duration_ms: Long,
+      content_hash: String)
+
+  /** Synthesize an audio table: WAV-framed text bytes for audio docs
+    * (doc_id % 3 = 1), header parameters a deterministic function of the
+    * id (wavParamsFor) so an oracle engine reconstructs the byte stream.
+    */
+  def audioTable(spark: SparkSession, dir: String): DataFrame = {
+    val wrap = udf((id: Long, body: Array[Byte]) => wavWrap(id, body))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .where(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id").as("media_id"), lit("audio/wav").as("mime_type"),
+        wrap(col("doc_id"), encode(col("text"), "UTF-8")).as("payload"))
+  }
+
+  /** Partition-batched REAL audio metadata extraction: parse each WAV
+    * header (decodeWavMeta), derive sample count and duration from the
+    * parsed fields. Rows that are not canonical PCM WAV surface as
+    * all-zero metadata rather than failing the batch (quarantine-style
+    * degradation, same policy as geometry repair).
+    */
+  def extractAudioMeta(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val m = decodeWavMeta(r.payload).getOrElse(WavMeta(0, 0, 0, 0))
+        AudioMeta(
+          media_id = r.media_id,
+          sample_rate = m.sampleRate.toLong,
+          n_channels = m.channels.toLong,
+          bits_per_sample = m.bitsPerSample.toLong,
+          n_samples = m.nSamples,
+          duration_ms = m.durationMs,
+          content_hash = contentHash(r.payload))
+      }
+    }.toDF()
   }
 
   /** STUB decoder for codec-less mimes (none ship in this container) —

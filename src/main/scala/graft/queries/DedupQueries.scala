@@ -760,6 +760,47 @@ object DedupQueries {
              |  CAST(greatest(1, n // 4096) AS BIGINT) AS n_frames
              |FROM b2 ORDER BY media_id""".stripMargin)),
 
+    // REAL audio metadata: audio docs get spec-valid PCM WAV framing
+    // (RIFF little-endian, parameters a deterministic function of doc_id)
+    // and the partition-batched decoder parses the actual header — sample
+    // rate, channels, bit depth — then derives sample count and duration.
+    // FULLY ORACLED: DuckDB rebuilds the little-endian header hex
+    // byte-for-byte (le4/le2 = lpad-hex byte swaps) and hash-matches every
+    // field including the content hash over the framed bytes.
+    QueryDef("multimodal_audio_meta",
+      (s, d) => Multimodal.extractAudioMeta(s, Multimodal.audioTable(s, d))
+        .orderBy("media_id"),
+      Some {
+        def le4(e: String) =
+          s"(SELECT substr(h,7,2)||substr(h,5,2)||substr(h,3,2)||substr(h,1,2) " +
+          s"FROM (SELECT lpad(hex($e), 8, '0') AS h))"
+        def le2(e: String) =
+          s"(SELECT substr(h,3,2)||substr(h,1,2) FROM (SELECT lpad(hex($e), 4, '0') AS h))"
+        s"""WITH base AS (
+           |  SELECT doc_id AS media_id, text,
+           |    octet_length(encode(text)) AS tlen,
+           |    CASE mod(doc_id, 5) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+           |      WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS sr,
+           |    1 + mod(doc_id, 2) AS ch,
+           |    CASE WHEN mod(doc_id // 2, 2) = 0 THEN 8 ELSE 16 END AS bits
+           |  FROM documents WHERE mod(doc_id, 3) = 1),
+           |b2 AS (SELECT *, ch * bits // 8 AS ba FROM base),
+           |hdr AS (SELECT *,
+           |    '52494646' || ${le4("36 + tlen")} || '57415645' || '666D7420'
+           |      || '10000000' || '0100' || ${le2("ch")} || ${le4("sr")}
+           |      || ${le4("sr * ba")} || ${le2("ba")} || ${le2("bits")}
+           |      || '64617461' || ${le4("tlen")} AS h
+           |  FROM b2)
+           |SELECT media_id,
+           |  CAST(sr AS BIGINT) AS sample_rate,
+           |  CAST(ch AS BIGINT) AS n_channels,
+           |  CAST(bits AS BIGINT) AS bits_per_sample,
+           |  CAST(tlen // ba AS BIGINT) AS n_samples,
+           |  CAST((tlen // ba) * 1000 // sr AS BIGINT) AS duration_ms,
+           |  md5(h || hex(encode(text))) AS content_hash
+           |FROM hdr ORDER BY media_id""".stripMargin
+      }),
+
     // Duplicate-cluster consolidation: near-dup PAIRS → components →
     // per-cluster summary (large-star/small-star, ConnectedComponents.scala).
     // The edge list is doc_id-derived chains — doc ↔ its perturbed copy,
@@ -861,6 +902,46 @@ object DedupQueries {
              |SELECT fp, count(*) AS n_members,
              |  min(CASE WHEN rk = 1 THEN doc_id END) AS survivor_doc,
              |  max(CASE WHEN rk = 1 THEN ttr END) AS survivor_ttr
-             |FROM r GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin))
+             |FROM r GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin)),
+
+    // Cross-corpus (incremental-crawl) dedup via a plan-embedded Bloom
+    // filter: the already-kept corpus (doc_id % 3 = 0) folds into a 64K-bit
+    // bitset — k=4 positions per key, each a 16-bit md5 hex chunk, so
+    // DuckDB builds the IDENTICAL filter and the kept set hash-matches
+    // including any false positives. The probe pass is map-only
+    // (operators/Dedup.bloomDedup): no shuffle, no broadcast of corpus
+    // keys, and the bitset is O(KB) regardless of corpus size — the shape
+    // that survives a 100 TB kept-corpus where any key join would not.
+    // Planted exact copies of corpus docs (+100000) must all drop (Bloom
+    // has no false negatives); the genuinely-new batch survives.
+    QueryDef("dedup_bloom_crosscorpus",
+      (s, d) => {
+        val docs = T(s, d, "documents").select("doc_id", "source", "text")
+        val corpus = docs.where(col("doc_id") % 3 === 0)
+        val newBatch = docs.where(col("doc_id") % 3 =!= 0).unionByName(
+          corpus.select((col("doc_id") + 100000).as("doc_id"),
+            col("source"), col("text")))
+        val posCol = expr(
+          "transform(sequence(0, 3), h -> cast(conv(substring(md5(text), h * 4 + 1, 4), 16, 10) as int))")
+        Dedup.bloomDedup(corpus, newBatch, posCol, mBits = 65536)
+          .select("doc_id", "source").orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, source, text FROM documents WHERE doc_id % 3 = 0),
+             |newb AS (
+             |  SELECT doc_id, source, text FROM documents WHERE doc_id % 3 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 100000 AS doc_id, source, text FROM corpus),
+             |bpos AS (SELECT DISTINCT
+             |    CAST(('0x' || substr(md5(text), h * 4 + 1, 4)) AS INT) AS p
+             |  FROM corpus, UNNEST(range(0, 4)) AS u(h)),
+             |npos AS (SELECT doc_id,
+             |    CAST(('0x' || substr(md5(text), h * 4 + 1, 4)) AS INT) AS p
+             |  FROM newb, UNNEST(range(0, 4)) AS u(h)),
+             |hits AS (SELECT n.doc_id, count(*) AS c
+             |  FROM npos n JOIN bpos b ON n.p = b.p GROUP BY 1)
+             |SELECT nb.doc_id, nb.source FROM newb nb
+             |LEFT JOIN hits h USING (doc_id)
+             |WHERE coalesce(h.c, 0) < 4 ORDER BY doc_id""".stripMargin))
   )
 }

@@ -71,4 +71,32 @@ class BloomJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the "*(n)" prefix marks operators fused into a WholeStageCodegen span
     assert("\\*\\(\\d+\\) Filter bloom_might_contain".r.findFirstIn(plan).isDefined, plan)
   }
+
+  test("bloomDedup: no false negatives ever; kept set matches the reference filter") {
+    import spark.implicits._
+    // md5-derived 4×16-bit positions, the dedup_bloom_crosscorpus family
+    val posCol = expr("transform(sequence(0, 3), h -> " +
+      "cast(conv(substring(md5(k), h * 4 + 1, 4), 16, 10) as int) % 256)")
+    val build = (0 until 300).map(i => s"key$i").toDF("k")
+    val dups = (0 until 300 by 3).map(i => s"key$i")
+    val fresh = (0 until 300).map(i => s"new$i")
+    val probe = (dups ++ fresh).toDF("k")
+    // m=256 with 300 build keys → dense filter, false positives guaranteed
+    val kept = Dedup.bloomDedup(build, probe, posCol, mBits = 256)
+      .as[String].collect().toSet
+    // no false negatives: every true duplicate is dropped
+    assert(dups.forall(d => !kept.contains(d)))
+    // kept = exactly the fresh keys whose 4 positions are not all set in
+    // the reference filter computed driver-side
+    def positions(s: String): Seq[Int] = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      (0 until 4).map(h => Integer.parseInt(hex.substring(h * 4, h * 4 + 4), 16) % 256)
+    }
+    val bits = (0 until 300).flatMap(i => positions(s"key$i")).toSet
+    val expected = fresh.filterNot(f => positions(f).forall(bits)).toSet
+    assert(kept == expected, s"fp-kept diff: ${kept.diff(expected)} ${expected.diff(kept)}")
+    // the dense filter really does produce false positives here
+    assert(expected.size < fresh.size, "test corpus produced no false positives")
+  }
 }

@@ -87,6 +87,27 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(1).getAs[Long]("width") >= 64L)
   }
 
+  test("wav: wrap/decode round-trips the planted parameters; non-wav rejected") {
+    for (id <- 0L to 24L) {
+      val body = Array.fill(97)((id % 251).toByte)
+      val wav = Multimodal.wavWrap(id, body)
+      assert(wav.length == Multimodal.WavHeaderLen + body.length)
+      val m = Multimodal.decodeWavMeta(wav).get
+      val p = Multimodal.wavParamsFor(id)
+      assert(m.sampleRate == p.sampleRate && m.channels == p.channels &&
+        m.bitsPerSample == p.bitsPerSample && m.dataLen == body.length)
+      // derived values: integer sample count and floor-division duration
+      assert(m.nSamples == body.length / m.blockAlign)
+      assert(m.durationMs == m.nSamples * 1000L / m.sampleRate)
+    }
+    // rejection: truncated, wrong magic, non-PCM format tag
+    assert(Multimodal.decodeWavMeta(Array.fill(10)(1.toByte)).isEmpty)
+    assert(Multimodal.decodeWavMeta("x" * 64 getBytes "ASCII").isEmpty)
+    val nonPcm = Multimodal.wavWrap(3L, Array.fill(8)(0.toByte))
+    nonPcm(20) = 2 // IEEE-float format tag
+    assert(Multimodal.decodeWavMeta(nonPcm).isEmpty)
+  }
+
   test("openAll runs exactly once per input partition") {
     import spark.implicits._
     val media = (1L to 8L)
