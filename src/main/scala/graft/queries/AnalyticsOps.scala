@@ -369,6 +369,50 @@ object AnalyticsOps {
              |SELECT l_returnflag, q_idx, q, true AS rank_ok
              |FROM g, q ORDER BY l_returnflag, q_idx""".stripMargin)),
 
+    // Count-Min sketch point estimates (operators/CountMin): depth=4 rows
+    // of width=1024 counters, md5-chunk hash family — so DuckDB rebuilds
+    // the IDENTICAL sketch cell-for-cell and every estimate hash-matches
+    // exactly (not a tolerance contract: the estimate itself is
+    // deterministic given the hash family). The probe set is the exact
+    // top-20 tokens; est ≥ exact always (CMS never under-counts), and the
+    // oracle verifies the actual overestimate of each probe. Merge is
+    // element-wise sum, so partial aggregation is exact at any scale.
+    QueryDef(
+      "stats_cms_counts",
+      (s, d) => {
+        s.udf.register("cms_4x1024", udaf(graft.operators.CountMin.agg(4, 1024)))
+        val toks = T(s, d, "documents")
+          .select(explode(split(col("text"), " +")).as("tok"))
+        val sketch = toks.agg(expr("cms_4x1024(tok)").as("cms"))
+        val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_count"))
+          .orderBy(col("exact_count").desc, col("tok")).limit(20)
+        top.crossJoin(broadcast(sketch))
+          .withColumn("est_count", expr(
+            """aggregate(transform(sequence(0, 3), d ->
+              |  element_at(cms, d * 1024 + int(conv(substring(md5(concat(tok, ':', cast(d AS STRING))), 1, 4), 16, 10) % 1024) + 1)),
+              |  9223372036854775807L, (acc, x) -> least(acc, x))""".stripMargin))
+          .select(col("tok"), col("exact_count"),
+            col("est_count"), (col("est_count") - col("exact_count")).as("over_by"))
+          .orderBy(col("exact_count").desc, col("tok"))
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split_regex(text, ' +')) AS tok
+             |  FROM documents),
+             |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_count
+             |  FROM toks GROUP BY tok),
+             |top AS (SELECT tok, exact_count FROM cnt
+             |  ORDER BY exact_count DESC, tok LIMIT 20),
+             |cells AS (SELECT d,
+             |    CAST(('0x' || substr(md5(tok || ':' || d), 1, 4)) AS INT) % 1024 AS pos,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM toks, UNNEST(range(0, 4)) AS u(d) GROUP BY 1, 2),
+             |est AS (SELECT top.tok, top.exact_count, min(cells.c) AS est_count
+             |  FROM top, UNNEST(range(0, 4)) AS u(d)
+             |  JOIN cells ON cells.d = u.d AND cells.pos =
+             |    CAST(('0x' || substr(md5(top.tok || ':' || u.d), 1, 4)) AS INT) % 1024
+             |  GROUP BY 1, 2)
+             |SELECT tok, exact_count, est_count, est_count - exact_count AS over_by
+             |FROM est ORDER BY exact_count DESC, tok""".stripMargin)),
+
     // Exact correlation per group via DECIMAL moments: the five sums are
     // order-independent exact decimals; the final Pearson arithmetic is a
     // fixed double expression — deterministic across engines, unlike a

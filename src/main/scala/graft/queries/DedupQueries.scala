@@ -301,6 +301,27 @@ object DedupQueries {
       },
       Some(segmentsOracleSql)),
 
+    // The PRODUCTION form of the streaming gate: state bounded by a dedup
+    // HORIZON — each segment's presence bit is evicted (event-time timeout)
+    // once the watermark passes its first occurrence + TTL, so state size
+    // tracks the horizon's arrival rate, not stream history. Here every
+    // event timestamp (epoch + doc_id seconds, ≤ ~3.5 days span) sits far
+    // inside the 30-day horizon, so NO eviction fires and the survivor set
+    // still equals the batch pick — the same DuckDB oracle verifies the
+    // TTL machinery end-to-end. DocStreamSpec drives the horizon-expiry
+    // path (eviction + re-admission) with a short TTL.
+    QueryDef("dedup_segments_stream_ttl",
+      (s, d) => {
+        val segs = segmentsWithDups(s, d)
+          .withColumn("ts", expr("timestamp_seconds(1735689600 + doc_id)"))
+        val (kept, nBatches) = graft.streaming.DocStream.segmentDedupTtl(
+          s, segs, ttlMillis = 30L * 86400000L, delayThreshold = "1 minute")
+        require(nBatches >= 3,
+          s"expected >=3 micro-batches (one per doc-id band), saw $nBatches")
+        segmentsAssembly(segs, kept)
+      },
+      Some(segmentsOracleSql)),
+
     // MinHash+LSH with an md5-derived hash family — the fully-ORACLED twin
     // of dedup_minhash_lsh. The FNV+affine family is cheaper per hash but
     // not SQL-expressible; md5-prefix hashes are computable bit-identically

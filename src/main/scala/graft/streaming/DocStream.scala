@@ -101,6 +101,68 @@ object DocStream {
     runToMemory(spark, kept.toDF(), "segdedup")
   }
 
+  // -------------------------------------------------------- TTL'd gate
+  // The NoTimeout gate above grows state forever — correct for a bounded
+  // backfill, impossible for an unbounded 100 TB stream. The production
+  // variant bounds state with a DEDUP HORIZON: a segment's presence bit
+  // lives ttl past its FIRST occurrence (fixed window, not sliding — the
+  // C4-style "first occurrence within the horizon wins" semantic), evicted
+  // by event-time timeout once the watermark passes. A re-arrival after
+  // eviction is admitted as first-in-its-horizon again, by design.
+
+  final case class SegRowT(doc_id: Long, seg_idx: Long, seg: String,
+                           seg_h: String, ts: java.sql.Timestamp)
+
+  private def ttlGateFn(ttlMs: Long)(key: String, rows: Iterator[SegRowT],
+      state: GroupState[Long]): Iterator[SegRowT] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      // a key can receive data in the same batch its timer would have
+      // fired — then hasTimedOut is false and the state still exists, so
+      // horizon expiry must ALSO be checked against the watermark here
+      val wm = state.getCurrentWatermarkMs()
+      val alive = state.exists && state.get + ttlMs > wm
+      if (alive) Iterator.empty
+      else {
+        var best: SegRowT = null
+        rows.foreach { r =>
+          if (best == null || r.doc_id < best.doc_id ||
+            (r.doc_id == best.doc_id && r.seg_idx < best.seg_idx)) best = r
+        }
+        if (best == null) { if (state.exists) state.remove(); Iterator.empty }
+        else {
+          val firstMs = best.ts.getTime
+          state.update(firstMs)
+          // evict once the watermark passes first occurrence + horizon
+          // (clamped above the watermark — late first arrivals otherwise
+          // request a timer in the past, which Spark rejects)
+          state.setTimeoutTimestamp(math.max(firstMs + ttlMs, wm + 1))
+          Iterator.single(best)
+        }
+      }
+    }
+  }
+
+  /** First-occurrence gate with a dedup horizon: state for each segment
+    * hash is evicted `ttl` past its first occurrence (event time), so
+    * state size is bounded by the horizon's segment arrival rate instead
+    * of stream history. `segs` needs (doc_id, seg_idx, seg, seg_h, ts);
+    * `delayThreshold` is the watermark lateness bound.
+    */
+  def segmentDedupTtl(spark: SparkSession, segs: DataFrame,
+                      ttlMillis: Long, delayThreshold: String): (DataFrame, Long) = {
+    import spark.implicits._
+    val typed = segs.select(col("doc_id").cast("long"),
+      col("seg_idx").cast("long"), col("seg"), col("seg_h"),
+      col("ts").cast("timestamp"))
+    val raw = stageByBand(spark, typed, "graft_segttl_src")
+      .withWatermark("ts", delayThreshold)
+    val kept = raw.as[SegRowT].groupByKey(_.seg_h)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(ttlGateFn(ttlMillis))
+    runToMemory(spark, kept.toDF(), "segttl")
+  }
+
   final case class CurSeg(doc_id: Long, source: String, seg_idx: Long, seg_h: String)
 
   private def curFirstFn(key: String, rows: Iterator[CurSeg],

@@ -62,6 +62,32 @@ class DocStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Set((1L, 0L), (1L, 1L), (100001L, 1L)), s"got $rows")
   }
 
+  test("ttl gate: suppression inside the horizon, re-admission after expiry") {
+    import spark.implicits._
+    val t0 = 1735689600L // epoch seconds
+    def ts(offMin: Long) = new java.sql.Timestamp((t0 + offMin * 60) * 1000)
+    // band 0: A and B first occurrences at t0.
+    // band 1 (t0+10min): A re-sent INSIDE the 5-min horizon? No — horizon
+    //   is 5 min, so by band 1 the watermark is still t0-1min (watermark
+    //   trails one batch), state alive → suppressed.
+    // band 2 (t0+40min): watermark = t0+9min > A's t0+5min horizon →
+    //   evicted → this arrival is admitted as a new first occurrence.
+    val segs = Seq(
+      (1L, 0L, "seg A", "hA", ts(0)),
+      (1L, 1L, "seg B", "hB", ts(0)),
+      (100001L, 0L, "seg A", "hA", ts(10)),
+      (100001L, 1L, "seg C", "hC", ts(10)),
+      (200002L, 0L, "seg A", "hA", ts(40)))
+      .toDF("doc_id", "seg_idx", "seg", "seg_h", "ts")
+    val (kept, nBatches) = DocStream.segmentDedupTtl(spark, segs,
+      ttlMillis = 5 * 60 * 1000L, delayThreshold = "1 minute")
+    assert(nBatches >= 3, s"expected >=3 micro-batches, saw $nBatches")
+    val rows = kept.select("seg_h", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("hA", 1L), ("hB", 1L), ("hC", 100001L), ("hA", 200002L)),
+      s"got $rows")
+  }
+
   test("stream survivor set equals the batch keepFirstOccurrence pick") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
