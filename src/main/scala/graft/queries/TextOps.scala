@@ -483,14 +483,16 @@ object TextOps {
     QueryDef(
       "text_decontaminate",
       (s, d) => {
+        // (doc_id, gram) dedup is PER-DOCUMENT, so it needs no shuffle:
+        // array_distinct inside the projection replaces the global
+        // .distinct() exchange this plan used to pay over the whole corpus
         val grams = T(s, d, "documents")
           .withColumn("ws", expr(
             "filter(split(regexp_replace(lower(text), '[^a-z0-9]+', ' '), ' +'), x -> x != '')"))
           .where(size(col("ws")) >= 3)
           .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))"))
+            "array_distinct(transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3))))"))
             .as("gram"))
-          .distinct()
         val eval = grams.where(pmod(col("doc_id"), lit(97)) === 0)
           .select(col("gram"), col("doc_id").as("eval_id"))
         val train = grams.where(pmod(col("doc_id"), lit(97)) =!= 0)
