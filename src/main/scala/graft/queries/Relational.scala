@@ -356,6 +356,35 @@ object Relational {
       "events_hourly_quantiles_stream",
       (s, d) => graft.streaming.EventStream.hourlyValueQuantiles(s, d)),
 
+    // Streaming Count-Min per hour, FULLY hash-oracled (no tolerance
+    // contract needed): per-window state is the fixed 4x256 counter
+    // matrix, merge is element-wise sum (batch-invariant), and the
+    // md5-chunk hash family lets DuckDB rebuild every window's sketch
+    // cell-for-cell — so the estimates for each hour's exact top-3 users
+    // hash-match exactly, overestimates included.
+    QueryDef(
+      "events_hourly_cms_stream",
+      (s, d) => graft.streaming.EventStream.hourlyCmsTopUsers(s, d),
+      Some("""WITH ev AS (SELECT strftime(date_trunc('hour', ts),
+             |    '%Y-%m-%d %H:%M:%S') AS h, CAST(user_id AS VARCHAR) AS u
+             |  FROM events),
+             |cells AS (SELECT h, d,
+             |    CAST(('0x' || substr(md5(u || ':' || d), 1, 4)) AS INT) % 256 AS pos,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM ev, UNNEST(range(0, 4)) AS t(d) GROUP BY 1, 2, 3),
+             |cnt AS (SELECT h, u, CAST(count(*) AS BIGINT) AS exact_n
+             |  FROM ev GROUP BY 1, 2),
+             |top AS (SELECT h, u, exact_n FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY h
+             |      ORDER BY exact_n DESC, u) AS rk FROM cnt) WHERE rk <= 3),
+             |est AS (SELECT top.h, top.u, top.exact_n, min(cells.c) AS est_n
+             |  FROM top, UNNEST(range(0, 4)) AS t(d)
+             |  JOIN cells ON cells.h = top.h AND cells.d = t.d AND cells.pos =
+             |    CAST(('0x' || substr(md5(top.u || ':' || t.d), 1, 4)) AS INT) % 256
+             |  GROUP BY 1, 2, 3)
+             |SELECT h, u AS user_id, exact_n, est_n, est_n - exact_n AS over_by
+             |FROM est ORDER BY h, exact_n DESC, user_id""".stripMargin)),
+
     // Tolerance-contract twin of the streaming HLL rollup: the streamed
     // per-hour estimate is joined to the BATCH exact distinct count and
     // flagged within 5%; the oracle recomputes the exact side and emits

@@ -142,6 +142,63 @@ object EventStream {
     spark.table(sinkName).orderBy("h", "event_type")
   }
 
+  /** Streaming Count-Min per hour: each window's state is the FIXED
+    * depth×width counter matrix (8 KB at 4×256), not a per-user map, and
+    * CMS merge is element-wise sum — exactly batch- and partition-
+    * invariant, so the streamed sketch equals the batch one bit-for-bit.
+    * The md5-chunk hash family means an oracle engine rebuilds the same
+    * sketches, so the per-hour estimates of the top users hash-match
+    * EXACTLY (the stats_cms_counts pattern, inside a watermarked window).
+    */
+  def hourlyCmsTopUsers(spark: SparkSession, dir: String): DataFrame = {
+    spark.udf.register("cms_user_stream",
+      org.apache.spark.sql.functions.udaf(graft.operators.CountMin.agg(4, 256)))
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val srcDir = Files.createTempDirectory("graft_cms_src")
+    srcDir.toFile.deleteOnExit()
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val raw = spark.readStream.schema(batch.schema).parquet(srcDir.toString)
+    val events = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+    val agg = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr("cms_user_stream(CAST(user_id AS STRING))").as("cms"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("h"),
+        col("cms"))
+    val sinkName = s"graft_stream_cms_${math.abs(dir.hashCode)}"
+    val q = agg.writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_cms_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    val sketches = spark.table(sinkName)
+
+    // probe each window's sketch with that hour's exact top-3 users
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.queries.T.events(spark, dir).select(
+      date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("h"),
+      col("user_id").cast("string").as("u"))
+    val w = Window.partitionBy("h").orderBy(col("exact_n").desc, col("u"))
+    val top = ev.groupBy("h", "u").agg(count(lit(1)).as("exact_n"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 3).drop("rk")
+    top.join(sketches, "h")
+      .withColumn("est_n", expr(
+        """aggregate(transform(sequence(0, 3), d ->
+          |  element_at(cms, d * 256 + int(conv(substring(md5(concat(u, ':', cast(d AS STRING))), 1, 4), 16, 10) % 256) + 1)),
+          |  9223372036854775807L, (acc, x) -> least(acc, x))""".stripMargin))
+      .select(col("h"), col("u").as("user_id"), col("exact_n"),
+        col("est_n"), (col("est_n") - col("exact_n")).as("over_by"))
+      .orderBy(col("h"), col("exact_n").desc, col("user_id"))
+  }
+
   /** Streaming sketch aggregation: approx distinct users per hour via the
     * HLL Aggregator INSIDE the stream — per-window state is the fixed 4 KB
     * register array, not a user set, so hot windows can't grow state.
