@@ -271,6 +271,53 @@ object AnalyticsOps {
              |WHERE rk <= 10 ORDER BY source, rk""".stripMargin)
     ),
 
+    // Weighted SYSTEMATIC sampling (size-proportional, ~100 picks): lay
+    // the docs on a weight axis (w = n_chars), drop a boundary every
+    // total/100 units, keep each doc straddling >= 1 boundary — heavy
+    // docs can earn multiple picks, exactly size-proportional-to-weight.
+    // All-integer arithmetic, so both engines agree bit-for-bit — unlike
+    // A-ES exponential keys, whose pow/log doubles would ulp-drift
+    // cross-engine. The global prefix sum uses the two-phase scan
+    // (contiguous id buckets → tiny offsets table broadcast → per-bucket
+    // window), never a single-partition global window.
+    QueryDef(
+      "sample_systematic_weighted",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val B = 100L
+        val docs = T(s, d, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("w"),
+          (col("doc_id") / B).cast("long").as("bucket"))
+        val wBuckets = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = docs.groupBy("bucket").agg(sum("w").as("bw"))
+          .withColumn("offset", coalesce(sum("bw").over(wBuckets), lit(0L)))
+          .select("bucket", "offset")
+        val stride = docs.agg(
+          greatest(expr("sum(w) div 100"), lit(1L)).as("stride"))
+        val wDocs = Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs.join(broadcast(offsets), "bucket")
+          .withColumn("cum", sum("w").over(wDocs) + col("offset"))
+          .crossJoin(broadcast(stride))
+          .withColumn("n_picks", expr("cum div stride - (cum - w) div stride"))
+          .where(col("n_picks") >= 1)
+          .select("doc_id", "source", "w", "cum", "n_picks")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w
+             |  FROM documents),
+             |c AS (SELECT doc_id, source, w,
+             |    CAST(sum(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM t),
+             |s AS (SELECT CAST(greatest((SELECT sum(w) FROM t) // 100, 1) AS BIGINT) AS stride)
+             |SELECT doc_id, source, w, cum,
+             |  CAST(cum // stride - (cum - w) // stride AS BIGINT) AS n_picks
+             |FROM c, s
+             |WHERE cum // stride - (cum - w) // stride >= 1
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
     // Custom typed Aggregator: single-pass bounded-heap top-k per group —
     // O(k) buffer, partial+final aggregation (map-side combine), vs the
     // window form (w1) which sorts each group. Same ordering contract.
