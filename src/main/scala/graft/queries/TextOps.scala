@@ -170,14 +170,52 @@ object TextOps {
 
     // BPE merge training (Sennrich 2016) on the word-frequency table: one
     // corpus pass builds the vocab, every merge iteration is vocab-sized.
-    // Rows-only — iterative training isn't ANSI SQL; BpeTrainSpec proves
-    // the distributed run reproduces an in-memory reference implementation
-    // merge-for-merge (deterministic count-desc/pair-asc tie-break).
+    // FULLY ORACLED: the 12 merges unroll into a chain of MATERIALIZED
+    // CTEs (one pair-count + argmax + fuse per iteration). The fuse step's
+    // non-overlapping left-to-right semantics are exactly two passes of
+    // string replace over a chr(1)-delimited symbol string: pass 1 takes
+    // greedy-left alternating occurrences (adjacent matches share their
+    // boundary separator), pass 2 the ones pass 1 exposed — skipped
+    // occurrences are never adjacent to each other, so two passes always
+    // converge, and fused symbols are atomic between separators (a fused
+    // "ab" can never re-match "a<sep>b"). BpeTrainSpec additionally pins
+    // the distributed run against an in-memory reference merge-for-merge.
     QueryDef(
       "text_bpe_train",
       (s, d) => graft.operators.BpeTrain
         .trainDf(s, T(s, d, "documents"), "text", merges = 12)
-        .orderBy("rank")),
+        .orderBy("rank"),
+      Some {
+        val merges = 12
+        val iters = (1 to merges).map { i =>
+          s"""p$i AS MATERIALIZED (
+             |  SELECT string_split(pr, chr(2))[1] AS a,
+             |         string_split(pr, chr(2))[2] AS b,
+             |         CAST(sum(freq) AS BIGINT) AS n
+             |  FROM (SELECT freq, unnest(list_transform(range(1, len(sy)),
+             |          j -> sy[j] || chr(2) || sy[j+1])) AS pr
+             |        FROM (SELECT list_filter(string_split(s, chr(1)),
+             |                t -> t <> '') AS sy, freq FROM w${i - 1}))
+             |  GROUP BY 1, 2),
+             |b$i AS MATERIALIZED (SELECT a, b FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+             |w$i AS MATERIALIZED (SELECT replace(replace(s,
+             |    chr(1)||bb.a||chr(1)||bb.b||chr(1), chr(1)||bb.a||bb.b||chr(1)),
+             |    chr(1)||bb.a||chr(1)||bb.b||chr(1), chr(1)||bb.a||bb.b||chr(1)) AS s, freq
+             |  FROM w${i - 1}, b$i bb)""".stripMargin
+        }.mkString(",\n")
+        val ranks = (1 to merges).map(i =>
+          s"""SELECT CAST($i AS BIGINT) AS rank, a AS "left", b AS "right" FROM b$i""")
+          .mkString("\nUNION ALL ")
+        s"""WITH w0 AS MATERIALIZED (
+           |  SELECT chr(1) || array_to_string(
+           |      list_append(string_split(w, ''), '</w>'), chr(1)) || chr(1) AS s,
+           |    CAST(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT unnest(string_split_regex(text, ' +')) AS w FROM documents)
+           |  WHERE len(w) > 0 GROUP BY 1),
+           |$iters
+           |$ranks
+           |ORDER BY rank""".stripMargin
+      }),
 
     // Unigram-LM perplexity (the CCNet-style quality filter): corpus token
     // frequencies → per-doc mean negative logprob → exp. The corpus model
