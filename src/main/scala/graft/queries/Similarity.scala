@@ -102,6 +102,84 @@ object SimilarityQ {
              |  FROM dist)
              |SELECT vec_id, true_cls, cand AS assigned_cls
              |FROM best WHERE rk = 1 ORDER BY vec_id""".stripMargin)
+    ),
+
+    // IVF search-path twin, FULLY ORACLED (the production sim_ann_ivf keeps
+    // its k-means-trained centroids and stays rows-only — Lloyd iterations
+    // aren't cross-engine-exact). Here the coarse quantizer is pinned: the 8
+    // corpus vectors with the smallest md5(vec_id) become the centroids, so
+    // both engines derive the identical codebook from the table alone. Cell
+    // assignment uses the proven decimal-exact squared-distance recipe
+    // (6-dp components, 12-dp rounded terms, DECIMAL sums — argmin is
+    // order-independent and bit-identical), queries probe their nprobe=2
+    // nearest cells, and the rerank is the bit-identical cosine kernel.
+    // Plan shape at scale: the k×dim seed pull is the only driver traffic
+    // (the same codebook pull IVF training does), assignment is a broadcast
+    // nested-loop over k=8 tiny rows + one window shuffle on vec_id, and
+    // the probe join shuffles only (cluster)-bucketed candidates.
+    QueryDef(
+      "sim_ann_ivf_md5",
+      (s, d) => {
+        import s.implicits._
+        val e = T(s, d, "embeddings").select(col("vec_id"),
+          expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> round(x, 6))").as("ve"))
+        val seeds = e
+          .withColumn("h", md5(col("vec_id").cast("string")))
+          .orderBy("h", "vec_id").limit(8)
+          .select("ve").as[Seq[Double]].collect()
+          .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toSeq.toDF("cand", "cv")
+        val d2 = expr(
+          """aggregate(zip_with(ve, cv,
+            |  (x, y) -> CAST(round((x - y) * (x - y), 12) AS DECIMAL(28,12))),
+            |  CAST(0 AS DECIMAL(38,12)), (a, t) -> CAST(a + t AS DECIMAL(38,12)))""".stripMargin)
+        val assigned = e.crossJoin(broadcast(seeds))
+          .withColumn("d2", d2)
+          .withColumn("ark", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("d2"), col("cand"))))
+        val corpus = assigned.where(col("ark") === 1)
+          .select(col("vec_id").as("nid"), col("cand").as("cluster"), col("ve").as("nv"))
+        val queries = assigned.where(col("vec_id") < 5 && col("ark") <= 2)
+          .select(col("vec_id").as("qid"), col("cand").as("cluster"), col("ve").as("qv"))
+        graft.engine.Expressions.register(s)
+        val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))
+        queries.join(corpus, "cluster")
+          .withColumn("score", round(expr("vec_cosine_native(qv, nv)"), 6))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= 10)
+          .select(col("qid"), col("nid"), col("score"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id,
+             |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS ve
+             |  FROM embeddings),
+             |sd AS (
+             |  SELECT CAST(rk - 1 AS BIGINT) AS cand, ve AS cv FROM (
+             |    SELECT ve, row_number() OVER (
+             |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM e)
+             |  WHERE rk <= 8),
+             |asg AS (
+             |  SELECT e.vec_id, s.cand, e.ve,
+             |    list_sum(list_transform(range(1, len(e.ve) + 1),
+             |      i -> CAST(round((e.ve[i] - s.cv[i]) * (e.ve[i] - s.cv[i]), 12)
+             |           AS DECIMAL(28,12)))) AS d2
+             |  FROM e CROSS JOIN sd s),
+             |rk AS (
+             |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS ark
+             |  FROM asg),
+             |corpus AS (SELECT vec_id AS nid, cand AS cluster, ve AS nv FROM rk WHERE ark = 1),
+             |q AS (SELECT vec_id AS qid, cand AS cluster, ve AS qv
+             |      FROM rk WHERE vec_id < 5 AND ark <= 2),
+             |sc AS (
+             |  SELECT q.qid, c.nid,
+             |    round(list_dot_product(q.qv, c.nv) /
+             |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.nv, c.nv))), 6) AS score
+             |  FROM q JOIN corpus c USING (cluster)),
+             |r AS (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rn
+             |  FROM sc)
+             |SELECT qid, nid, score, rn FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)
     )
   )
 }
