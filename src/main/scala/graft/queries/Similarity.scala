@@ -180,6 +180,89 @@ object SimilarityQ {
              |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rn
              |  FROM sc)
              |SELECT qid, nid, score, rn FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)
+    ),
+
+    // PQ/ADC search-path twin, FULLY ORACLED (the production sim_ann_pq
+    // keeps its trained per-subspace codebooks and stays rows-only). The
+    // codebooks are pinned the same way as the IVF twin: the 8 smallest-md5
+    // corpus vectors, sliced into 8 subspaces of 8 dims, are the 8 codewords
+    // of each subspace. Every vector encodes to 8 one-byte codes by
+    // decimal-exact per-subspace argmin; a query's OWN distance rows to each
+    // (subspace, codeword) ARE its ADC lookup table, so the asymmetric
+    // distance is an exact DECIMAL sum over the 8 subspace entries — both
+    // engines agree bit-for-bit with zero tolerance. Plan shape at scale:
+    // codes are computed map-side against the broadcast codebook (the m×k×d'
+    // matrix is tiny by construction), the 5×8×8 ADC table broadcasts, and
+    // the scored join shuffles only (qid, nid) aggregates.
+    QueryDef(
+      "sim_ann_pq_md5",
+      (s, d) => {
+        import s.implicits._
+        val e = T(s, d, "embeddings").select(col("vec_id"),
+          expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> round(x, 6))").as("ve"))
+        val seeds = e
+          .withColumn("h", md5(col("vec_id").cast("string")))
+          .orderBy("h", "vec_id").limit(8)
+          .select("ve").as[Seq[Double]].collect()
+          .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toSeq.toDF("cand", "cv")
+        // distance of each vector's subspace sub to codeword cand of that
+        // subspace: 8 dims at offset sub*8, decimal-exact terms
+        val d2 = expr(
+          """aggregate(zip_with(slice(ve, sub * 8 + 1, 8), slice(cv, sub * 8 + 1, 8),
+            |  (x, y) -> CAST(round((x - y) * (x - y), 12) AS DECIMAL(28,12))),
+            |  CAST(0 AS DECIMAL(38,12)), (a, t) -> CAST(a + t AS DECIMAL(38,12)))""".stripMargin)
+        val sub = e.crossJoin(broadcast(seeds))
+          .withColumn("sub", explode(expr("sequence(0, 7)")))
+          .withColumn("d2", d2)
+          .select(col("vec_id"), col("sub"), col("cand"), col("d2"))
+        val codes = sub
+          .withColumn("ark", row_number().over(
+            Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("cand"))))
+          .where(col("ark") === 1)
+          .select(col("vec_id").as("nid"), col("sub"), col("cand").as("code"))
+        val adc = sub.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("sub"), col("cand").as("code"), col("d2"))
+        val w = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
+        codes.join(broadcast(adc), Seq("sub", "code"))
+          .groupBy("qid", "nid")
+          .agg(round(sum(col("d2")).cast("double"), 6).as("adist"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= 10)
+          .select(col("qid"), col("nid"), col("adist"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id,
+             |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS ve
+             |  FROM embeddings),
+             |sd AS (
+             |  SELECT CAST(rk - 1 AS BIGINT) AS cand, ve AS cv FROM (
+             |    SELECT ve, row_number() OVER (
+             |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM e)
+             |  WHERE rk <= 8),
+             |sub AS (
+             |  SELECT e.vec_id, g.sub, s.cand,
+             |    list_sum(list_transform(range(1, 9),
+             |      i -> CAST(round((e.ve[g.sub * 8 + i] - s.cv[g.sub * 8 + i]) *
+             |                      (e.ve[g.sub * 8 + i] - s.cv[g.sub * 8 + i]), 12)
+             |           AS DECIMAL(28,12)))) AS d2
+             |  FROM e CROSS JOIN sd s CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) g),
+             |codes AS (
+             |  SELECT vec_id AS nid, sub, cand AS code FROM (
+             |    SELECT *, row_number() OVER (
+             |      PARTITION BY vec_id, sub ORDER BY d2, cand) AS ark FROM sub)
+             |  WHERE ark = 1),
+             |adc AS (
+             |  SELECT vec_id AS qid, sub, cand AS code, d2 FROM sub WHERE vec_id < 5),
+             |sc AS (
+             |  SELECT a.qid, c.nid, round(CAST(sum(a.d2) AS DOUBLE), 6) AS adist
+             |  FROM codes c JOIN adc a USING (sub, code)
+             |  GROUP BY a.qid, c.nid),
+             |r AS (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS BIGINT) AS rn
+             |  FROM sc)
+             |SELECT qid, nid, adist, rn FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)
     )
   )
 }
