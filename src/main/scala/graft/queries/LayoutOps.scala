@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.ZOrder
+
+/** Data-layout operators: queries that characterize HOW rows should be
+  * laid out on disk, not just what they compute. The flagship is z-order
+  * (Morton) clustering — the layout trick behind Delta/Iceberg OPTIMIZE
+  * ZORDER — demonstrated as a cross-engine-checkable pruning experiment.
+  *
+  * Scale notes (100 TB):
+  *   - the production write path is `ZOrder.cluster` (distributed
+  *     approxQuantile bucket sketch → codegen interleave →
+  *     repartitionByRange), covered by ZOrderSpec; a layout write is a
+  *     global range-sort by construction, so its one ordering shuffle is
+  *     irreducible;
+  *   - the oracled twin below swaps the quantile sketch for exact
+  *     min/max equi-width buckets (two scalar aggregates, broadcast) so
+  *     both engines bucket bit-identically; the interleave is the SAME
+  *     `ZOrder.interleaveBits` expression the production path uses;
+  *   - the ntile file assignment stands in for the range partitioner:
+  *     file id = position in the global z-order, which is exactly what
+  *     `repartitionByRange(numFiles, $"_z")` produces at any scale.
+  */
+object LayoutOps {
+
+  val qs: Seq[QueryDef] = Seq(
+    // Z-order vs linear-sort layout, measured by file pruning: bucket
+    // orders into a 64×64 grid over (o_custkey, o_totalprice), interleave
+    // to a 12-bit z-value, cut the global order into 32 "files", and count
+    // how many files a 1/8-selectivity range predicate on EACH dimension
+    // must read given per-file min/max stats. Linear sort prunes only its
+    // leading column (x: few files, y: all 32); z-order prunes both — the
+    // reason multi-dimension scan workloads z-order at 100 TB.
+    QueryDef(
+      "layout_zorder_pruning",
+      (s, d) => {
+        val o = T(s, d, "orders")
+          .withColumn("p2", expr("CAST(round(o_totalprice * 100.0D, 0) AS BIGINT)"))
+        val st = o.agg(
+          min("o_custkey").as("minc"), max("o_custkey").as("maxc"),
+          min("p2").as("minp"), max("p2").as("maxp"))
+        val b = o.crossJoin(broadcast(st))
+          .withColumn("xb", expr("((o_custkey - minc) * 64) div (maxc - minc + 1)"))
+          .withColumn("yb", expr("((p2 - minp) * 64) div (maxp - minp + 1)"))
+          .withColumn("zval", ZOrder.interleaveBits(Seq(col("xb"), col("yb")), 6))
+        val filed = b
+          .withColumn("fz", ntile(32).over(Window.orderBy(col("zval"), col("o_orderkey"))))
+          .withColumn("fl", ntile(32).over(Window.orderBy(col("xb"), col("yb"), col("o_orderkey"))))
+        def fileStats(fcol: String, layout: String) =
+          filed.groupBy(col(fcol).as("fid"))
+            .agg(min("xb").as("xmin"), max("xb").as("xmax"),
+              min("yb").as("ymin"), max("yb").as("ymax"),
+              count(lit(1)).as("nrows"))
+            .withColumn("layout", lit(layout))
+        val all = fileStats("fz", "zorder").unionByName(fileStats("fl", "linear"))
+        all.groupBy("layout").agg(
+          sum(when(col("xmax") >= 24 && col("xmin") <= 31, 1L).otherwise(0L))
+            .cast("long").as("x_files"),
+          sum(when(col("xmax") >= 24 && col("xmin") <= 31, col("nrows")).otherwise(0L))
+            .cast("long").as("x_rows"),
+          sum(when(col("ymax") >= 24 && col("ymin") <= 31, 1L).otherwise(0L))
+            .cast("long").as("y_files"),
+          sum(when(col("ymax") >= 24 && col("ymin") <= 31, col("nrows")).otherwise(0L))
+            .cast("long").as("y_rows"))
+          .orderBy("layout")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+             |    CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS p2 FROM orders),
+             |st AS (SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
+             |    min(p2) AS minp, max(p2) AS maxp FROM o),
+             |b AS (SELECT o_orderkey,
+             |    ((o_custkey - minc) * 64) // (maxc - minc + 1) AS xb,
+             |    ((p2 - minp) * 64) // (maxp - minp + 1) AS yb
+             |  FROM o CROSS JOIN st),
+             |z AS (SELECT *, CAST(list_sum(list_transform(range(0, 6),
+             |    i -> (((xb >> i) & 1) << (2 * i)) + (((yb >> i) & 1) << (2 * i + 1))))
+             |    AS BIGINT) AS zval FROM b),
+             |filed AS (SELECT *,
+             |    ntile(32) OVER (ORDER BY zval, o_orderkey) AS fz,
+             |    ntile(32) OVER (ORDER BY xb, yb, o_orderkey) AS fl FROM z),
+             |sz AS (SELECT 'zorder' AS layout, fz AS fid,
+             |    min(xb) AS xmin, max(xb) AS xmax, min(yb) AS ymin, max(yb) AS ymax,
+             |    count(*) AS nrows FROM filed GROUP BY 1, 2),
+             |sl AS (SELECT 'linear' AS layout, fl AS fid,
+             |    min(xb) AS xmin, max(xb) AS xmax, min(yb) AS ymin, max(yb) AS ymax,
+             |    count(*) AS nrows FROM filed GROUP BY 1, 2),
+             |al AS (SELECT * FROM sz UNION ALL SELECT * FROM sl)
+             |SELECT layout,
+             |  CAST(sum(CASE WHEN xmax >= 24 AND xmin <= 31 THEN 1 ELSE 0 END) AS BIGINT) AS x_files,
+             |  CAST(sum(CASE WHEN xmax >= 24 AND xmin <= 31 THEN nrows ELSE 0 END) AS BIGINT) AS x_rows,
+             |  CAST(sum(CASE WHEN ymax >= 24 AND ymin <= 31 THEN 1 ELSE 0 END) AS BIGINT) AS y_files,
+             |  CAST(sum(CASE WHEN ymax >= 24 AND ymin <= 31 THEN nrows ELSE 0 END) AS BIGINT) AS y_rows
+             |FROM al GROUP BY layout ORDER BY layout""".stripMargin)
+    )
+  )
+}
