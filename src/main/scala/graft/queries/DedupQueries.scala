@@ -963,6 +963,69 @@ object DedupQueries {
              |  FROM npos n JOIN bpos b ON n.p = b.p GROUP BY 1)
              |SELECT nb.doc_id, nb.source FROM newb nb
              |LEFT JOIN hits h USING (doc_id)
-             |WHERE coalesce(h.c, 0) < 4 ORDER BY doc_id""".stripMargin))
+             |WHERE coalesce(h.c, 0) < 4 ORDER BY doc_id""".stripMargin)),
+
+    // Corpus-level similarity matrix via MinHash SKETCH UNION: a corpus's
+    // sketch is the element-wise min of its documents' md5-minhash
+    // signatures — exactly the sketch of the union of their shingle sets —
+    // so source-vs-source shingle Jaccard is estimated from H=32 longs per
+    // source, never comparing documents pairwise. This is the cross-crawl
+    // overlap question ("how much does crawl B repeat crawl A?") answered
+    // with O(|sources|·H) state. Scale shape: per-doc mins fold map-side
+    // (HOF aggregate over shingles, no explode), the groupBy(source) min
+    // partial-aggregates to one row per source per partition, and the
+    // pair join is a broadcast over the |sources|-row sketch table. The
+    // md5 family makes every min computable bit-identically by DuckDB, so
+    // the whole matrix hash-matches (estimates at H=32 resolve the
+    // 0.05-0.08 true cross-source Jaccard of the synthetic corpus to 0-3
+    // matching components; DedupSpec pins the estimator's convergence).
+    QueryDef("corpus_minhash_matrix",
+      (s, d) => {
+        val H = 32
+        val hashExprs = (0 until H).map(k =>
+          expr(s"""aggregate(sh, 9223372036854775807L, (acc, t) ->
+                  |  least(acc, cast(conv(substring(md5(concat(t, ':$k')), 1, 15), 16, 10) as bigint)))"""
+            .stripMargin).as(s"m$k"))
+        val perDoc = T(s, d, "documents")
+          .withColumn("ws", expr("filter(split(text, ' +'), x -> x != '')"))
+          .where(size(col("ws")) >= 3)
+          .withColumn("sh", expr(
+            "transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))"))
+          .select(col("source") +: hashExprs: _*)
+        val aggs = (0 until H).map(k => min(col(s"m$k")).as(s"m$k"))
+        val sketch = perDoc.groupBy("source").agg(aggs.head, aggs.tail: _*)
+        val left = sketch.select(
+          col("source").as("sa") +: (0 until H).map(k => col(s"m$k").as(s"am$k")): _*)
+        val right = sketch.select(
+          col("source").as("sb") +: (0 until H).map(k => col(s"m$k").as(s"bm$k")): _*)
+        val nMatch = (0 until H).map(k =>
+          when(col(s"am$k") === col(s"bm$k"), 1).otherwise(0)).reduce(_ + _)
+        left.join(broadcast(right), col("sa") < col("sb"))
+          .withColumn("n_match", nMatch.cast("long"))
+          .withColumn("jaccard_est", round(col("n_match").cast("double") / H, 6))
+          .select("sa", "sb", "n_match", "jaccard_est")
+          .orderBy("sa", "sb")
+      },
+      Some {
+        val H = 32
+        val sigExprs = (0 until H).map(k =>
+          s"min(list_min(list_transform(sh, t -> CAST(('0x' || substr(md5(t || ':$k'), 1, 15)) AS BIGINT)))) AS m$k"
+        ).mkString(",\n  ")
+        val matchExpr = (0 until H).map(k =>
+          s"(CASE WHEN a.m$k = b.m$k THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH t AS (SELECT source, list_filter(string_split_regex(text, ' +'),
+           |    x -> x <> '') AS ws FROM documents),
+           |s3 AS (SELECT source, list_transform(range(1, len(ws) - 1),
+           |    i -> array_to_string(ws[i:i+2], ' ')) AS sh
+           |  FROM t WHERE len(ws) >= 3),
+           |sig AS (SELECT source,
+           |  $sigExprs
+           |  FROM s3 GROUP BY source)
+           |SELECT a.source AS sa, b.source AS sb,
+           |  CAST($matchExpr AS BIGINT) AS n_match,
+           |  round(CAST($matchExpr AS DOUBLE) / $H, 6) AS jaccard_est
+           |FROM sig a JOIN sig b ON a.source < b.source
+           |ORDER BY sa, sb""".stripMargin
+      })
   )
 }

@@ -139,6 +139,52 @@ object EventOps {
              |min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
              |max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // Type-2 slowly-changing dimension built from the event log: each
+    // user's event_type stream collapses to its change points (consecutive
+    // repeats dropped via lag), every surviving row opens a validity
+    // interval [valid_from, valid_to) closed by the NEXT change (lead),
+    // the open interval is flagged current — the standard warehouse
+    // dimension-history build. All three windows share one
+    // (user_id)-(tsu, event_id) ordering, so Catalyst plans a single
+    // shuffle + sort for the whole query; state per user is one pass over
+    // its sorted events, nothing driver-side. Epoch-microsecond integers
+    // keep the interval arithmetic cross-engine exact.
+    QueryDef(
+      "events_scd2_dimension",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        val changes = T.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("unix_micros(ts)").as("tsu"))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .where(col("prev_type").isNull || col("event_type") =!= col("prev_type"))
+        changes
+          .withColumn("version", row_number().over(w).cast("long"))
+          .withColumn("valid_to_us", lead("tsu", 1).over(w))
+          .withColumn("is_current", col("valid_to_us").isNull)
+          .select(col("user_id"), col("version"), col("event_type").as("status"),
+            col("tsu").as("valid_from_us"), col("valid_to_us"), col("is_current"))
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,
+             |         lag(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY epoch_us(ts), event_id) AS prev_type
+             |  FROM events),
+             |c AS (SELECT user_id, event_id, event_type, tsu FROM o
+             |  WHERE prev_type IS NULL OR event_type <> prev_type),
+             |v AS (SELECT user_id, event_type, tsu,
+             |    CAST(row_number() OVER (PARTITION BY user_id
+             |      ORDER BY tsu, event_id) AS BIGINT) AS version,
+             |    lead(tsu) OVER (PARTITION BY user_id
+             |      ORDER BY tsu, event_id) AS valid_to_us
+             |  FROM c)
+             |SELECT user_id, version, event_type AS status,
+             |  tsu AS valid_from_us, valid_to_us,
+             |  valid_to_us IS NULL AS is_current
+             |FROM v ORDER BY user_id, version""".stripMargin)
     )
   )
 }
