@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank invariants the DuckDB oracle cannot state (it only pins the
+  * top-20): mass conservation across the whole rank vector, the dangling
+  * branch actually firing on the test graph, and rank dominance of
+  * high-in-degree nodes — checked at sf0.01 (the smallest SF whose
+  * supplier table has negative balances, so dangling nodes exist).
+  */
+class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.01"
+  private val Scale = 1000000000000L
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val fullRanks = {
+    // Re-run the registered query WITHOUT its top-20 cut by rebuilding the
+    // rank vector via the same integer recurrence on the same graph, then
+    // check global invariants over all nodes.
+    val o = spark.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_custkey")
+    val l = spark.read.parquet(s"$dir/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    val sup = spark.read.parquet(s"$dir/supplier.parquet").select("s_suppkey", "s_acctbal")
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk")).distinct()
+    val e1 = pairs.select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+    val e2 = pairs.join(sup, pairs("sk") === sup("s_suppkey"))
+      .where(col("s_acctbal") >= 0)
+      .select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst"))
+    val edges = e1.unionByName(e2)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var r = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), expr(s"${Scale}L div n").as("pr"))
+    for (_ <- 1 to 5) {
+      val dang = r.join(outdeg, r("node") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum("pr"), lit(0L)).as("dang"))
+      val contrib = edges
+        .join(r.withColumnRenamed("node", "rnode"), col("src") === col("rnode"))
+        .join(outdeg, "src")
+        .groupBy(col("dst").as("cnode"))
+        .agg(sum(expr("pr div deg")).as("infl"))
+      r = nodes.crossJoin(broadcast(nn)).crossJoin(broadcast(dang))
+        .join(contrib, col("node") === col("cnode"), "left")
+        .select(col("node"), expr(
+          s"(15 * ${Scale}L) div (100 * n)" +
+            " + (85 * (coalesce(infl, 0L) + dang div n)) div 100").as("pr"))
+    }
+    (r.cache(), edges, nodes, outdeg)
+  }
+
+  test("rank mass is conserved up to integer floor loss") {
+    val (r, edges, nodes, _) = fullRanks
+    val n = nodes.count()
+    val e = edges.count()
+    val total = r.agg(sum("pr")).head.getLong(0)
+    // Per iteration: each edge's `pr div deg` floors (< 1 unit each), and
+    // each node's teleport, dangling-share, and damping divisions floor
+    // (< 3 units per node). Mass can only leak DOWN from Scale, never up.
+    assert(total <= Scale, s"mass grew: $total > $Scale")
+    assert(total >= Scale - 5 * (e + 4 * n),
+      s"mass leaked more than floor loss: $total vs $Scale (n=$n, e=$e)")
+  }
+
+  test("the test graph has genuine dangling nodes and they keep rank") {
+    val (r, _, nodes, outdeg) = fullRanks
+    val dangling = nodes.join(outdeg, nodes("node") === outdeg("src"), "left_anti")
+    assert(dangling.count() > 0, "graph has no dangling nodes; the dangling term is decorative")
+    val minDanglingRank = r.join(dangling, "node").agg(min("pr")).head.getLong(0)
+    assert(minDanglingRank > 0, "dangling node lost all rank")
+  }
+
+  test("ranks are positive and a max-in-degree node outranks the median") {
+    val (r, edges, _, _) = fullRanks
+    assert(r.where(col("pr") <= 0).count() == 0)
+    val topIn = edges.groupBy("dst").agg(count(lit(1)).as("indeg"))
+      .orderBy(col("indeg").desc).select(col("dst")).head.getLong(0)
+    val topInRank = r.where(col("node") === topIn).head.getAs[Long]("pr")
+    val median = r.stat.approxQuantile("pr", Array(0.5), 0.0)(0)
+    assert(topInRank > median, s"max-in-degree rank $topInRank not above median $median")
+  }
+
+  test("registered query returns exactly the oracle's shape") {
+    val out = GraphOps.qs.head.fn(spark, dir)
+    assert(out.columns.toSeq == Seq("node", "kind", "pr", "rn"))
+    val rows = out.collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getAs[Long]("rn")).toSeq == (1L to 20L))
+    // top-20 must be rank-sorted descending
+    val prs = rows.map(_.getAs[Long]("pr")).toSeq
+    assert(prs == prs.sortBy(-_))
+  }
+}
