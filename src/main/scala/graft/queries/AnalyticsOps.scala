@@ -318,6 +318,62 @@ object AnalyticsOps {
              |ORDER BY doc_id""".stripMargin)
     ),
 
+    // EXACT-SIZE stratified sampling via largest-remainder (Hamilton)
+    // allocation: exactly K=100 docs total, split across sources
+    // proportionally to their counts — floor(K·n_s/N) seats each, the
+    // leftover seats to the largest fractional remainders (ties broken by
+    // source name). The per-source pick is then the hash-ranked first
+    // alloc_s docs, deterministic and retry-safe. Complements the other
+    // samplers: hash-bucket (fixed RATE), capped (fixed CEILING),
+    // systematic (weight-proportional COUNT ≈ K) — this one guarantees
+    // BOTH the exact total and per-stratum proportionality, the contract
+    // an eval-set builder needs. Scale shape: the allocation math runs on
+    // the |sources|-row counts table (broadcast everywhere), the pick is
+    // one window shuffle on source; all-integer arithmetic cross-engine.
+    QueryDef(
+      "sample_stratified_exact",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val K = 100L
+        val docs = T(s, d, "documents").select("doc_id", "source")
+        val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+        val tot = counts.agg(sum("n_s").as("n"))
+        val wRem = Window.orderBy(
+          expr(s"($K * n_s) % n").desc, col("source"))
+        val alloc = counts.crossJoin(broadcast(tot))
+          .withColumn("fl", expr(s"($K * n_s) div n"))
+          .withColumn("rem_rank", row_number().over(wRem))
+          .crossJoin(broadcast(counts.crossJoin(broadcast(tot))
+            .agg((lit(K) - sum(expr(s"($K * n_s) div n"))).as("leftover"))))
+          .withColumn("alloc", col("fl") +
+            when(col("rem_rank") <= col("leftover"), 1L).otherwise(0L))
+          .select("source", "alloc")
+        val wPick = Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        docs.withColumn("rk", row_number().over(wPick).cast("long"))
+          .join(broadcast(alloc), "source")
+          .where(col("rk") <= col("alloc"))
+          .select("source", "doc_id", "rk")
+          .orderBy("source", "rk")
+      },
+      Some("""WITH counts AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+             |tot AS (SELECT sum(n_s) AS n FROM counts),
+             |seats AS (SELECT source, n_s, (100 * n_s) // n AS fl,
+             |    row_number() OVER (ORDER BY (100 * n_s) % n DESC, source) AS rem_rank
+             |  FROM counts CROSS JOIN tot),
+             |lo AS (SELECT 100 - sum(fl) AS leftover FROM seats),
+             |alloc AS (SELECT source,
+             |    fl + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS alloc
+             |  FROM seats CROSS JOIN lo),
+             |ranked AS (SELECT source, doc_id,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+             |  FROM documents)
+             |SELECT r.source, r.doc_id, r.rk
+             |FROM ranked r JOIN alloc a ON r.source = a.source
+             |WHERE r.rk <= a.alloc ORDER BY r.source, r.rk""".stripMargin)
+    ),
+
     // Custom typed Aggregator: single-pass bounded-heap top-k per group —
     // O(k) buffer, partial+final aggregation (map-side combine), vs the
     // window form (w1) which sorts each group. Same ordering contract.
