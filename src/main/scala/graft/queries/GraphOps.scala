@@ -102,9 +102,12 @@ object GraphOps {
               s"(15 * ${Scale}L) div (100 * n)" +
                 " + (85 * (coalesce(infl, 0L) + dang div n)) div 100").as("pr"))
         }
+        // Distributed top-20 first (TakeOrderedAndProject — per-partition
+        // heaps, never a global single-partition window over |V| rows),
+        // THEN rank the 20 survivors; identical to row_number <= 20.
+        val top = r.orderBy(col("pr").desc, col("node")).limit(20)
         val w = Window.orderBy(col("pr").desc, col("node"))
-        r.withColumn("rn", row_number().over(w).cast("long"))
-          .where(col("rn") <= 20)
+        top.withColumn("rn", row_number().over(w).cast("long"))
           .select(col("node"),
             expr("CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END").as("kind"),
             col("pr"), col("rn"))
