@@ -195,6 +195,109 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Distinct 3-gram shingle sets per doc: (doc_id, sz, sh). */
+  private[graft] def shingleSets(s: SparkSession, d: String): DataFrame =
+    docsWithDups(s, d)
+      .withColumn("ws", expr("filter(split(text, ' +'), x -> x != '')"))
+      .withColumn("sh", expr(
+        """array_distinct(CASE WHEN size(ws) >= 3
+          |  THEN transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))
+          |  ELSE array(concat_ws(' ', ws)) END)""".stripMargin))
+      .select(col("doc_id"), size(col("sh")).as("sz"), col("sh"))
+
+  /** Prefix-filtered exact Jaccard self-join at threshold num/den — see the
+    * dedup_jaccard_prefix QueryDef for the algorithm notes. Exposed with the
+    * threshold parameterized so JaccardPrefixSpec can sweep it.
+    */
+  private[graft] def jaccardPrefixJoin(s: SparkSession, d: String,
+                                       num: Int, den: Int): DataFrame = {
+    val sh = shingleSets(s, d)
+    // global shingle order = (document frequency asc, shingle): total within
+    // a doc because shingles are distinct per doc — row_number is stable
+    // cross-engine.
+    val ex = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
+    val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(df, "s").withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("df"), col("s"))))
+    // prefix length p = sz - ceil(t*sz) + 1, all-integer ceil division
+    val pref = ranked.where(
+      col("rn") <= col("sz") - expr(s"(($num * sz) + $den - 1) div $den") + 1)
+    val x = pref.select(col("doc_id").as("a_id"), col("sz").as("sa"),
+      col("s").as("xs"), col("rn").as("xrn"))
+    val y = pref.select(col("doc_id").as("b_id"), col("sz").as("sb"),
+      col("s").as("ys"), col("rn").as("yrn"))
+    val cand = x.join(y,
+        col("xs") === col("ys") && col("a_id") < col("b_id") &&
+          lit(den) * least(col("sa"), col("sb")) >=
+          lit(num) * greatest(col("sa"), col("sb")))
+      .groupBy("a_id", "b_id")
+      .agg(min(col("xrn")).as("pa"), expr("min_by(yrn, xrn)").as("pb"),
+        min(col("sa")).as("sa"), min(col("sb")).as("sb"))
+    // positional filter: overlap upper bound at the first shared prefix
+    // shingle must reach alpha = ceil(t/(1+t) * (sa+sb))
+    val pos = cand.where(
+      lit(1) + least(col("sa") - col("pa"), col("sb") - col("pb")) >=
+        expr(s"(($num * (sa + sb)) + ($num + $den) - 1) div ($num + $den)"))
+      .select("a_id", "b_id")
+    val verified = pos
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("bigint"))
+      .withColumn("union_sz",
+        (size(col("sha")) + size(col("shb"))).cast("bigint") - col("inter"))
+    verified
+      .where(lit(den) * col("inter") >= lit(num) * col("union_sz"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("union_sz"),
+        round(col("inter").cast("double") / col("union_sz"), 6).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The identical plan in DuckDB SQL (same integer thresholds). */
+  private def jaccardPrefixOracle(num: Int, den: Int): String =
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000,
+       |    substr(text, instr(text, ' ') + 1) || ' zzz' FROM documents),
+       |t AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+       |    x -> x <> '') AS ws FROM all_docs),
+       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+       |    THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+       |    ELSE [array_to_string(ws, ' ')] END) AS sh FROM t),
+       |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+       |df AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+       |ranked AS (
+       |  SELECT ex.doc_id, ex.sz, ex.s,
+       |         row_number() OVER (PARTITION BY ex.doc_id ORDER BY df.df, ex.s) AS rn
+       |  FROM ex JOIN df USING (s)),
+       |pref AS (
+       |  SELECT doc_id, sz, s, rn FROM ranked
+       |  WHERE rn <= sz - (($num*sz + $den-1) // $den) + 1),
+       |cand AS (
+       |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+       |         min(x.rn) AS pa, min_by(y.rn, x.rn) AS pb,
+       |         min(x.sz) AS sa, min(y.sz) AS sb
+       |  FROM pref x JOIN pref y
+       |    ON x.s = y.s AND x.doc_id < y.doc_id
+       |   AND $den * least(x.sz, y.sz) >= $num * greatest(x.sz, y.sz)
+       |  GROUP BY 1, 2),
+       |pos AS (
+       |  SELECT a_id, b_id FROM cand
+       |  WHERE 1 + least(sa - pa, sb - pb) >=
+       |        ($num * (sa + sb) + ($num + $den) - 1) // ($num + $den)),
+       |verified AS (
+       |  SELECT a_id, b_id,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+       |    CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS union_sz
+       |  FROM pos JOIN sh sa ON sa.doc_id = a_id
+       |           JOIN sh sb ON sb.doc_id = b_id)
+       |SELECT a_id, b_id, inter, union_sz,
+       |       round(CAST(inter AS DOUBLE) / union_sz, 6) AS jaccard
+       |FROM verified WHERE $den * inter >= $num * union_sz
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** embeddings ∪ perturbed copies (+0.05 per component, cos ≈ 0.93). */
   private def embWithDups(s: SparkSession, d: String): DataFrame = {
     val e = T(s, d, "embeddings")
@@ -233,6 +336,26 @@ object DedupQueries {
              |      len(list_distinct(list_concat(list_distinct(string_split_regex(a_text, ' +')),
              |                                    list_distinct(string_split_regex(b_text, ' +'))))), 6) AS jaccard
              |FROM a JOIN b USING (a_id) ORDER BY a_id""".stripMargin)),
+
+    // Exact set-similarity self-join via prefix filtering (AllPairs /
+    // PPJoin, Bayardo et al. WWW'07, Xiao et al. WWW'08): the 100 TB scale
+    // path for EXACT Jaccard dedup, complementing the approximate LSH
+    // family. Shingle sets are ordered by ascending document frequency, so
+    // each record's prefix carries its RAREST shingles; records can only
+    // collide on a prefix shingle (prefix-filtering principle), which
+    // bounds every join bucket by the df of a rare token — no all-pairs
+    // stage anywhere. Three prunes compose: prefix join, length filter
+    // (J >= t needs den*|small| >= num*|large|), and PPJoin's positional
+    // filter (at the globally-smallest shared prefix shingle w, every
+    // common shingle orders >= w, so overlap <= 1 + min(|x|-pos_x(w),
+    // |y|-pos_y(w)) must reach ceil(t/(1+t)*(|x|+|y|))). All thresholds in
+    // integer arithmetic; the only double is the final rounded ratio, so
+    // DuckDB mirrors the identical plan and the output hash-matches.
+    // JaccardPrefixSpec proves completeness against a brute-force
+    // all-pairs join on the sf0.001 corpus.
+    QueryDef("dedup_jaccard_prefix",
+      (s, d) => jaccardPrefixJoin(s, d, 8, 10),
+      Some(jaccardPrefixOracle(8, 10))),
 
     // MinHash + LSH banding: one shuffle on (band, hash); collisions only
     QueryDef("dedup_minhash_lsh",
