@@ -185,6 +185,73 @@ object EventOps {
              |  tsu AS valid_from_us, valid_to_us,
              |  valid_to_us IS NULL AS is_current
              |FROM v ORDER BY user_id, version""".stripMargin)
+    ),
+
+    // CDC merge (MERGE INTO semantics without a table format): the event
+    // log is a change stream keyed into the customer dimension — the last
+    // event per key wins ((tsu, event_id) total order, one window shuffle),
+    // 'click' deletes, anything else upserts, keys beyond the dimension
+    // insert. The merge itself is ONE full-outer shuffle join; at 100 TB
+    // the change side is typically a small fraction of the snapshot and
+    // AQE picks the broadcast/shuffle side at runtime — no driver state,
+    // no per-row lookups. Balance updates use floor(value*100)/100.0 so
+    // both engines round identically (double floor, not cast).
+    QueryDef(
+      "events_cdc_merge",
+      (s, d) => {
+        val cust = T(s, d, "customer")
+        val maxk = cust.agg(max(col("c_custkey")).as("maxk"))
+        val w = Window.partitionBy("key")
+          .orderBy(col("tsu").desc, col("event_id").desc)
+        val latest = T.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), expr("unix_micros(ts)").as("tsu"))
+          .crossJoin(broadcast(maxk))
+          .withColumn("key", col("user_id") + col("maxk") - 99)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("key"), col("event_type"), col("value"))
+        val newBal =
+          (floor(col("value") * lit(100.0)).cast("double") / lit(100.0))
+        cust.join(latest, cust("c_custkey") === latest("key"), "full_outer")
+          .where(col("key").isNull || col("event_type") =!= "click")
+          .select(
+            coalesce(col("c_custkey"), col("key")).as("c_custkey"),
+            when(col("c_custkey").isNull,
+              concat(lit("NEW#"), col("key").cast("string")))
+              .otherwise(col("c_name")).as("c_name"),
+            when(col("key").isNull, col("c_acctbal"))
+              .otherwise(newBal).as("c_acctbal"),
+            when(col("key").isNull, col("c_mktsegment"))
+              .otherwise(upper(col("event_type"))).as("c_mktsegment"),
+            when(col("key").isNull, lit("base"))
+              .when(col("c_custkey").isNull, lit("inserted"))
+              .otherwise(lit("updated")).as("src"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH mk AS (SELECT max(c_custkey) AS maxk FROM customer),
+             |ev AS (SELECT user_id + maxk - 99 AS key, event_id, event_type,
+             |         value, epoch_us(ts) AS tsu FROM events, mk),
+             |latest AS (SELECT key, event_type, value FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY key
+             |      ORDER BY tsu DESC, event_id DESC) AS rn FROM ev)
+             |  WHERE rn = 1),
+             |m AS (SELECT c.c_custkey AS bk, c.c_name, c.c_acctbal,
+             |        c.c_mktsegment, l.key, l.event_type, l.value
+             |      FROM customer c FULL OUTER JOIN latest l
+             |        ON c.c_custkey = l.key)
+             |SELECT CAST(coalesce(bk, key) AS BIGINT) AS c_custkey,
+             |  CASE WHEN bk IS NULL THEN 'NEW#' || CAST(key AS VARCHAR)
+             |       ELSE c_name END AS c_name,
+             |  CASE WHEN key IS NULL THEN c_acctbal
+             |       ELSE floor(value * 100) / 100.0 END AS c_acctbal,
+             |  CASE WHEN key IS NULL THEN c_mktsegment
+             |       ELSE upper(event_type) END AS c_mktsegment,
+             |  CASE WHEN key IS NULL THEN 'base'
+             |       WHEN bk IS NULL THEN 'inserted'
+             |       ELSE 'updated' END AS src
+             |FROM m WHERE key IS NULL OR event_type <> 'click'
+             |ORDER BY c_custkey""".stripMargin)
     )
   )
 }

@@ -114,6 +114,102 @@ object GraphOps {
           .orderBy("rn")
       },
       Some(pagerankOracle)
+    ),
+
+    // Triangle counting + global transitivity over the part co-purchase
+    // graph (parts sharing an order), via the canonical distributed
+    // algorithm: orient every undirected edge from its lower- to its
+    // higher-(degree, id) endpoint, enumerate wedges from each source's
+    // oriented out-edges, close them against the oriented edge list. The
+    // orientation caps out-degree at O(sqrt(m)) regardless of natural
+    // degree skew — a hub of degree d contributes wedges at its LOW-degree
+    // neighbors instead of C(d,2) at itself — so the wedge stage is
+    // O(m^1.5) worst-case with no hot keys; every stage is an equi-join
+    // shuffle, counts partial-aggregate map-side, nothing collects. Each
+    // triangle is counted exactly once, at its lowest-(degree, id) corner.
+    // All counts are integers; transitivity = 3*triangles/wedges is the
+    // one rounded double.
+    QueryDef(
+      "graph_triangle_count",
+      (s, d) => {
+        val op = T(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        // e and oe each feed several consumers (degrees, both wedge sides,
+        // the closure probe, the stat counts) — checkpoint so the edge
+        // pipeline materializes once.
+        val e = op.as("a").join(op.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+          .localCheckpoint()
+        val deg = e.select(col("u").as("node"))
+          .unionAll(e.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val withDeg = e
+          .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        val uFirst = col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v"))
+        val oe = withDeg.select(
+          when(uFirst, col("u")).otherwise(col("v")).as("src"),
+          when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+          when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+          .localCheckpoint()
+        // The wedge set is ~sqrt(m) larger than the edge set; its closure
+        // join keeps ~3*triangles/wedges of it (a few percent here). Prune
+        // wedges against a bloom over the oriented edge keys BEFORE the
+        // closure shuffle — the same guaranteed runtime-filter shape as
+        // j8_bloom_pruned_join; false positives die in the join, so the
+        // result is exactly the plain closure.
+        val (words, k) = graft.operators.BloomJoin.buildBits(
+          oe, struct(col("src"), col("dst")), e.count(), 0.01)
+        val wedge = oe.select(col("src"), col("dst").as("wv"), col("ddst").as("dwv"))
+          .join(oe.select(col("src"), col("dst").as("ww"), col("ddst").as("dww")),
+            "src")
+          .where(col("dwv") < col("dww") ||
+            (col("dwv") === col("dww") && col("wv") < col("ww")))
+          .select(col("wv"), col("ww"))
+        val tri = graft.operators.BloomJoin
+          .prune(wedge, struct(col("wv"), col("ww")), words, k)
+          .join(oe, col("wv") === col("src") && col("ww") === col("dst"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+        val nEdges = e.agg(count(lit(1)).as("n_edges"))
+        val nWedges = deg.agg(
+          sum(expr("(deg * (deg - 1)) div 2")).cast("bigint").as("n_wedges"))
+        nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(nWedges))
+          .crossJoin(broadcast(tri))
+          .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+            col("n_triangles"),
+            round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+              .as("transitivity"))
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |            FROM lineitem),
+             |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+             |      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+             |deg AS (SELECT node, count(*) AS deg FROM (
+             |    SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+             |  GROUP BY 1),
+             |oe AS (
+             |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+             |              THEN u ELSE v END AS src,
+             |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+             |              THEN v ELSE u END AS dst,
+             |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+             |              THEN dv.deg ELSE du.deg END AS ddst
+             |  FROM e JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+             |wedge AS (
+             |  SELECT e1.dst AS wv, e2.dst AS ww
+             |  FROM oe e1 JOIN oe e2 ON e1.src = e2.src
+             |  WHERE e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst)),
+             |tri AS (SELECT count(*) AS n_triangles FROM wedge
+             |        JOIN oe t ON t.src = wedge.wv AND t.dst = wedge.ww)
+             |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+             |       (SELECT count(*) FROM e) AS n_edges,
+             |       (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
+             |       (SELECT n_triangles FROM tri) AS n_triangles,
+             |       (SELECT round(CAST(3 AS DOUBLE) * (SELECT n_triangles FROM tri) /
+             |          (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) FROM deg), 6)) AS transitivity""".stripMargin)
     )
   )
 }

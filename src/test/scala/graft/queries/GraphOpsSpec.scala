@@ -94,6 +94,37 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(topInRank > median, s"max-in-degree rank $topInRank not above median $median")
   }
 
+  test("triangle count matches a brute-force adjacency-intersection count") {
+    // Independent formulation: undirected adjacency lists; for each edge
+    // (u,v), |N(u) ∩ N(v)| counts the triangles through that edge, and the
+    // sum counts each triangle once per edge = 3 times. Uses none of the
+    // registered query's machinery (no orientation, no wedges, no bloom).
+    val sfDir = "/root/testdata/sf0.001"
+    val op = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val adj = e.select(col("u").as("node"), col("v").as("nb"))
+      .unionAll(e.select(col("v").as("node"), col("u").as("nb")))
+      .groupBy("node").agg(collect_set(col("nb")).as("nbs"))
+    val perEdge = e
+      .join(adj.select(col("node").as("u"), col("nbs").as("nu")), "u")
+      .join(adj.select(col("node").as("v"), col("nbs").as("nv")), "v")
+      .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
+      .agg(sum("c")).head.getLong(0)
+    assert(perEdge % 3 == 0)
+    val brute = perEdge / 3
+
+    val row = GraphOps.qs.find(_.name == "graph_triangle_count").get
+      .fn(spark, sfDir).head
+    assert(row.getAs[Long]("n_triangles") === brute)
+    assert(row.getAs[Long]("n_triangles") > 0, "test graph has no triangles")
+    val transitivity = row.getAs[Double]("transitivity")
+    assert(transitivity > 0.0 && transitivity <= 1.0)
+    assert(row.getAs[Long]("n_wedges") >= 3 * row.getAs[Long]("n_triangles"))
+  }
+
   test("registered query returns exactly the oracle's shape") {
     val out = GraphOps.qs.head.fn(spark, dir)
     assert(out.columns.toSeq == Seq("node", "kind", "pr", "rn"))
