@@ -831,6 +831,64 @@ object AnalyticsOps {
           .orderBy("source")
       },
       Some(curationV3OracleSql)
+    ),
+
+    // Association-rule mining at itemset size 2 (the market-basket core):
+    // pair supports from a per-basket self-join whose fan-out is bounded by
+    // basket size (C(k,2) per order — map-side work, never a global
+    // cross product), one shuffle to aggregate pair counts, then the rules
+    // join back to per-item supports. Confidence and lift derive from
+    // integer counts; the two rounded doubles are the only FP. At 100 TB
+    // the item-support table is |items|-sized (AQE broadcasts it when it
+    // fits); the pair aggregation is the one big shuffle and partial
+    // aggregation halves it map-side.
+    QueryDef(
+      "market_basket_rules",
+      (s, d) => {
+        val op = T(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val n = op.agg(countDistinct(col("o")).as("n_baskets"))
+        val ps = op.groupBy("p").agg(count(lit(1)).as("supp"))
+        val pairs = op.as("a").join(op.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+          .agg(count(lit(1)).as("psupp"))
+          .where(col("psupp") >= 2)
+        // both rule directions from each frequent pair
+        val rules = pairs.select(col("pa").as("ante"), col("pb").as("cons"), col("psupp"))
+          .unionByName(pairs.select(col("pb").as("ante"), col("pa").as("cons"), col("psupp")))
+        rules
+          .join(ps.select(col("p").as("ante"), col("supp").as("ante_supp")), "ante")
+          .join(ps.select(col("p").as("cons"), col("supp").as("cons_supp")), "cons")
+          .crossJoin(broadcast(n))
+          .select(col("ante"), col("cons"), col("psupp"),
+            col("ante_supp"), col("cons_supp"),
+            round(col("psupp").cast("double") / col("ante_supp"), 6).as("confidence"),
+            round(col("psupp").cast("double") * col("n_baskets") /
+              (col("ante_supp") * col("cons_supp")), 6).as("lift"))
+          .orderBy("ante", "cons")
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |            FROM lineitem),
+             |n AS (SELECT count(DISTINCT o) AS n_baskets FROM op),
+             |ps AS (SELECT p, count(*) AS supp FROM op GROUP BY 1),
+             |pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS psupp
+             |          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+             |          GROUP BY 1, 2 HAVING count(*) >= 2),
+             |rules AS (
+             |  SELECT pa AS ante, pb AS cons, psupp FROM pairs
+             |  UNION ALL
+             |  SELECT pb AS ante, pa AS cons, psupp FROM pairs)
+             |SELECT r.ante, r.cons, r.psupp,
+             |  sa.supp AS ante_supp, sc.supp AS cons_supp,
+             |  round(CAST(r.psupp AS DOUBLE) / sa.supp, 6) AS confidence,
+             |  round(CAST(r.psupp AS DOUBLE) * n.n_baskets /
+             |        (sa.supp * sc.supp), 6) AS lift
+             |FROM rules r
+             |JOIN ps sa ON sa.p = r.ante
+             |JOIN ps sc ON sc.p = r.cons
+             |CROSS JOIN n
+             |ORDER BY ante, cons""".stripMargin)
     )
   )
 

@@ -211,18 +211,29 @@ object DedupQueries {
     */
   private[graft] def jaccardPrefixJoin(s: SparkSession, d: String,
                                        num: Int, den: Int): DataFrame = {
-    val sh = shingleSets(s, d)
+    // The shingle table feeds three consumers (prefix build + both verify
+    // sides); checkpoint it so the tokenize/shingle pass runs once. At
+    // scale the same boundary is where a production pipeline would persist
+    // its tokenized corpus.
+    val sh = shingleSets(s, d).localCheckpoint()
     // global shingle order = (document frequency asc, shingle): total within
     // a doc because shingles are distinct per doc — row_number is stable
     // cross-engine.
     val ex = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
     val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
-    val ranked = ex.join(df, "s").withColumn("rn",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("df"), col("s"))))
-    // prefix length p = sz - ceil(t*sz) + 1, all-integer ceil division
+    // repartition on the window key = the exchange the window needs anyway,
+    // pinned to full width (AQE would coalesce this small-but-CPU-heavy
+    // shuffle down to 2 partitions at test SF)
+    val ranked = ex.join(df, "s")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("s"))))
+    // prefix length p = sz - ceil(t*sz) + 1, all-integer ceil division;
+    // checkpointed because both join sides consume it.
     val pref = ranked.where(
       col("rn") <= col("sz") - expr(s"(($num * sz) + $den - 1) div $den") + 1)
+      .localCheckpoint()
     val x = pref.select(col("doc_id").as("a_id"), col("sz").as("sa"),
       col("s").as("xs"), col("rn").as("xrn"))
     val y = pref.select(col("doc_id").as("b_id"), col("sz").as("sb"),
