@@ -1160,6 +1160,76 @@ object DedupQueries {
            |  round(CAST($matchExpr AS DOUBLE) / $H, 6) AS jaccard_est
            |FROM sig a JOIN sig b ON a.source < b.source
            |ORDER BY sa, sb""".stripMargin
-      })
+      }),
+
+    // Fuzzy record linkage via SymSpell delete-1 blocking (Garbe 2012;
+    // the FastSS scheme of Bocek et al. 2007): two strings are within
+    // edit distance 1 iff their delete-1 neighborhoods (each string plus
+    // every single-character deletion, |s|+1 variants) intersect — so the
+    // matcher is an EQUI-join on short variant keys plus an exact
+    // levenshtein verify, never an all-pairs scan. The query corrupts
+    // every customer name by one deterministic digit substitution
+    // (position and replacement derived from the key by integer
+    // arithmetic, so DuckDB regenerates the identical corpus) and links
+    // it back: best match by (distance, name), candidate count as audit.
+    // Scale shape: both sides explode O(len) variants map-side, one
+    // shuffle on the variant key, group sizes bounded by alphabet
+    // structure; the window runs per query key. FuzzyLinkSpec proves the
+    // blocking finds EVERY dist<=1 pair against brute force at sf0.001.
+    QueryDef("dedup_fuzzy_editdist",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val canon = T(s, d, "customer").selectExpr(
+          "c_custkey AS cid", "c_name AS cname")
+        // substitute digit at 1-based position 10 + key%8 with (digit+1)%10
+        val queries = T(s, d, "customer").selectExpr(
+          "c_custkey AS qid",
+          """concat(substring(c_name, 1, 9 + c_custkey % 8),
+            |  chr(48 + (ascii(substring(c_name, 10 + c_custkey % 8, 1)) - 47) % 10),
+            |  substring(c_name, 11 + c_custkey % 8, length(c_name))) AS qname"""
+            .stripMargin)
+        def variants(df: DataFrame, nm: String): DataFrame = df.withColumn("v",
+          explode(expr(s"""transform(sequence(0, length($nm)),
+                          |  i -> concat(substring($nm, 1, i),
+                          |              substring($nm, i + 2, length($nm))))"""
+            .stripMargin)))
+        val cand = variants(queries, "qname").join(variants(canon, "cname"), "v")
+          .select("qid", "qname", "cid", "cname").distinct()
+        val scored = cand
+          .withColumn("dist", levenshtein(col("qname"), col("cname")).cast("long"))
+          .where(col("dist") <= 1)
+        scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("qid").orderBy(col("dist"), col("cname"))))
+          .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("qid")))
+          .where(col("rn") === 1)
+          .select(col("qid"), col("qname"), col("cname").as("best_match"),
+            col("dist").as("best_dist"), col("n_cand"))
+          .orderBy("qid")
+      },
+      Some("""WITH canon AS (SELECT c_custkey AS cid, c_name AS cname FROM customer),
+             |q AS (SELECT c_custkey AS qid,
+             |        substr(c_name, 1, CAST(9 + c_custkey % 8 AS INT)) ||
+             |        chr(48 + (ascii(substr(c_name, CAST(10 + c_custkey % 8 AS INT), 1)) - 47) % 10) ||
+             |        substr(c_name, CAST(11 + c_custkey % 8 AS INT), length(c_name)) AS qname
+             |      FROM customer),
+             |pos AS (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
+             |vq AS (SELECT qid, qname,
+             |         substr(qname, 1, i) || substr(qname, i + 2, length(qname)) AS v
+             |       FROM q, pos WHERE i <= length(qname)),
+             |vc AS (SELECT cid, cname,
+             |         substr(cname, 1, i) || substr(cname, i + 2, length(cname)) AS v
+             |       FROM canon, pos WHERE i <= length(cname)),
+             |cand AS (SELECT DISTINCT qid, qname, cid, cname FROM vq JOIN vc USING (v)),
+             |scored AS (SELECT qid, qname, cname,
+             |             CAST(levenshtein(qname, cname) AS BIGINT) AS dist
+             |           FROM cand WHERE levenshtein(qname, cname) <= 1),
+             |ranked AS (SELECT qid, qname, cname, dist,
+             |             row_number() OVER (PARTITION BY qid ORDER BY dist, cname) AS rn,
+             |             count(*) OVER (PARTITION BY qid) AS n_cand
+             |           FROM scored)
+             |SELECT qid, qname, cname AS best_match, dist AS best_dist, n_cand
+             |FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin)
+    )
   )
 }
