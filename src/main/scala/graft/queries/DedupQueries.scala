@@ -956,6 +956,64 @@ object DedupQueries {
            |FROM hdr ORDER BY media_id""".stripMargin
       }),
 
+    // REAL compressed-pixel decode (PngCodec.scala): image rows carry a
+    // genuine PNG — zlib IDAT split across two chunks, CRC32-validated
+    // chunks, scanline filter type cycling y % 5 so all five PNG filters
+    // (None/Sub/Up/Average/Paeth) are reconstructed every image. The
+    // engine side computes per-channel means and an 8×8 nearest-neighbor
+    // thumbnail FROM THE DECODED BYTES ONLY; the oracle recomputes both
+    // from the closed-form fixture pixel function (3x + 5y + 7c + id mod
+    // 256) without ever seeing the PNG — a hash match therefore proves
+    // inflate + unfilter + resize byte-exact end to end. Scale shape:
+    // encode/decode are per-row map work (embarrassingly parallel, no
+    // shuffle); the only exchange is the output sort.
+    QueryDef("multimodal_pixel_stats",
+      (s, d) => {
+        import graft.operators.PngCodec
+        val enc = udf((id: Long) => PngCodec.encode(id))
+        val stats = udf((png: Array[Byte]) => {
+          val (w, h, px) = PngCodec.decode(png)
+          val sums = new Array[Long](3)
+          var i = 0
+          while (i < px.length) { sums(i % 3) += px(i) & 0xff; i += 1 }
+          val thumb = PngCodec.resizeNearest(px, w, h, 8, 8)
+          val hex = thumb.map(b => f"${b & 0xff}%02x").mkString
+          (w.toLong, h.toLong, sums(0), sums(1), sums(2), hex)
+        })
+        T(s, d, "documents").where(expr("doc_id % 3 = 0"))
+          .select(col("doc_id").as("media_id"), enc(col("doc_id")).as("payload"))
+          .withColumn("f", stats(col("payload")))
+          .select(col("media_id"),
+            col("f._1").as("width"), col("f._2").as("height"),
+            round(col("f._3") / (col("f._1") * col("f._2")), 6).as("r_mean"),
+            round(col("f._4") / (col("f._1") * col("f._2")), 6).as("g_mean"),
+            round(col("f._5") / (col("f._1") * col("f._2")), 6).as("b_mean"),
+            md5(col("f._6")).as("thumb_md5"))
+          .orderBy("media_id")
+      },
+      Some("""WITH img AS (SELECT doc_id AS media_id,
+             |    16 + doc_id % 16 AS w, 16 + (doc_id // 16) % 16 AS h
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |ch AS (SELECT media_id, w, h,
+             |    sum((3*x + 5*y + media_id) % 256) AS sr,
+             |    sum((3*x + 5*y + 7 + media_id) % 256) AS sg,
+             |    sum((3*x + 5*y + 14 + media_id) % 256) AS sb
+             |  FROM img, UNNEST(range(0, w)) AS ux(x), UNNEST(range(0, h)) AS uy(y)
+             |  GROUP BY 1, 2, 3),
+             |th AS (SELECT media_id,
+             |    md5(string_agg(printf('%02x',
+             |        CAST((3*((j*w)//8) + 5*((i*h)//8) + 7*c + media_id) % 256 AS INT)),
+             |      '' ORDER BY i, j, c)) AS thumb_md5
+             |  FROM img, UNNEST(range(0, 8)) AS ui(i), UNNEST(range(0, 8)) AS uj(j),
+             |    UNNEST(range(0, 3)) AS uc(c)
+             |  GROUP BY 1)
+             |SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  round(CAST(sr AS DOUBLE) / (w * h), 6) AS r_mean,
+             |  round(CAST(sg AS DOUBLE) / (w * h), 6) AS g_mean,
+             |  round(CAST(sb AS DOUBLE) / (w * h), 6) AS b_mean,
+             |  thumb_md5
+             |FROM ch JOIN th USING (media_id) ORDER BY media_id""".stripMargin)),
+
     // Duplicate-cluster consolidation: near-dup PAIRS → components →
     // per-cluster summary (large-star/small-star, ConnectedComponents.scala).
     // The edge list is doc_id-derived chains — doc ↔ its perturbed copy,

@@ -31,6 +31,54 @@ object GraphOps {
 
   private val Scale = 1000000000000L // rank unit = 1e-12
 
+  /** k-core of the part co-purchase graph after `rounds` peel rounds:
+    * repeatedly drop nodes with degree < k and their incident edges. Each
+    * round is one degree aggregation + two semi-joins; the edge set is
+    * checkpointed per round so the plan stays shallow (8 rounds would
+    * otherwise stack 24 shuffles of lineage). Exposed with the (k, rounds)
+    * knobs so KCoreSpec can drive a smaller threshold to a fixpoint.
+    */
+  private[graft] def kcore(s: org.apache.spark.sql.SparkSession, d: String,
+                           k: Int, rounds: Int): org.apache.spark.sql.DataFrame = {
+    val op = T(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e0 = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    var adj = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("u")
+      adj = adj
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint()
+    }
+    adj.groupBy("u").agg(count(lit(1)).cast("long").as("core_deg"))
+      .select(col("u").as("node"), col("core_deg"))
+      .orderBy("node")
+  }
+
+  /** DuckDB twin of kcore: the peel rounds unrolled as chained CTEs. */
+  private[graft] def kcoreOracle(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { i =>
+      val p = s"a${i - 1}"
+      s"""k$i AS MATERIALIZED (SELECT u FROM (SELECT u, count(*) AS deg FROM $p GROUP BY 1)
+         |  WHERE deg >= $k),
+         |a$i AS MATERIALIZED (SELECT c.u, c.v FROM $p c
+         |  JOIN k$i x ON c.u = x.u JOIN k$i y ON c.v = y.u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (SELECT a.p AS u, b.p AS v FROM op a JOIN op b
+       |  ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+       |a0 AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+       |$peels
+       |SELECT u AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM a$rounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** DuckDB twin: the 5 iterations unrolled as chained CTEs (r0..r5), each
     * with its dangling-sum and inflow CTE. Identical integer formulas.
     */
@@ -210,6 +258,23 @@ object GraphOps {
              |       (SELECT n_triangles FROM tri) AS n_triangles,
              |       (SELECT round(CAST(3 AS DOUBLE) * (SELECT n_triangles FROM tri) /
              |          (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) FROM deg), 6)) AS transitivity""".stripMargin)
+    ),
+
+    // k-core decomposition (the k=80 core of the part co-purchase graph):
+    // iterative peeling — drop nodes with degree < k, drop their edges,
+    // repeat — the classic density filter behind graph-based spam/quality
+    // pruning (keep only parts embedded in a dense co-purchase
+    // neighborhood). Run for a FIXED 8 rounds, which is past the measured
+    // fixpoint at every test SF (≤ 6 rounds; KCoreSpec drives a smaller k
+    // to fixpoint and asserts one extra round is a no-op), so the output
+    // IS the true k-core, and a fixed unroll keeps both engines
+    // bit-identical without a convergence loop. Scale shape per round:
+    // one degree aggregation + two semi-joins on the edge set, edges
+    // checkpointed so lineage stays flat; all integer arithmetic.
+    QueryDef(
+      "graph_kcore",
+      (s, d) => kcore(s, d, k = 80, rounds = 8),
+      Some(kcoreOracle(k = 80, rounds = 8))
     )
   )
 }
