@@ -253,6 +253,55 @@ object TextOps {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ),
 
+    // Bigram-LM perplexity with add-1 (Laplace) smoothing — the
+    // next-order refinement of the unigram filter, the shape a KenLM-lite
+    // quality scorer takes: P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V).
+    // Context counts and bigram counts are corpus aggregates; the scoring
+    // join shuffles the doc bigrams once on the bigram key (the count
+    // tables are vocab-bounded — |V| and at most |V|², both tiny next to
+    // the corpus — so they broadcast at scale). Cross-engine determinism:
+    // same 9-decimal-rounded -ln + DECIMAL sum as the unigram query.
+    QueryDef(
+      "text_bigram_perplexity",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+          .withColumn("ws", expr("filter(split(text, ' +'), x -> x != '')"))
+          .where(size(col("ws")) >= 2)
+        val big = docs.select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(ws) - 1),
+              |  i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"""
+            .stripMargin)).as("bg"))
+          .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+        val uni = docs.select(explode(col("ws")).as("w1"))
+          .groupBy("w1").agg(count(lit(1)).as("c1"))
+        val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val vocab = uni.count()
+        big.join(bc, Seq("w1", "w2")).join(uni, Seq("w1"))
+          .withColumn("nll", expr(
+            s"CAST(round(-ln((c2 + 1) / CAST(c1 + $vocab AS DOUBLE)), 9) AS DECIMAL(18,9))"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_bigrams"),
+            round(exp(sum(col("nll")).cast("double") / count(lit(1))), 6).as("ppl"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split_regex(text, ' +'), x -> x <> '') AS ws
+             |  FROM documents),
+             |t2 AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 2),
+             |big AS (SELECT doc_id, ws[CAST(i AS INT)] AS w1, ws[CAST(i + 1 AS INT)] AS w2
+             |  FROM t2, UNNEST(range(1, len(ws))) AS u(i)),
+             |uc AS (SELECT w1, count(*) AS c1
+             |  FROM (SELECT unnest(ws) AS w1 FROM t2) GROUP BY 1),
+             |v AS (SELECT count(*) AS vs FROM uc),
+             |bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  round(exp(CAST(sum(CAST(round(-ln((c2 + 1) /
+             |      CAST(c1 + (SELECT vs FROM v) AS DOUBLE)), 9)
+             |    AS DECIMAL(18,9))) AS DOUBLE) / count(*)), 6) AS ppl
+             |FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
     // PII scrub — the redaction pass every training-data pipeline runs
     // before tokenization. The synthetic docs carry no PII, so the query
     // first injects deterministic doc_id-derived PII IDENTICALLY on both
