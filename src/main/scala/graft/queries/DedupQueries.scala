@@ -1246,14 +1246,20 @@ object DedupQueries {
             |  chr(48 + (ascii(substring(c_name, 10 + c_custkey % 8, 1)) - 47) % 10),
             |  substring(c_name, 11 + c_custkey % 8, length(c_name))) AS qname"""
             .stripMargin)
-        def variants(df: DataFrame, nm: String): DataFrame = df.withColumn("v",
-          explode(expr(s"""transform(sequence(0, length($nm)),
-                          |  i -> concat(substring($nm, 1, i),
-                          |              substring($nm, i + 2, length($nm))))"""
-            .stripMargin)))
-        val cand = variants(queries, "qname").join(variants(canon, "cname"), "v")
-          .select("qid", "qname", "cid", "cname").distinct()
+        def variants(df: DataFrame, id: String, nm: String): DataFrame =
+          df.select(col(id), explode(expr(
+            s"""transform(sequence(0, length($nm)),
+               |  i -> concat(substring($nm, 1, i),
+               |              substring($nm, i + 2, length($nm))))"""
+              .stripMargin)).as("v"))
+        // candidates carry ids ONLY through the variant join + distinct
+        // (names would fatten the shuffle ~10×); both name tables are
+        // |customers|-sized and re-join afterwards.
+        val cand = variants(queries, "qid", "qname")
+          .join(variants(canon, "cid", "cname"), "v")
+          .select("qid", "cid").distinct()
         val scored = cand
+          .join(queries, "qid").join(canon, "cid")
           .withColumn("dist", levenshtein(col("qname"), col("cname")).cast("long"))
           .where(col("dist") <= 1)
         scored
