@@ -41,21 +41,29 @@ object Bench {
             None
         }
       }
-      (q.name, times.minOption, times.size)
+      (q.name, times.minOption, times.size, times)
     }
     val qs = results.map {
-      case (k, Some(v), _) => "\"" + k + "\":" + v
-      case (k, None, _)    => "\"" + k + "\":null"
+      case (k, Some(v), _, _) => "\"" + k + "\":" + v
+      case (k, None, _, _)    => "\"" + k + "\":null"
     }.mkString("{", ",", "}")
     val statuses = results.map {
-      case (k, Some(_), n) => "\"" + k + "\":\"ok(" + n + "/" + reps + ")\""
-      case (k, None, _)    => "\"" + k + "\":\"failed\""
+      case (k, Some(_), n, _) => "\"" + k + "\":\"ok(" + n + "/" + reps + ")\""
+      case (k, None, _, _)    => "\"" + k + "\":\"failed\""
+    }.mkString("{", ",", "}")
+    // Per-rep times land IN the artifact (not just the stderr tail) so a
+    // min-of-N that disagrees with warm-rep behavior is self-evident: a
+    // host-load spike shows as one outlier rep, a real regression as all
+    // reps high.
+    val repsJson = results.map { case (k, _, _, ts) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.4f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val sc = spark.sparkContext
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$statuses,""" +
+      s""""reps_sec":$repsJson,""" +
       s""""master":"${sc.master}","parallelism":${sc.defaultParallelism},""" +
       s""""heap_gb":${f"$heapGb%.1f"},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()

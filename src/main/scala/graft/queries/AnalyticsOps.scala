@@ -687,9 +687,11 @@ object AnalyticsOps {
     // in text_pii_scrub) → perplexity gate against the corpus unigram
     // model (keep docs below the median-ish cutoff) → exact-dup collapse
     // on the SCRUBBED text → per-language stats over survivors. Composes
-    // four round-4 operators end-to-end under ONE DuckDB oracle; the
-    // corpus is read once, the vocab aggregate broadcasts, and the only
-    // wide shuffles are the fingerprint collapse and the final rollup.
+    // four round-4 operators end-to-end under ONE DuckDB oracle. The
+    // scoring join carries NO broadcast hint (the distinct-token table of
+    // a 100 TB corpus does not fit a driver; AQE broadcasts only when it
+    // actually fits), and corpus size N is a broadcast scalar aggregate,
+    // not a plan-time driver count().
     QueryDef(
       "corpus_curation_v2",
       (s, d) => {
@@ -705,11 +707,12 @@ object AnalyticsOps {
             email, "<EMAIL>"), url, "<URL>"), num, "<NUM>"))
         val toks = scrubbed.select(col("doc_id"),
           explode(split(col("masked"), " +")).as("tok"))
-        val n = toks.count()
+        val nn = toks.agg(count(lit(1)).as("corpus_n"))
         val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-        val ppl = toks.join(broadcast(freq), "tok")
+        val ppl = toks.join(freq, "tok")
+          .crossJoin(broadcast(nn))
           .withColumn("nll",
-            expr(s"CAST(round(-ln(cnt / CAST($n AS DOUBLE)), 9) AS DECIMAL(18,9))"))
+            expr("CAST(round(-ln(cnt / CAST(corpus_n AS DOUBLE)), 9) AS DECIMAL(18,9))"))
           .groupBy("doc_id")
           .agg(round(exp(sum(col("nll")).cast("double") / count(lit(1))), 6).as("ppl"))
         val gated = scrubbed.join(ppl, "doc_id").where(col("ppl") <= 120.0)

@@ -218,24 +218,28 @@ object TextOps {
       }),
 
     // Unigram-LM perplexity (the CCNet-style quality filter): corpus token
-    // frequencies → per-doc mean negative logprob → exp. The corpus model
-    // is ONE aggregate whose result (the vocabulary) broadcasts to the
-    // scoring join — at 100 TB the vocab is millions of rows while the
-    // corpus is billions, so the big side never shuffles. Determinism
-    // across engines: each token's -ln(p) is rounded to 9 decimals and
-    // DECIMAL-summed (exact, order-independent); only the final
-    // divide/exp/round are float ops (correctly-rounded or ulp-safe under
-    // the 6-decimal output rounding).
+    // frequencies → per-doc mean negative logprob → exp. The scoring join
+    // shuffles on the token key with NO broadcast hint: on a 100 TB web
+    // corpus the distinct-token table is itself billions of rows, so
+    // forcing it to broadcast would OOM the driver — AQE picks broadcast
+    // only when the built side actually fits. Corpus size N rides along as
+    // a broadcast SCALAR aggregate (one row), never a driver-side count():
+    // plan construction stays lazy and the tokenize pipeline runs only
+    // inside the job itself. Determinism across engines: each token's
+    // -ln(p) is rounded to 9 decimals and DECIMAL-summed (exact,
+    // order-independent); only the final divide/exp/round are float ops
+    // (correctly-rounded or ulp-safe under the 6-decimal output rounding).
     QueryDef(
       "text_unigram_perplexity",
       (s, d) => {
         val toks = T(s, d, "documents")
           .select(col("doc_id"), explode(split(col("text"), " +")).as("tok"))
-        val n = toks.count()
+        val nn = toks.agg(count(lit(1)).as("corpus_n"))
         val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-        toks.join(broadcast(freq), "tok")
+        toks.join(freq, "tok")
+          .crossJoin(broadcast(nn))
           .withColumn("nll",
-            expr(s"CAST(round(-ln(cnt / CAST($n AS DOUBLE)), 9) AS DECIMAL(18,9))"))
+            expr("CAST(round(-ln(cnt / CAST(corpus_n AS DOUBLE)), 9) AS DECIMAL(18,9))"))
           .groupBy("doc_id")
           .agg(count(lit(1)).cast("long").as("n_toks"),
             round(exp(sum(col("nll")).cast("double") / count(lit(1))), 6).as("ppl"))
@@ -275,10 +279,13 @@ object TextOps {
         val uni = docs.select(explode(col("ws")).as("w1"))
           .groupBy("w1").agg(count(lit(1)).as("c1"))
         val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-        val vocab = uni.count()
+        // |V| as a broadcast scalar aggregate — not a driver-side count(),
+        // which would re-run the tokenize pipeline at plan-construction time
+        val vdf = uni.agg(count(lit(1)).as("vocab_n"))
         big.join(bc, Seq("w1", "w2")).join(uni, Seq("w1"))
+          .crossJoin(broadcast(vdf))
           .withColumn("nll", expr(
-            s"CAST(round(-ln((c2 + 1) / CAST(c1 + $vocab AS DOUBLE)), 9) AS DECIMAL(18,9))"))
+            "CAST(round(-ln((c2 + 1) / CAST(c1 + vocab_n AS DOUBLE)), 9) AS DECIMAL(18,9))"))
           .groupBy("doc_id")
           .agg(count(lit(1)).cast("long").as("n_bigrams"),
             round(exp(sum(col("nll")).cast("double") / count(lit(1))), 6).as("ppl"))

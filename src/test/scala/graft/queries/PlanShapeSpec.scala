@@ -64,6 +64,32 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("partial_".r.findAllIn(p).size >= 2, p.take(4000))
   }
 
+  test("perplexity scoring joins: only scalar aggregates broadcast, no plan-time job") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    // The corpus unigram/bigram tables are unbounded at 100 TB, so the
+    // scoring joins must carry NO broadcast hint on them; the only
+    // broadcasts allowed in these plans are 1-row scalar aggregates
+    // (corpus N, |V|). And N must ride the plan, not a driver count() —
+    // building the frame must launch zero jobs.
+    for (n <- Seq("text_unigram_perplexity", "text_bigram_perplexity",
+                  "corpus_curation_v2")) {
+      val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val df = graft.SparkEntry.registry.find(_.name == n).get.fn(spark, sf)
+      val analyzed = df.queryExecution.analyzed
+      val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      assert(after == before,
+        s"$n ran ${after - before} job(s) at plan-construction time — " +
+          "corpus size must be a broadcast scalar aggregate, not a driver count()")
+      val hints = analyzed.collect { case h: ResolvedHint => h }
+      assert(hints.nonEmpty, s"$n should broadcast its scalar-N aggregate")
+      for (h <- hints) {
+        val topAgg = h.child.collectFirst { case a: Aggregate => a }
+        assert(topAgg.exists(_.groupingExpressions.isEmpty),
+          s"$n broadcasts a non-scalar (unbounded) subplan:\n${h.child.treeString}")
+      }
+    }
+  }
+
   test("no registered batch query plans a CartesianProduct") {
     // excluded: streaming twins (building the frame RUNS the stream),
     // k-means/BPE training and resolve pipelines (eager jobs at build
