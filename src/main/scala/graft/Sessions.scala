@@ -36,9 +36,14 @@ object Sessions {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
       .config("spark.sql.files.maxPartitionBytes", "128m")
       .config("spark.sql.files.maxRecordsPerFile", "500000")
-      // driver testdata events.parquet uses TIMESTAMP(NANOS); Spark can only
-      // read that as a long (normalized back in queries.T.events)
+      // driver testdata events.parquet has shipped as TIMESTAMP(NANOS) (only
+      // readable as a long) and as TIMESTAMP_MICROS isAdjustedToUTC=0 (NTZ).
+      // Read NANOS as long (normalized back in queries.T.normTs) and read
+      // µs-NTZ as plain TimestampType — the session TZ is UTC, so epoch-µs
+      // values are identical either way. T.normTs still handles NTZ for
+      // sessions that don't set this flag.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

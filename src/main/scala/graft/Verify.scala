@@ -16,6 +16,7 @@ object Verify {
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
     }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -38,8 +39,24 @@ object Verify {
         }
         flat.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A thrown query must never be indistinguishable from an
+        // unregistered one (round 7: 16 queries silently vanished from the
+        // driver's correctness JSON). Write a one-row result whose single
+        // `err` column carries the message — the key stays present in the
+        // dump and the oracle compare fails LOUDLY on it.
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        failed += name -> e.toString
+        import spark.implicits._
+        Seq(s"QUERY FAILED: ${e.toString.take(500)}").toDF("err")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
+    }
+    if (failed.nonEmpty) {
+      Files.writeString(Paths.get(s"$outDir/errors.json"),
+        failed.map { case (k, v) => s""""$k": "${v.replace("\\", "\\\\")
+          .replace("\"", "\\\"").replace("\n", " ").take(500)}"""" }
+          .mkString("{", ",", "}"))
+      System.err.println(s"[verify] ${failed.size} queries FAILED: ${failed.map(_._1).mkString(", ")}")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

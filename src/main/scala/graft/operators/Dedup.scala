@@ -272,11 +272,19 @@ object Dedup {
   // Broadcast decisions memoized per (session, canonicalized plan): the
   // probe is one bounded job, and repeated builds of the same query (bench
   // reps, twin queries over one corpus) must not pay it again. WeakHashMap
-  // on the session so a closed session frees its entries.
+  // on the session so a closed session frees its entries; the inner map is
+  // a bounded LRU because its keys are whole LogicalPlans (each retaining a
+  // FileIndex listing) — an unbounded memo in a long-lived session is a
+  // leak. Staleness is bounded the same way Spark's own execution is: a
+  // plan's FileIndex is a snapshot taken at read time, so a re-read of a
+  // grown directory builds a NEW relation (≠ key → fresh probe), while a
+  // reused DataFrame object executes against its original snapshot — the
+  // memoized decision always matches the bytes that plan would scan.
+  private val MaxMemoEntries = 128
   private val broadcastDecisions =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[
+        java.util.LinkedHashMap[
           (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Long),
           java.lang.Boolean]]())
 
@@ -298,13 +306,19 @@ object Dedup {
     val perSession = broadcastDecisions.synchronized {
       var m = broadcastDecisions.get(df.sparkSession)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap()
+        m = new java.util.LinkedHashMap[
+          (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Long),
+          java.lang.Boolean](16, 0.75f, /* accessOrder = */ true) {
+          override def removeEldestEntry(e: java.util.Map.Entry[
+              (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Long),
+              java.lang.Boolean]): Boolean = size() > MaxMemoEntries
+        }
         broadcastDecisions.put(df.sparkSession, m)
       }
       m
     }
     val key = (df.queryExecution.analyzed.canonicalized, maxRows, maxBytes)
-    val cached = perSession.get(key)
+    val cached = perSession.synchronized(perSession.get(key))
     if (cached != null) return cached.booleanValue()
     val capped = df.limit((maxRows + 1).min(Int.MaxValue).toInt)
     val probe = capped
@@ -313,7 +327,7 @@ object Dedup {
     val n = probe.getLong(0)
     val bytes = if (probe.isNullAt(1)) 0L else probe.getLong(1)
     val fits = n <= maxRows && bytes <= maxBytes
-    perSession.put(key, java.lang.Boolean.valueOf(fits))
+    perSession.synchronized(perSession.put(key, java.lang.Boolean.valueOf(fits)))
     fits
   }
 

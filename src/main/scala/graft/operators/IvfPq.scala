@@ -79,23 +79,30 @@ object IvfPq {
 
     val queries = emb.where(col("id").isin(queryIds: _*))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
-    // one ADC table per (query, probed cell): built from q − ĉ(cell),
-    // keyed qid<<32|cluster for the plan-embedded native lookup
+    // one ADC table per (query, probed cell). The packed lookup key is
+    // denseQueryIdx<<32|cluster, NOT qid<<32|cluster: qid is an arbitrary
+    // 64-bit document id, so qid<<32 drops its high bits and two queries
+    // 2^32 apart would silently share ADC tables. The dense index is
+    // bounded by the (driver-collected) query count, so it always fits.
+    val qidx: Map[Long, Int] = queries.map(_._1).zipWithIndex.toMap
     val probePairs = queries.flatMap { case (qid, qv) =>
       val nq = ProductQuantizer.l2normalize(qv)
       ivf.nearest(nq.toSeq, nprobe).map { c =>
         (qid, c) -> pqRes.adcTable(residualOf(nq, unitCentroid(ivf, c)).toSeq)
       }
     }
-    val tables = probePairs.map { case ((qid, c), t) => ((qid << 32) | c.toLong) -> t }.toMap
+    val tables = probePairs.map { case ((qid, c), t) =>
+      ((qidx(qid).toLong << 32) | c.toLong) -> t }.toMap
     val adcCol = org.apache.spark.sql.GraftBridge.column(
       graft.engine.Expressions.PqAdcExpr(
         org.apache.spark.sql.GraftBridge.expression(
-          shiftleft(col("qid"), 32).bitwiseOR(col("cluster").cast("long"))),
+          shiftleft(col("qidx").cast("long"), 32)
+            .bitwiseOR(col("cluster").cast("long"))),
         org.apache.spark.sql.GraftBridge.expression(col("codes")), tables))
 
     val probes = broadcast(spark.createDataFrame(
-      probePairs.map(_._1).toSeq.sorted).toDF("qid", "cluster"))
+      probePairs.map { case ((qid, c), _) => (qid, c, qidx(qid)) }.toSeq.sorted)
+      .toDF("qid", "cluster", "qidx"))
 
     val wApprox = Window.partitionBy("qid").orderBy(col("adist").asc, col("nid"))
     val cands = index.join(probes, "cluster")

@@ -145,8 +145,14 @@ object PngCodec {
     inflater.setInput(idat.toByteArray)
     val filtered = new Array[Byte](h * (stride + 1))
     var off = 0
-    while (!inflater.finished() && off < filtered.length)
-      off += inflater.inflate(filtered, off, filtered.length - off)
+    // A truncated IDAT makes inflate() return 0 forever (needs more input,
+    // never finished) — treat a zero-progress round as end-of-stream so the
+    // short-inflate require below throws instead of spinning.
+    var made = 1
+    while (!inflater.finished() && off < filtered.length && made > 0) {
+      made = inflater.inflate(filtered, off, filtered.length - off)
+      off += made
+    }
     inflater.end()
     require(off == filtered.length, s"short inflate: $off of ${filtered.length}")
 

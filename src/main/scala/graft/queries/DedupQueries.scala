@@ -891,8 +891,9 @@ object DedupQueries {
       Some("""WITH base AS (
              |  SELECT doc_id AS media_id, mod(doc_id, 3) AS m, text,
              |    octet_length(encode(text)) AS tlen,
-             |    coalesce(list_sum(list_transform(range(1, length(text) + 1),
-             |      i -> unicode(substr(text, CAST(i AS INT), 1)))), 0) AS tsum,
+             |    coalesce(list_sum(list_transform(range(1, octet_length(encode(text)) + 1),
+             |      i -> (strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*CAST(i AS INT)-1, 1)) - 1) * 16
+             |        + strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*CAST(i AS INT), 1)) - 1)), 0) AS tsum,
              |    64 + mod(doc_id, 448) AS pw, 64 + mod(doc_id // 7, 448) AS ph
              |  FROM documents),
              |b2 AS (

@@ -26,16 +26,27 @@ object T {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark only reads as a
-    * nanosecond LONG (spark.sql.legacy.parquet.nanosAsLong). Normalize back
-    * to a microsecond TIMESTAMP regardless of which way it was read.
+  /** The driver's events.parquet has shipped `ts` under three different
+    * physical encodings across rounds: TIMESTAMP(NANOS) (readable only as a
+    * nanosecond LONG via spark.sql.legacy.parquet.nanosAsLong),
+    * TIMESTAMP_MICROS isAdjustedToUTC=1 (Spark TimestampType), and
+    * TIMESTAMP_MICROS isAdjustedToUTC=0 (Spark TIMESTAMP_NTZ when
+    * inferTimestampNTZ is on). The engine's event-time contract is exact
+    * epoch-µs arithmetic under a UTC session, so normalize ALL of them to a
+    * microsecond TimestampType here — event-time ops (watermarks,
+    * session_window, unix_micros) require it. The session TZ is pinned UTC
+    * (Sessions.local), so the NTZ→LTZ cast preserves the stored epoch-µs.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val df = apply(spark, dir, "events")
-    df.schema("ts").dataType match {
+  def normTs(df: DataFrame, c: String = "ts"): DataFrame =
+    df.schema(c).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        df.withColumn(c, org.apache.spark.sql.functions.expr(s"timestamp_micros($c div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(c, org.apache.spark.sql.functions.col(c)
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
-  }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normTs(apply(spark, dir, "events"))
 }

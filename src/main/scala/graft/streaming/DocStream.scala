@@ -56,10 +56,20 @@ object DocStream {
     srcDir.toFile.deleteOnExit()
     val bands = typed.select(expr("doc_id div 100000").as("b"))
       .distinct().orderBy("b").as[Long].collect()
-    bands.foreach { b =>
+    // The file-stream source orders files by modification time; bands
+    // written back-to-back can land on the SAME mtime (filesystem
+    // granularity) and a tie would let a later band process first,
+    // breaking the earlier-batch-wins gate. Pin each band's files to a
+    // strictly increasing mtime so band order IS arrival order.
+    val mtimeBase = System.currentTimeMillis() - (bands.length + 1) * 2000L
+    bands.zipWithIndex.foreach { case (b, idx) =>
+      val bandDir = srcDir.resolve(f"$b%02d_band")
       typed.where(expr(s"doc_id div 100000 = $b"))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(srcDir.resolve(f"$b%02d_band").toString)
+        .coalesce(1).write.mode("overwrite").parquet(bandDir.toString)
+      val t = java.nio.file.attribute.FileTime.fromMillis(mtimeBase + idx * 2000L)
+      val listing = Files.list(bandDir)
+      try listing.forEach(p => Files.setLastModifiedTime(p, t))
+      finally listing.close()
     }
     spark.readStream.schema(typed.schema)
       .option("recursiveFileLookup", "true")

@@ -27,11 +27,7 @@ object EventStream {
       srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
     val raw = spark.readStream.schema(batch.schema).parquet(srcDir.toString)
-    val events = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
-    }
+    val events = graft.queries.T.normTs(raw)
 
     val agg = events
       .withWatermark("ts", "1 hour")
@@ -69,11 +65,7 @@ object EventStream {
       srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
     val raw = spark.readStream.schema(batch.schema).parquet(srcDir.toString)
-    val events = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
-    }
+    val events = graft.queries.T.normTs(raw)
     val dim = broadcast(spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_nationkey")))
 
@@ -114,11 +106,7 @@ object EventStream {
       srcDir.resolve("b_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
     val raw = spark.readStream.schema(batch.schema).parquet(srcDir.toString)
-    val events = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
-    }
+    val events = graft.queries.T.normTs(raw)
 
     val agg = events
       .withWatermark("ts", "1 hour")
@@ -159,11 +147,7 @@ object EventStream {
     Files.copy(Paths.get(s"$dir/events.parquet"),
       srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val raw = spark.readStream.schema(batch.schema).parquet(srcDir.toString)
-    val events = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
-    }
+    val events = graft.queries.T.normTs(raw)
     val agg = events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"))
@@ -220,11 +204,7 @@ object EventStream {
         Files.copy(Paths.get(s"$dir/events.parquet"),
           srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
         val raw = spark.readStream.schema(batch.schema).parquet(srcDir.toString)
-        raw.schema("ts").dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-          case _ => raw
-        }
+        graft.queries.T.normTs(raw)
       }
     val agg = events
       .withWatermark("ts", "1 hour")
@@ -266,11 +246,7 @@ object EventStream {
       srcDir.resolve("b_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
     val raw = spark.readStream.schema(batch.schema).parquet(srcDir.toString)
-    val events = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
-    }
+    val events = graft.queries.T.normTs(raw)
     val outDir = Files.createTempDirectory("graft_fsink_out").toString
 
     val q = events
@@ -319,11 +295,7 @@ object EventStream {
         Files.copy(Paths.get(s"$dir/events.parquet"),
           srcDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
         val raw = spark.readStream.schema(batch.schema).parquet(srcDir.toString)
-        raw.schema("ts").dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-          case _ => raw
-        }
+        graft.queries.T.normTs(raw)
       }
     val agg = events
       .withWatermark("ts", "1 hour")
@@ -363,11 +335,7 @@ object EventStream {
 
     def side(tag: String) = {
       val raw = spark.readStream.schema(batch.schema).parquet(srcDir.toString)
-      val ev = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case _ => raw
-      }
+      val ev = graft.queries.T.normTs(raw)
       ev.where(col("event_type") === (if (tag == "v") "view" else "click"))
         .select(col("event_id").as(s"${tag}_id"), col("user_id").as(s"${tag}_user"),
           col("ts").as(s"${tag}_ts"))
@@ -440,11 +408,7 @@ object EventStream {
   def sessionize(spark: SparkSession, dir: String, gapMicros: Long): DataFrame = {
     import spark.implicits._
     val batchRaw = spark.read.parquet(s"$dir/events.parquet")
-    val batch = batchRaw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        batchRaw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => batchRaw
-    }
+    val batch = graft.queries.T.normTs(batchRaw)
     // stage source dir in a uniform normalized schema (the driver's
     // events.parquet carries TIMESTAMP(NANOS), which a file stream can't mix
     // with the micros sentinels): the real events, plus one sentinel per

@@ -42,6 +42,42 @@ class PngCodecSpec extends AnyFunSuite {
       PngCodec.decode(png.slice(0, 4)))
   }
 
+  test("a truncated IDAT stream (valid CRCs) throws instead of spinning") {
+    // Rebuild the PNG with only HALF the deflate stream, re-CRC'd so chunk
+    // validation passes — the inflater then starves (inflate() returns 0,
+    // never finished), which pre-fix looped forever at PngCodec.decode.
+    val png = PngCodec.encode(7L)
+    val bb = java.nio.ByteBuffer.wrap(png)
+    bb.position(8)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(png, 0, 8)
+    def writeChunk(tag: String, data: Array[Byte]): Unit = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(len)
+      out.write(tag.getBytes("ASCII"))
+      out.write(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(tag.getBytes("ASCII")); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    var wrote = false
+    while (bb.remaining() >= 12) {
+      val len = bb.getInt
+      val tagBytes = new Array[Byte](4); bb.get(tagBytes)
+      val tag = new String(tagBytes, "ASCII")
+      val data = new Array[Byte](len); bb.get(data); bb.getInt
+      tag match {
+        case "IDAT" if !wrote =>
+          writeChunk("IDAT", data.slice(0, data.length / 2)); wrote = true
+        case "IDAT" => () // drop the rest of the stream
+        case t => writeChunk(t, data)
+      }
+    }
+    assert(wrote)
+    val e = intercept[IllegalArgumentException](PngCodec.decode(out.toByteArray))
+    assert(e.getMessage.contains("short inflate"))
+  }
+
   test("nearest-neighbor resize: identity and 2x downscale") {
     val id = 33L
     val (w, h, px) = PngCodec.decode(PngCodec.encode(id))

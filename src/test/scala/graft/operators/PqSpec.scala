@@ -144,6 +144,35 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
   }
 
+  test("IVFADC results are invariant to 64-bit ids beyond 2^32 (key packing)") {
+    // Pre-fix, the ADC lookup key was qid<<32|cluster — a qid ≥ 2^32 lost
+    // its high bits, so two queries 2^32 apart silently shared ADC tables.
+    // Shifting every id by 1<<32 must not change any (id-mapped) result.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val anchors = Array.fill(4)(Array.fill(16)(rnd.nextDouble() * 2 - 1))
+    val rows = (0 until 128).map { i =>
+      val a = anchors(i % 4)
+      (i.toLong, a.map(x => x + (rnd.nextDouble() * 0.2 - 0.1)).toSeq)
+    }
+    val e = rows.toDF("id", "v")
+    val shift = 1L << 32
+    val eBig = rows.map { case (id, v) => (id + shift, v) }.toDF("id", "v")
+
+    val ivf = IvfIndex.train(spark, e, k = 4, iters = 3)
+    val res = IvfPq.trainResidual(spark, e, ivf, m = 4, k = 8, iters = 3)
+    val qids = Seq(0L, 1L, 2L, 3L)
+
+    val small = IvfPq.searchResidual(spark, e, qids, ivf, res,
+        nprobe = 2, topK = 5, rerank = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val big = IvfPq.searchResidual(spark, eBig, qids.map(_ + shift), ivf, res,
+        nprobe = 2, topK = 5, rerank = 4)
+      .collect().map(r => (r.getLong(0) - shift, r.getLong(1) - shift,
+        r.getDouble(2), r.getLong(3)))
+    assert(small.nonEmpty && small.toSeq == big.toSeq)
+  }
+
   test("training and search are deterministic") {
     val a = ProductQuantizer.train(spark, emb, m = 4, k = 8, iters = 2)
     val b = ProductQuantizer.train(spark, emb, m = 4, k = 8, iters = 2)

@@ -23,6 +23,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.adaptive.enabled", "false")
       // events.parquet is TIMESTAMP(NANOS); same setting as graft.Sessions
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.engine.GraftFunctions.register(s)
@@ -73,13 +75,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // building the frame must launch zero jobs.
     for (n <- Seq("text_unigram_perplexity", "text_bigram_perplexity",
                   "corpus_curation_v2")) {
-      val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
-      val df = graft.SparkEntry.registry.find(_.name == n).get.fn(spark, sf)
-      val analyzed = df.queryExecution.analyzed
-      val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
-      assert(after == before,
-        s"$n ran ${after - before} job(s) at plan-construction time — " +
-          "corpus size must be a broadcast scalar aggregate, not a driver count()")
+      // Measure inside a DEDICATED job group: the suite session is shared
+      // across the sbt test JVM, so a global statusTracker count can be
+      // tripped by async jobs from other suites (streaming maintenance,
+      // broadcast cleanup) — round 7's flake. Only jobs launched by THIS
+      // thread between setJobGroup and the read land in the group.
+      val group = s"planshape-guard-$n"
+      spark.sparkContext.setJobGroup(group, "plan-construction job guard",
+        interruptOnCancel = false)
+      val analyzed = try {
+        val df = graft.SparkEntry.registry.find(_.name == n).get.fn(spark, sf)
+        val a = df.queryExecution.analyzed
+        val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
+        assert(jobs.isEmpty,
+          s"$n ran ${jobs.length} job(s) at plan-construction time — " +
+            "corpus size must be a broadcast scalar aggregate, not a driver count()")
+        a
+      } finally spark.sparkContext.clearJobGroup()
       val hints = analyzed.collect { case h: ResolvedHint => h }
       assert(hints.nonEmpty, s"$n should broadcast its scalar-N aggregate")
       for (h <- hints) {
