@@ -256,6 +256,73 @@ object GeoQueries {
     QueryDef("h3_geojson_ingest_stream",
       (s, d) => graft.streaming.GeoStream.geojsonPointsRollupStream(s, d, Res)),
 
+    // ORACLED check for the streamed point rollup. Row-count note (the
+    // 14,936-vs-15,000 question): h3_index_points emits ONE ROW PER POINT
+    // (15,000 at sf0.01) while the stream twins emit ONE ROW PER DISTINCT
+    // CELL — at res 6, 64 of the 15,000 synthetic points share a cell with
+    // another point, leaving 14,936 cells. This query proves the contract
+    // behind that delta in-engine: the streamed rollup equals the batch
+    // rollup cell-for-cell (count AND decimal sum), distinct cells cannot
+    // exceed points, and the per-cell counts/sums re-total to the SOURCE's
+    // DuckDB-checkable count(*) and decimal qty sum — so conservation of
+    // rows/mass is oracled even though the H3 keys themselves have no
+    // DuckDB twin.
+    QueryDef("h3_index_points_stream_checked",
+      (s, d) => {
+        val st = graft.streaming.GeoStream.pointsRollupStream(s, d, Res).as("st")
+        val ba = graft.streaming.GeoStream.pointsRollupBatch(s, d, Res).as("ba")
+        val j = st.join(ba, Seq("h3_index"), "full_outer")
+        val cmp = j.agg(
+          (sum(when(col("st.n_points").isNull || col("ba.n_points").isNull ||
+            col("st.n_points") =!= col("ba.n_points") ||
+            col("st.sum_value") =!= col("ba.sum_value"), 1L).otherwise(0L)) === 0L)
+            .as("stream_equals_batch"),
+          (count(lit(1)) <= sum(coalesce(col("ba.n_points"), lit(0L))))
+            .as("cells_le_points"),
+          sum(coalesce(col("ba.n_points"), lit(0L))).cast("long")
+            .as("n_points_total"))
+        val totals = pointsDf(s, d).agg(
+          sum(col("qty").cast("decimal(18,2)")).cast("double").as("qty_total"))
+        cmp.crossJoin(broadcast(totals))
+          .select("stream_equals_batch", "cells_le_points",
+            "n_points_total", "qty_total")
+      },
+      Some("""SELECT true AS stream_equals_batch, true AS cells_le_points,
+             |  count(*) AS n_points_total,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS qty_total
+             |FROM orders""".stripMargin)),
+
+    // Same oracled conservation check for the GeoJSON ingest stream: the
+    // NDJSON round-trip (write → text stream → JSON pull → st_x/st_y →
+    // index → rollup) must reproduce the batch rollup cell-for-cell and
+    // re-total to the source's count and decimal qty sum — proving the
+    // parse loses no rows and no mass. (Its 14,936 rows are distinct
+    // cells, same as above.)
+    QueryDef("h3_geojson_ingest_stream_checked",
+      (s, d) => {
+        val st = graft.streaming.GeoStream.geojsonPointsRollupStream(s, d, Res).as("st")
+        val ba = graft.streaming.GeoStream.pointsRollupBatch(s, d, Res).as("ba")
+        val j = st.join(ba, Seq("h3_index"), "full_outer")
+        val cmp = j.agg(
+          (sum(when(col("st.n_points").isNull || col("ba.n_points").isNull ||
+            col("st.n_points") =!= col("ba.n_points") ||
+            col("st.sum_value") =!= col("ba.sum_value"), 1L).otherwise(0L)) === 0L)
+            .as("stream_equals_batch"),
+          (count(lit(1)) <= sum(coalesce(col("ba.n_points"), lit(0L))))
+            .as("cells_le_points"),
+          sum(coalesce(col("ba.n_points"), lit(0L))).cast("long")
+            .as("n_points_total"))
+        val totals = pointsDf(s, d).agg(
+          sum(col("qty").cast("decimal(18,2)")).cast("double").as("qty_total"))
+        cmp.crossJoin(broadcast(totals))
+          .select("stream_equals_batch", "cells_le_points",
+            "n_points_total", "qty_total")
+      },
+      Some("""SELECT true AS stream_equals_batch, true AS cells_le_points,
+             |  count(*) AS n_points_total,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS qty_total
+             |FROM orders""".stripMargin)),
+
     // Validator quarantine: the rows validate() drops (null or irreparable
     // geometry), with the reason — routed to a sink instead of lost (the
     // reference only logs a count, geospatial.py:158-164). Invalid rows

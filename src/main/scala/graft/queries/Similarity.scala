@@ -263,6 +263,293 @@ object SimilarityQ {
              |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS BIGINT) AS rn
              |  FROM sc)
              |SELECT qid, nid, adist, rn FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)
+    ),
+
+    // IVF+PQ COMPOSITE twin, FULLY ORACLED — the full sim_ann_ivfpq search
+    // path (coarse probe → ADC shortlist → exact rerank) with both
+    // codebooks pinned to the 8 smallest-md5 corpus vectors, so both
+    // engines derive identical quantizers from the table alone. Coarse
+    // assignment and per-subspace codes use the proven decimal-exact
+    // squared-distance recipe; queries probe nprobe=2 cells; ADC ranks the
+    // probed candidates; the top 20 rerank with the bit-identical cosine
+    // kernel and the top 10 emit. Plan shape at scale: one k×dim seed pull,
+    // broadcast codebooks, candidates bounded by the probe join — the
+    // corpus never all-pairs.
+    QueryDef(
+      "sim_ann_ivfpq_md5",
+      (s, d) => {
+        import s.implicits._
+        val e = T(s, d, "embeddings").select(col("vec_id"),
+          expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> round(x, 6))").as("ve"))
+        val seeds = e
+          .withColumn("h", md5(col("vec_id").cast("string")))
+          .orderBy("h", "vec_id").limit(8)
+          .select("ve").as[Seq[Double]].collect()
+          .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toSeq.toDF("cand", "cv")
+        val d2full = expr(
+          """aggregate(zip_with(ve, cv,
+            |  (x, y) -> CAST(round((x - y) * (x - y), 12) AS DECIMAL(28,12))),
+            |  CAST(0 AS DECIMAL(38,12)), (a, t) -> CAST(a + t AS DECIMAL(38,12)))""".stripMargin)
+        val assigned = e.crossJoin(broadcast(seeds))
+          .withColumn("d2", d2full)
+          .withColumn("ark", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("d2"), col("cand"))))
+        val corpus = assigned.where(col("ark") === 1)
+          .select(col("vec_id").as("nid"), col("cand").as("cluster"), col("ve").as("nv"))
+        val probes = assigned.where(col("vec_id") < 5 && col("ark") <= 2)
+          .select(col("vec_id").as("qid"), col("cand").as("cluster"))
+        val d2sub = expr(
+          """aggregate(zip_with(slice(ve, sub * 8 + 1, 8), slice(cv, sub * 8 + 1, 8),
+            |  (x, y) -> CAST(round((x - y) * (x - y), 12) AS DECIMAL(28,12))),
+            |  CAST(0 AS DECIMAL(38,12)), (a, t) -> CAST(a + t AS DECIMAL(38,12)))""".stripMargin)
+        val sub = e.crossJoin(broadcast(seeds))
+          .withColumn("sub", explode(expr("sequence(0, 7)")))
+          .withColumn("d2", d2sub)
+          .select(col("vec_id"), col("sub"), col("cand"), col("d2"))
+        val codes = sub
+          .withColumn("ark", row_number().over(
+            Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("cand"))))
+          .where(col("ark") === 1)
+          .select(col("vec_id").as("nid"), col("sub"), col("cand").as("code"))
+        val adc = sub.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("sub"), col("cand").as("code"), col("d2"))
+        val cands = corpus.select("nid", "cluster").join(broadcast(probes), "cluster")
+          .select("qid", "nid")
+        val adist = cands.join(codes, "nid")
+          .join(broadcast(adc), Seq("qid", "sub", "code"))
+          .groupBy("qid", "nid")
+          .agg(round(sum(col("d2")).cast("double"), 6).as("adist"))
+        val short = adist.withColumn("arn", row_number().over(
+            Window.partitionBy("qid").orderBy(col("adist"), col("nid"))))
+          .where(col("arn") <= 20)
+          .select("qid", "nid")
+        graft.engine.Expressions.register(s)
+        val q = e.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("ve").as("qv"))
+        val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))
+        short.join(corpus.select(col("nid"), col("nv")), "nid")
+          .join(broadcast(q), "qid")
+          .withColumn("score", round(expr("vec_cosine_native(qv, nv)"), 6))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= 10)
+          .select(col("qid"), col("nid"), col("score"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id,
+             |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS ve
+             |  FROM embeddings),
+             |sd AS (
+             |  SELECT CAST(rk - 1 AS BIGINT) AS cand, ve AS cv FROM (
+             |    SELECT ve, row_number() OVER (
+             |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM e)
+             |  WHERE rk <= 8),
+             |asg AS (
+             |  SELECT e.vec_id, s.cand, e.ve,
+             |    list_sum(list_transform(range(1, len(e.ve) + 1),
+             |      i -> CAST(round((e.ve[i] - s.cv[i]) * (e.ve[i] - s.cv[i]), 12)
+             |           AS DECIMAL(28,12)))) AS d2
+             |  FROM e CROSS JOIN sd s),
+             |rk2 AS (
+             |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS ark
+             |  FROM asg),
+             |corpus AS (SELECT vec_id AS nid, cand AS cluster, ve AS nv FROM rk2 WHERE ark = 1),
+             |probes AS (SELECT vec_id AS qid, cand AS cluster
+             |           FROM rk2 WHERE vec_id < 5 AND ark <= 2),
+             |subd AS (
+             |  SELECT e.vec_id, g.sub, s.cand,
+             |    list_sum(list_transform(range(1, 9),
+             |      i -> CAST(round((e.ve[g.sub * 8 + i] - s.cv[g.sub * 8 + i]) *
+             |                      (e.ve[g.sub * 8 + i] - s.cv[g.sub * 8 + i]), 12)
+             |           AS DECIMAL(28,12)))) AS d2
+             |  FROM e CROSS JOIN sd s CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) g),
+             |codes AS (
+             |  SELECT vec_id AS nid, sub, cand AS code FROM (
+             |    SELECT *, row_number() OVER (
+             |      PARTITION BY vec_id, sub ORDER BY d2, cand) AS ark FROM subd)
+             |  WHERE ark = 1),
+             |adc AS (
+             |  SELECT vec_id AS qid, sub, cand AS code, d2 FROM subd WHERE vec_id < 5),
+             |ad AS (
+             |  SELECT p.qid, c.nid, round(CAST(sum(a.d2) AS DOUBLE), 6) AS adist
+             |  FROM corpus c JOIN probes p USING (cluster)
+             |  JOIN codes co ON co.nid = c.nid
+             |  JOIN adc a ON a.qid = p.qid AND a.sub = co.sub AND a.code = co.code
+             |  GROUP BY p.qid, c.nid),
+             |short AS (
+             |  SELECT qid, nid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS arn
+             |    FROM ad) WHERE arn <= 20),
+             |sc AS (
+             |  SELECT s.qid, s.nid,
+             |    round(list_dot_product(q.ve, c.nv) /
+             |      (sqrt(list_dot_product(q.ve, q.ve)) * sqrt(list_dot_product(c.nv, c.nv))), 6) AS score
+             |  FROM short s JOIN corpus c ON c.nid = s.nid JOIN e q ON q.vec_id = s.qid),
+             |r AS (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rn
+             |  FROM sc)
+             |SELECT qid, nid, score, rn FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)
+    ),
+
+    // IVFADC COMPOSITE twin (residual refinement), FULLY ORACLED — codes
+    // quantize v − ĉ(v) and each query builds one ADC table per PROBED
+    // CELL from q − ĉ(cell), exactly the searchResidual shape. Coarse
+    // centroids: the 8 smallest-md5 vectors; the RESIDUAL codebook: the
+    // NEXT 8 smallest-md5 vectors' residuals w.r.t. their own assigned
+    // cell (the first 8 are their own centroids — residual zero — so the
+    // 9th–16th carry real within-cell offsets). Residual components round
+    // to 6 dp so every downstream term stays in the proven decimal-exact
+    // regime. Candidates join on (cluster); the ADC lookup joins on
+    // (qid, cluster, sub, code) — the per-cell table keyed RELATIONALLY,
+    // which is the collision-free form of the packed key the native path
+    // uses.
+    QueryDef(
+      "sim_ann_ivfpq_residual_md5",
+      (s, d) => {
+        import s.implicits._
+        val e = T(s, d, "embeddings").select(col("vec_id"),
+          expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> round(x, 6))").as("ve"))
+        val seedRows = e
+          .withColumn("h", md5(col("vec_id").cast("string")))
+          .orderBy("h", "vec_id").limit(16)
+          .select("vec_id", "ve").as[(Long, Seq[Double])].collect()
+        val seeds = seedRows.take(8).zipWithIndex
+          .map { case ((_, v), i) => (i.toLong, v) }.toSeq.toDF("cand", "cv")
+        val pqSeedIds = seedRows.drop(8).map(_._1)
+        val d2full = expr(
+          """aggregate(zip_with(ve, cv,
+            |  (x, y) -> CAST(round((x - y) * (x - y), 12) AS DECIMAL(28,12))),
+            |  CAST(0 AS DECIMAL(38,12)), (a, t) -> CAST(a + t AS DECIMAL(38,12)))""".stripMargin)
+        val assigned = e.crossJoin(broadcast(seeds))
+          .withColumn("d2", d2full)
+          .withColumn("ark", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("d2"), col("cand"))))
+        // corpus residuals w.r.t. the assigned cell
+        val corpus = assigned.where(col("ark") === 1)
+          .select(col("vec_id").as("nid"), col("cand").as("cluster"), col("ve"))
+          .join(broadcast(seeds.select(col("cand").as("cluster"), col("cv"))), "cluster")
+          .withColumn("rv", expr("zip_with(ve, cv, (x, y) -> round(x - y, 6))"))
+          .select(col("nid"), col("cluster"), col("ve").as("nv"), col("rv"))
+        val rvMap = corpus.where(col("nid").isin(pqSeedIds: _*))
+          .select("nid", "rv").as[(Long, Seq[Double])].collect().toMap
+        val seeds2 = pqSeedIds.zipWithIndex
+          .map { case (id, i) => (i.toLong, rvMap(id)) }.toSeq.toDF("cand", "w")
+        val d2res = expr(
+          """aggregate(zip_with(slice(rv, sub * 8 + 1, 8), slice(w, sub * 8 + 1, 8),
+            |  (x, y) -> CAST(round((x - y) * (x - y), 12) AS DECIMAL(28,12))),
+            |  CAST(0 AS DECIMAL(38,12)), (a, t) -> CAST(a + t AS DECIMAL(38,12)))""".stripMargin)
+        val codes = corpus.select(col("nid"), col("rv"))
+          .crossJoin(broadcast(seeds2))
+          .withColumn("sub", explode(expr("sequence(0, 7)")))
+          .withColumn("d2", d2res)
+          .withColumn("ark", row_number().over(
+            Window.partitionBy("nid", "sub").orderBy(col("d2"), col("cand"))))
+          .where(col("ark") === 1)
+          .select(col("nid"), col("sub"), col("cand").as("code"))
+        // query residual PER PROBED CELL → one ADC table per (qid, cluster)
+        val probes = assigned.where(col("vec_id") < 5 && col("ark") <= 2)
+          .select(col("vec_id").as("qid"), col("cand").as("cluster"), col("ve").as("qv"))
+        val qres = probes
+          .join(broadcast(seeds.select(col("cand").as("cluster"), col("cv"))), "cluster")
+          .withColumn("rv", expr("zip_with(qv, cv, (x, y) -> round(x - y, 6))"))
+          .select(col("qid"), col("cluster"), col("rv"))
+        val adc = qres.crossJoin(broadcast(seeds2))
+          .withColumn("sub", explode(expr("sequence(0, 7)")))
+          .withColumn("d2", d2res)
+          .select(col("qid"), col("cluster"), col("sub"), col("cand").as("code"), col("d2"))
+        val cands = corpus.select("nid", "cluster")
+          .join(broadcast(probes.select("qid", "cluster")), "cluster")
+        val adist = cands.join(codes, "nid")
+          .join(broadcast(adc), Seq("qid", "cluster", "sub", "code"))
+          .groupBy("qid", "nid")
+          .agg(round(sum(col("d2")).cast("double"), 6).as("adist"))
+        val short = adist.withColumn("arn", row_number().over(
+            Window.partitionBy("qid").orderBy(col("adist"), col("nid"))))
+          .where(col("arn") <= 20)
+          .select("qid", "nid")
+        graft.engine.Expressions.register(s)
+        val q = e.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("ve").as("qv"))
+        val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid"))
+        short.join(corpus.select(col("nid"), col("nv")), "nid")
+          .join(broadcast(q), "qid")
+          .withColumn("score", round(expr("vec_cosine_native(qv, nv)"), 6))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= 10)
+          .select(col("qid"), col("nid"), col("score"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id,
+             |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS ve
+             |  FROM embeddings),
+             |ordr AS (
+             |  SELECT vec_id, ve, row_number() OVER (
+             |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM e),
+             |sd AS (SELECT CAST(rk - 1 AS BIGINT) AS cand, ve AS cv FROM ordr WHERE rk <= 8),
+             |asg AS (
+             |  SELECT e.vec_id, s.cand, e.ve,
+             |    list_sum(list_transform(range(1, len(e.ve) + 1),
+             |      i -> CAST(round((e.ve[i] - s.cv[i]) * (e.ve[i] - s.cv[i]), 12)
+             |           AS DECIMAL(28,12)))) AS d2
+             |  FROM e CROSS JOIN sd s),
+             |rk2 AS (
+             |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS ark
+             |  FROM asg),
+             |corpus AS (
+             |  SELECT r.vec_id AS nid, r.cand AS cluster, r.ve AS nv,
+             |    list_transform(range(1, len(r.ve) + 1), i -> round(r.ve[i] - s.cv[i], 6)) AS rv
+             |  FROM rk2 r JOIN sd s ON s.cand = r.cand WHERE r.ark = 1),
+             |sd2 AS (
+             |  SELECT CAST(o.rk - 9 AS BIGINT) AS cand, c.rv AS w
+             |  FROM ordr o JOIN corpus c ON c.nid = o.vec_id
+             |  WHERE o.rk BETWEEN 9 AND 16),
+             |codes AS (
+             |  SELECT nid, sub, cand AS code FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY nid, sub ORDER BY d2, cand) AS ark
+             |    FROM (
+             |      SELECT c.nid, g.sub, s.cand,
+             |        list_sum(list_transform(range(1, 9),
+             |          i -> CAST(round((c.rv[g.sub * 8 + i] - s.w[g.sub * 8 + i]) *
+             |                          (c.rv[g.sub * 8 + i] - s.w[g.sub * 8 + i]), 12)
+             |               AS DECIMAL(28,12)))) AS d2
+             |      FROM corpus c CROSS JOIN sd2 s
+             |      CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) g))
+             |  WHERE ark = 1),
+             |probes AS (SELECT vec_id AS qid, cand AS cluster, ve AS qv
+             |           FROM rk2 WHERE vec_id < 5 AND ark <= 2),
+             |qres AS (
+             |  SELECT p.qid, p.cluster,
+             |    list_transform(range(1, len(p.qv) + 1), i -> round(p.qv[i] - s.cv[i], 6)) AS rv
+             |  FROM probes p JOIN sd s ON s.cand = p.cluster),
+             |adc AS (
+             |  SELECT q.qid, q.cluster, g.sub, s.cand AS code,
+             |    list_sum(list_transform(range(1, 9),
+             |      i -> CAST(round((q.rv[g.sub * 8 + i] - s.w[g.sub * 8 + i]) *
+             |                      (q.rv[g.sub * 8 + i] - s.w[g.sub * 8 + i]), 12)
+             |           AS DECIMAL(28,12)))) AS d2
+             |  FROM qres q CROSS JOIN sd2 s CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) g),
+             |ad AS (
+             |  SELECT p.qid, c.nid, round(CAST(sum(a.d2) AS DOUBLE), 6) AS adist
+             |  FROM corpus c JOIN probes p USING (cluster)
+             |  JOIN codes co ON co.nid = c.nid
+             |  JOIN adc a ON a.qid = p.qid AND a.cluster = c.cluster
+             |    AND a.sub = co.sub AND a.code = co.code
+             |  GROUP BY p.qid, c.nid),
+             |short AS (
+             |  SELECT qid, nid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS arn
+             |    FROM ad) WHERE arn <= 20),
+             |sc AS (
+             |  SELECT s.qid, s.nid,
+             |    round(list_dot_product(q.ve, c.nv) /
+             |      (sqrt(list_dot_product(q.ve, q.ve)) * sqrt(list_dot_product(c.nv, c.nv))), 6) AS score
+             |  FROM short s JOIN corpus c ON c.nid = s.nid JOIN e q ON q.vec_id = s.qid),
+             |r AS (
+             |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rn
+             |  FROM sc)
+             |SELECT qid, nid, score, rn FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)
     )
   )
 }

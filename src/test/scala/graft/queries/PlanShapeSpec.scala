@@ -80,6 +80,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       // tripped by async jobs from other suites (streaming maintenance,
       // broadcast cleanup) — round 7's flake. Only jobs launched by THIS
       // thread between setJobGroup and the read land in the group.
+      // Budget: every spark.read.parquet legitimately runs one bounded
+      // schema-inference job (footer read) per scan, so the assertion is
+      // jobs ≤ scans — a reintroduced driver count() runs a FULL pipeline
+      // job without adding a scan to the plan, exceeding the budget.
       val group = s"planshape-guard-$n"
       spark.sparkContext.setJobGroup(group, "plan-construction job guard",
         interruptOnCancel = false)
@@ -87,8 +91,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         val df = graft.SparkEntry.registry.find(_.name == n).get.fn(spark, sf)
         val a = df.queryExecution.analyzed
         val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
-        assert(jobs.isEmpty,
-          s"$n ran ${jobs.length} job(s) at plan-construction time — " +
+        val nScans = a.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+        }.length
+        assert(jobs.length <= nScans,
+          s"$n ran ${jobs.length} job(s) at plan-construction time for " +
+            s"$nScans scan(s) — beyond the per-scan schema-inference budget; " +
             "corpus size must be a broadcast scalar aggregate, not a driver count()")
         a
       } finally spark.sparkContext.clearJobGroup()
@@ -109,7 +117,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // them contain a join that could degrade to a cartesian anyway.
     val eager = Set("text_bpe_train")
     def excluded(n: String) =
-      n.endsWith("_stream") || n.startsWith("sim_ann") ||
+      n.contains("_stream") || n.startsWith("sim_ann") ||
         n.startsWith("h3_resolve") || n == "geojson_source_roundtrip" ||
         eager(n)
     val offenders = graft.SparkEntry.registry
