@@ -155,6 +155,82 @@ object GeoQueries {
           .orderBy("geo_id")
       }),
 
+    // ORACLED conservation check for the k-ring scatter: the decimal total
+    // of the scattered values must equal the decimal total of each cell's
+    // value × its disk size (the scatter loses/invents nothing), the
+    // per-cell sums must re-total to the SOURCE's qty sum — which DuckDB
+    // computes exactly — and every res-6 disk here is 7 cells (no
+    // pentagons in the synthetic lat/lon range, asserted in-engine rather
+    // than assumed).
+    QueryDef("h3_smooth_disk_checked",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val perCell = Resolver.resolveInput(
+          indexed(s, pointsInput, pointsDf(s, d), forWrite = false, asHex = false),
+          Seq("qty"))
+        val disks = perCell.withColumn("nbrs",
+          callUDF("h3_grid_disk", col("h3_index"), lit(1)))
+        val scattered = disks.withColumn("nbr", explode(col("nbrs")))
+          .groupBy("nbr")
+          .agg(sum(col("sum_qty").cast("decimal(28,2)")).as("smooth_qty"))
+        val lhs = scattered.agg(sum(col("smooth_qty")).as("scat_total"))
+        val rhs = disks.agg(
+          sum(col("sum_qty").cast("decimal(28,2)") * size(col("nbrs"))).as("wgt_total"),
+          (sum(when(size(col("nbrs")) === 7, 0L).otherwise(1L)) === 0L).as("all_disks_7"),
+          sum(col("sum_qty").cast("decimal(18,2)")).cast("double").as("cell_qty_total"))
+        val src = pointsDf(s, d).agg(
+          count(lit(1)).as("n_points"),
+          sum(col("qty").cast("decimal(18,2)")).cast("double").as("qty_total"))
+        lhs.crossJoin(broadcast(rhs)).crossJoin(broadcast(src))
+          .select(
+            (col("scat_total") === col("wgt_total")).as("scatter_conserves"),
+            col("all_disks_7"),
+            (col("cell_qty_total") === col("qty_total")).as("cell_total_matches"),
+            col("n_points"), col("qty_total"))
+      },
+      Some("""SELECT true AS scatter_conserves, true AS all_disks_7,
+             |  true AS cell_total_matches, count(*) AS n_points,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS qty_total
+             |FROM orders""".stripMargin)),
+
+    // ORACLED invariant check for h3_compact: per feature, uncompacting
+    // the compacted set back to res 6 must reproduce EXACTLY the original
+    // cell set (the sorted-array equality subsumes the 7^Δres count
+    // identity, which is also asserted via bit-extracted resolutions).
+    // Feature-count note (why h3_compact_coverage has 1497 rows, not the
+    // 1500 customers): 3 small high-|latitude| polygons (geo_id 901, 910,
+    // 1360 at sf0.01) contain NO res-6 cell centroid, so the
+    // centroid-containment polyfill — upstream h3 polyfill semantics —
+    // rightly yields zero cells for them. DuckDB can't compute centroid
+    // containment, so the oracle pins the boolean invariants plus the
+    // feature count's upper bound against the source table.
+    QueryDef("h3_compact_coverage_checked",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val idx = indexed(s, polysInput, polysDf(s, d), forWrite = false, asHex = false)
+        val per = idx.groupBy("geo_id")
+          .agg(collect_list("h3_index").as("cells"))
+          .withColumn("compact", callUDF("h3_compact", col("cells")))
+          .withColumn("roundtrip", expr(
+            s"array_sort(h3_uncompact(compact, $Res)) = array_sort(cells)"))
+          .withColumn("count_ok", expr(
+            s"""aggregate(transform(compact,
+               |  c -> CAST(pow(7, $Res - int(shiftright(c, 52) & 15)) AS BIGINT)),
+               |  0L, (a, x) -> a + x) = size(cells)""".stripMargin))
+          .agg(
+            (sum(when(col("roundtrip"), 0L).otherwise(1L)) === 0L).as("all_roundtrip"),
+            (sum(when(col("count_ok"), 0L).otherwise(1L)) === 0L).as("all_counts"),
+            count(lit(1)).cast("long").as("n_features"))
+        val src = T(s, d, "customer").agg(count(lit(1)).as("n_source"))
+        per.crossJoin(broadcast(src))
+          .select(col("all_roundtrip"), col("all_counts"),
+            (col("n_features") <= col("n_source")).as("features_le_source"),
+            col("n_source"))
+      },
+      Some("""SELECT true AS all_roundtrip, true AS all_counts,
+             |  true AS features_le_source, count(*) AS n_source
+             |FROM customer""".stripMargin)),
+
     // mixed-resolution resolve: points indexed at res 7 roll up to their
     // res-6 ancestors (exact re-sum under the parent key), polygons index
     // at res 6 directly, and both meet in the ordinary full-outer fold —
