@@ -410,10 +410,10 @@ object EventStream {
     val batchRaw = spark.read.parquet(s"$dir/events.parquet")
     val batch = graft.queries.T.normTs(batchRaw)
     // stage source dir in a uniform normalized schema (the driver's
-    // events.parquet carries TIMESTAMP(NANOS), which a file stream can't mix
-    // with the micros sentinels): the real events, plus one sentinel per
-    // user far past the global max timestamp (flushes the final open
-    // sessions through the ordinary gap rule)
+    // events.parquet ts encoding varies by round — NANOS-as-long, µs-NTZ —
+    // and a file stream can't mix those with the µs sentinels): the real
+    // events, plus one sentinel per user far past the global max timestamp
+    // (flushes the final open sessions through the ordinary gap rule)
     val srcDir = Files.createTempDirectory("graft_sess_src")
     srcDir.toFile.deleteOnExit()
     val normalized = batch.select(col("user_id").cast("long"),
