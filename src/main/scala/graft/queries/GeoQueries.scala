@@ -449,6 +449,135 @@ object GeoQueries {
         Resolver.mergeDelta(s, existing, delta, Res).orderBy("h3_index")
       }),
 
+    // ORACLED invariants for the POINT/WITHIN recipe: every point indexes
+    // to EXACTLY one cell with ratio exactly 1.0 (the reference's WITHIN
+    // semantics), every cell is res 6 with a res-3 parent and positive
+    // area, and the row count and decimal qty total are DuckDB's own
+    // aggregates over the source table — so the only rows-only residue in
+    // h3_index_points is the H3 key VALUES themselves (golden-tested in
+    // H3CoreSpec), not the pipeline's shape.
+    QueryDef("h3_index_points_checked",
+      (s, d) => {
+        graft.engine.Expressions.register(s)
+        val idx = indexed(s, pointsInput, pointsDf(s, d))
+        idx.agg(
+          (sum(when(col("ratio") === 1.0, 0L).otherwise(1L)) === 0L).as("all_ratio_one"),
+          (count(lit(1)) === countDistinct(col("point_id"))).as("one_row_per_point"),
+          (sum(when(expr("h3_resolution_native(h3_index) = 6"), 0L).otherwise(1L)) === 0L)
+            .as("all_res6"),
+          (sum(when(expr("h3_resolution_native(h3_r3_parent) = 3"), 0L).otherwise(1L)) === 0L)
+            .as("all_parent_res3"),
+          (sum(when(col("h3_area_km2") > 0.0, 0L).otherwise(1L)) === 0L).as("all_area_pos"),
+          count(lit(1)).cast("long").as("n_points"),
+          sum(col("qty").cast("decimal(18,2)")).cast("double").as("qty_total"))
+      },
+      Some("""SELECT true AS all_ratio_one, true AS one_row_per_point,
+             |  true AS all_res6, true AS all_parent_res3, true AS all_area_pos,
+             |  count(*) AS n_points,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS qty_total
+             |FROM orders""".stripMargin)),
+
+    // ORACLED invariants for the LINE/PCT_LENGTH recipe: each surviving
+    // route's pct-length ratios sum into (0, 1] (corner-cut loss keeps the
+    // sum ≤ 1 — the reference's own h3_line behavior — and float roundoff
+    // gets a 1e-7 guard), every route has ≥1 cell, and the route count is
+    // bounded by DuckDB's source count. (At sf0.01, 18 of 15,000 routes
+    // are degenerate zero-length LINESTRINGs — start == end after the
+    // synthetic offsets cancel — which validate() rightly drops, hence
+    // le_source rather than equality.)
+    QueryDef("h3_index_lines_checked",
+      (s, d) => {
+        val idx = indexed(s, linesInput, linesDf(s, d))
+        val per = idx.groupBy("route_id")
+          .agg(sum("ratio").as("rs"), count(lit(1)).as("nc"))
+        val chk = per.agg(
+          (sum(when(col("rs") > 0.0 && col("rs") <= 1.0000001, 0L).otherwise(1L)) === 0L)
+            .as("all_ratio_sums_ok"),
+          (sum(when(col("nc") >= 1, 0L).otherwise(1L)) === 0L).as("all_covered"),
+          count(lit(1)).cast("long").as("n_routes"))
+        val src = T(s, d, "orders").agg(count(lit(1)).as("n_source"))
+        chk.crossJoin(broadcast(src))
+          .select(col("all_ratio_sums_ok"), col("all_covered"),
+            (col("n_routes") <= col("n_source")).as("routes_le_source"),
+            col("n_source"))
+      },
+      Some("""SELECT true AS all_ratio_sums_ok, true AS all_covered,
+             |  true AS routes_le_source, count(*) AS n_source
+             |FROM orders""".stripMargin)),
+
+    // ORACLED check for incremental resolve: folding the two half-batches
+    // through mergeDelta must reproduce the single-shot resolve
+    // cell-for-cell (sums compared at the DECIMAL(18,2) grain the source
+    // values live at — double summation order may differ between the two
+    // groupings, but by far less than 0.005), and the merged totals are
+    // DuckDB's own count/sum over the source. This is the production
+    // claim: merge cost scales with the delta, result identical to a full
+    // recompute.
+    QueryDef("h3_resolve_incremental_checked",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val all = pointsDf(s, d)
+        def res1(batch: org.apache.spark.sql.DataFrame) =
+          Resolver.resolveSingle(s,
+            indexed(s, pointsInput, batch, forWrite = false, asHex = false),
+            Seq("qty"), Res)
+        val merged = Resolver.mergeDelta(s,
+          res1(all.where(pmod(col("point_id"), lit(2)) === 0)),
+          res1(all.where(pmod(col("point_id"), lit(2)) === 1)), Res)
+          .select(col("h3_index"), col("sum_qty").as("m_qty")).as("m")
+        val single = res1(all)
+          .select(col("h3_index"), col("sum_qty").as("s_qty")).as("sg")
+        val j = merged.join(single, Seq("h3_index"), "full_outer")
+        val cmp = j.agg(
+          (sum(when(col("m_qty").isNull || col("s_qty").isNull ||
+            col("m_qty").cast("decimal(18,2)") =!= col("s_qty").cast("decimal(18,2)"),
+            1L).otherwise(0L)) === 0L).as("merge_equals_single"),
+          sum(col("m_qty").cast("decimal(18,2)")).cast("double").as("qty_total"))
+        val src = T(s, d, "orders").agg(count(lit(1)).as("n_points"))
+        cmp.crossJoin(broadcast(src))
+          .select(col("merge_equals_single"), col("n_points"), col("qty_total"))
+      },
+      Some("""SELECT true AS merge_equals_single, count(*) AS n_points,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS qty_total
+             |FROM orders""".stripMargin)),
+
+    // ORACLED conservation for the mixed-resolution rollup: re-keying the
+    // res-7 per-cell sums to their res-6 ancestors must conserve the
+    // decimal total exactly (sums re-sum under the parent key), shrink or
+    // keep the cell count, and the conserved total is DuckDB's own source
+    // aggregate. (Cell-for-cell equality with direct res-6 indexing is NOT
+    // an invariant — aperture-7 children overhang their parent hexagon, so
+    // a boundary point's res-7 parent can differ from its direct res-6
+    // cell; only mass conservation is exact, and that is what ships.)
+    QueryDef("h3_resolve_multires_checked",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val p7 = Resolver.resolveInput(
+          indexed(s, pointsInput, pointsDf(s, d), forWrite = false, asHex = false,
+            res = Res + 1),
+          Seq("qty")).localCheckpoint()
+        val rolled = Resolver.rollupToRes(p7, Res)
+        val a = p7.agg(
+          sum(col("sum_qty").cast("decimal(18,2)")).as("t7"),
+          count(lit(1)).as("n7"))
+        val b = rolled.agg(
+          sum(col("sum_qty").cast("decimal(18,2)")).as("t6"),
+          count(lit(1)).as("n6"))
+        val src = T(s, d, "orders").agg(
+          count(lit(1)).as("n_points"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("qty_total"))
+        a.crossJoin(broadcast(b)).crossJoin(broadcast(src))
+          .select(
+            (col("t7") === col("t6")).as("rollup_conserves"),
+            (col("n6") <= col("n7")).as("rollup_shrinks"),
+            (col("t6").cast("double") === col("qty_total")).as("total_matches_source"),
+            col("n_points"), col("qty_total"))
+      },
+      Some("""SELECT true AS rollup_conserves, true AS rollup_shrinks,
+             |  true AS total_matches_source, count(*) AS n_points,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS qty_total
+             |FROM orders""".stripMargin)),
+
     // GeoJSON source round-trip, DuckDB-oracled end-to-end: customer rows
     // become NDJSON Features (geometry + typed properties), are written
     // with the distributed GeoJSON sink, read back through the extension-
