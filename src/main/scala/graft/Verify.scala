@@ -6,12 +6,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
     val spark = Sessions.local()
     new java.io.File(outDir).mkdirs()
-    // Dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 runs just those queries
+    // Dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 (or a third CLI arg — used
+    // by VerifySpec, which can't set env vars) runs just those queries
     // (unset → full dump, the driver's contract).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val only = args.lift(2).orElse(sys.env.get("SPARK_GRAFT_ONLY"))
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
