@@ -776,6 +776,97 @@ object TextOps {
              |JOIN u ub ON CAST(('0x' || substr(md5(b), 1, 8)) AS BIGINT) % 4096 = ub.bw
              |CROSS JOIN tot
              |ORDER BY cab DESC, a, b LIMIT 20""".stripMargin)
+    ),
+
+    // BM25 document ranking (Okapi, k1=1.2 b=0.75) for a fixed query term
+    // set — the retrieval scorer a corpus-search / data-curation pipeline
+    // runs ahead of embedding search. Scale shape: tokens are filtered to
+    // the query terms BEFORE the tf groupBy (the explode never leaves the
+    // map side for non-query tokens); df and the (N, avgdl) corpus stats
+    // are tiny scalar/per-term aggregates that broadcast; the only
+    // data-sized shuffles are the per-doc tf groupBy and the dl join on
+    // doc_id. Cross-engine determinism: per-term scores are rounded to 6
+    // decimals and DECIMAL-summed (order-independent), same recipe as the
+    // perplexity family.
+    QueryDef(
+      "text_bm25_rank",
+      (s, d) => {
+        val terms = Seq("spark", "window", "hash")
+        val toks = T(s, d, "documents")
+          .select(col("doc_id"), expr("filter(split(text, ' +'), x -> x != '')").as("ws"))
+        val dl = toks.select(col("doc_id"), size(col("ws")).cast("bigint").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+        val tf = toks.select(col("doc_id"), explode(col("ws")).as("w"))
+          .where(col("w").isin(terms: _*))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfT), "w")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("sterm", expr(
+            """CAST(round(ln((n - df + 0.5D) / (df + 0.5D) + 1.0D) * tf * 2.2D /
+              |  (tf + 1.2D * (0.25D + 0.75D * dl / avgdl)), 6) AS DECIMAL(18,6))"""
+              .stripMargin))
+          .groupBy("doc_id")
+          .agg(sum("sterm").cast("double").as("bm25"),
+            count(lit(1)).cast("long").as("n_terms"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split_regex(text, ' +'), x -> x <> '') AS ws
+             |  FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM t),
+             |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |tf AS (SELECT doc_id, w, count(*) AS tf
+             |  FROM (SELECT doc_id, unnest(ws) AS w FROM t)
+             |  WHERE w IN ('spark', 'window', 'hash') GROUP BY 1, 2),
+             |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT tf.doc_id,
+             |    CAST(round(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * tf.tf * 2.2 /
+             |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 6) AS DECIMAL(18,6)) AS sterm
+             |  FROM tf JOIN df USING (w) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st)
+             |SELECT doc_id, CAST(sum(sterm) AS DOUBLE) AS bm25,
+             |  count(*) AS n_terms
+             |FROM sc GROUP BY doc_id
+             |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin)
+    ),
+
+    // MLM span-mask planning: deterministically select ~15% of token
+    // positions per document via an md5 coin (both engines compute md5
+    // bit-identically, so the mask is reproducible across engines, runs,
+    // and restarts — the property an MLM data pipeline needs so a resumed
+    // job masks the same positions). Pure map-side explode + one per-doc
+    // re-aggregation; no corpus-sized state anywhere, so the plan is flat
+    // at 100 TB.
+    QueryDef(
+      "text_mask_plan",
+      (s, d) => {
+        val toks = T(s, d, "documents")
+          .select(col("doc_id"), posexplode(
+            expr("filter(split(text, ' +'), x -> x != '')")).as(Seq("pos", "w")))
+          .withColumn("coin", expr(
+            "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(pos AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100"))
+        toks
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            sum(when(col("coin") < 15, 1L).otherwise(0L)).cast("long").as("n_masked"),
+            sum(when(col("coin") < 15, col("pos").cast("long") + 1L)
+              .otherwise(0L)).cast("long").as("pos_checksum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split_regex(text, ' +'), x -> x <> '') AS ws
+             |  FROM documents),
+             |toks AS (SELECT doc_id, unnest(range(len(ws))) AS pos FROM t),
+             |coins AS (SELECT doc_id, pos,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 8))
+             |      AS BIGINT) % 100 AS coin
+             |  FROM toks)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  CAST(sum(CASE WHEN coin < 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+             |  CAST(sum(CASE WHEN coin < 15 THEN pos + 1 ELSE 0 END) AS BIGINT) AS pos_checksum
+             |FROM coins GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     )
   )
 }
