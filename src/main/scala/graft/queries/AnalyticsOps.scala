@@ -892,6 +892,53 @@ object AnalyticsOps {
              |JOIN ps sc ON sc.p = r.cons
              |CROSS JOIN n
              |ORDER BY ante, cons""".stripMargin)
+    ),
+
+    // Contrastive negative sampling: for every anchor document, pick K=4
+    // deterministic random negatives from a corpus-wide candidate pool
+    // (an md5 1-in-20 downsample), excluding the anchor itself and
+    // same-source docs (near-positives). The pool is the scale lever: it
+    // is a fixed-rate sample that broadcasts, and each anchor ranks the
+    // pool MAP-SIDE with higher-order functions (filter → hash → sort →
+    // slice over the broadcast array) — no per-pair shuffle, no window,
+    // no all-pairs anywhere; the plan is one scan of the corpus. The
+    // md5(anchor:cand) rank makes the draw reproducible across engines,
+    // runs, and resumes — the property a training pipeline needs so
+    // shuffled epochs see stable negatives.
+    QueryDef(
+      "sample_negatives_contrastive",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val pool = docs.where(expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 20 = 0"))
+          .agg(collect_list(struct(col("doc_id").as("cand"),
+            col("source").as("cand_src"))).as("pool"))
+        docs.select(col("doc_id"), col("source"))
+          .crossJoin(broadcast(pool))
+          .withColumn("negs", expr(
+            """slice(array_sort(transform(
+              |  filter(pool, p -> p.cand != doc_id AND p.cand_src != source),
+              |  p -> named_struct(
+              |    'h', CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',
+              |           CAST(p.cand AS STRING))), 1, 8), 16, 10) AS BIGINT),
+              |    'cand', p.cand))), 1, 4)""".stripMargin))
+          .select(col("doc_id"), posexplode(col("negs")).as(Seq("p0", "n")))
+          .select(col("doc_id"), col("n.cand").as("neg_id"),
+            (col("p0") + 1).cast("long").as("rk"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH pool AS (SELECT doc_id AS cand, source AS cand_src FROM documents
+             |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 20 = 0),
+             |pairs AS (SELECT d.doc_id, p.cand,
+             |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+             |      CAST(p.cand AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+             |  FROM documents d CROSS JOIN pool p
+             |  WHERE p.cand <> d.doc_id AND p.cand_src <> d.source),
+             |r AS (SELECT doc_id, cand,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY h, cand) AS rk
+             |  FROM pairs)
+             |SELECT doc_id, cand AS neg_id, CAST(rk AS BIGINT) AS rk
+             |FROM r WHERE rk <= 4 ORDER BY doc_id, rk""".stripMargin)
     )
   )
 

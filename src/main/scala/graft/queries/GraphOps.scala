@@ -275,6 +275,73 @@ object GraphOps {
       "graph_kcore",
       (s, d) => kcore(s, d, k = 80, rounds = 8),
       Some(kcoreOracle(k = 80, rounds = 8))
+    ),
+
+    // Synchronous label propagation (community detection) over the
+    // customer↔supplier bipartite graph, 4 fixed rounds. Deterministic
+    // variant: each node adopts its neighbors' most frequent label,
+    // ties broken by the SMALLEST label — the argmax is packed into one
+    // BIGINT (cnt·1e9 + (1e9−1−label)) so a plain max() resolves it
+    // identically in both engines, with no FP and no window. Scale shape
+    // per round: one shuffle join of labels with the edge list on the
+    // neighbor key + one aggregation on the node — the same silhouette as
+    // one PageRank iteration; labels are |V|-sized, nothing collects to
+    // the driver, and the Spark side localCheckpoints per round to keep
+    // lineage flat (the oracle unrolls the same rounds as chained CTEs).
+    QueryDef(
+      "graph_label_propagation",
+      (s, d) => {
+        val o = T(s, d, "orders").select("o_orderkey", "o_custkey")
+        val l = T(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+        val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+          .distinct()
+        val adj = pairs.unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
+          .localCheckpoint()
+        var lbl = adj.select(col("u").as("node")).distinct()
+          .select(col("node"), col("node").as("lbl"))
+        val perRound = (1 to 4).map { i =>
+          lbl = adj
+            .join(lbl.withColumnRenamed("node", "v"), "v")
+            .groupBy(col("u"), col("lbl"))
+            .agg(count(lit(1)).as("c"))
+            .groupBy(col("u").as("node"))
+            .agg((lit(999999999L) -
+              max(col("c") * 1000000000L + (lit(999999999L) - col("lbl"))) % 1000000000L)
+              .as("lbl"))
+            .localCheckpoint()
+          // summarize EVERY round, not just the last: the per-round
+          // community histogram pins the whole convergence trajectory
+          lbl.groupBy(col("lbl").as("community"))
+            .agg(count(lit(1)).cast("long").as("sz"), min("node").as("rep"))
+            .withColumn("round", lit(i.toLong))
+        }
+        perRound.reduce(_ unionByName _)
+          .select("round", "community", "sz", "rep")
+          .orderBy(col("round"), col("sz").desc, col("community"))
+      },
+      Some {
+        val iters = (1 to 4).map { i =>
+          val p = s"l${i - 1}"
+          s"""c$i AS (SELECT a.u, l.lbl, count(*) AS c
+             |  FROM adj a JOIN $p l ON a.v = l.node GROUP BY 1, 2),
+             |l$i AS (SELECT u AS node,
+             |    999999999 - (max(c * 1000000000 + (999999999 - lbl)) % 1000000000) AS lbl
+             |  FROM c$i GROUP BY u)""".stripMargin
+        }.mkString(",\n")
+        val rounds = (1 to 4).map(i =>
+          s"""SELECT CAST($i AS BIGINT) AS round, lbl AS community,
+             |  CAST(count(*) AS BIGINT) AS sz, min(node) AS rep
+             |FROM l$i GROUP BY 2""".stripMargin).mkString("\nUNION ALL\n")
+        s"""WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+           |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+           |adj AS MATERIALIZED (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+           |l0 AS (SELECT node, node AS lbl
+           |  FROM (SELECT DISTINCT u AS node FROM adj)),
+           |$iters
+           |SELECT * FROM ($rounds)
+           |ORDER BY round, sz DESC, community""".stripMargin
+      }
     )
   )
 }

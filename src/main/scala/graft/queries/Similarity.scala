@@ -550,6 +550,53 @@ object SimilarityQ {
              |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rn
              |  FROM sc)
              |SELECT qid, nid, score, rn FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)
+    ),
+
+    // Symmetric per-vector int8 quantization — the compression step that
+    // turns a float32 embedding corpus into the int8 form ANN serving
+    // uses (4× smaller scans, SIMD-friendly distance kernels). Entirely
+    // map-side: amax, codes and the per-vector summary are higher-order
+    // functions over the row's own array, so the 100 TB plan is one scan
+    // with zero shuffles (the final orderBy is the dump's sort only).
+    // Cross-engine determinism: code_i = floor(x·127/amax + 0.5) uses only
+    // IEEE ops both engines execute identically; the summary columns are
+    // all BIGINT; scale is a single rounded double per row (no sums).
+    QueryDef(
+      "embedding_int8_quantize",
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+          .select(col("vec_id"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("ve"))
+        e.withColumn("amax", expr("array_max(transform(ve, x -> abs(x)))"))
+          .withColumn("codes", expr(
+            """CASE WHEN amax = 0D THEN transform(ve, x -> CAST(0 AS BIGINT))
+              |ELSE transform(ve, x -> CAST(floor(x * 127.0D / amax + 0.5D) AS BIGINT)) END"""
+              .stripMargin))
+          .select(col("vec_id"),
+            size(col("codes")).cast("long").as("n_dims"),
+            expr("array_min(codes)").as("qmin"),
+            expr("array_max(codes)").as("qmax"),
+            expr("aggregate(codes, 0L, (a, v) -> a + v)").as("qsum"),
+            expr("""aggregate(zip_with(codes, sequence(1, size(codes)),
+                   |  (c, i) -> c * CAST(i AS BIGINT)), 0L, (a, v) -> a + v)"""
+              .stripMargin).as("checksum"),
+            round(col("amax") / lit(127.0), 9).as("scale"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+             |q AS (SELECT vec_id, ve,
+             |    list_max(list_transform(ve, x -> abs(x))) AS amax FROM e),
+             |c AS (SELECT vec_id, amax,
+             |    CASE WHEN amax = 0 THEN list_transform(ve, x -> CAST(0 AS BIGINT))
+             |    ELSE list_transform(ve, x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT))
+             |    END AS codes
+             |  FROM q)
+             |SELECT vec_id, CAST(len(codes) AS BIGINT) AS n_dims,
+             |  list_min(codes) AS qmin, list_max(codes) AS qmax,
+             |  CAST(list_sum(codes) AS BIGINT) AS qsum,
+             |  CAST(list_sum(list_transform(range(len(codes)),
+             |    i -> codes[i + 1] * (i + 1))) AS BIGINT) AS checksum,
+             |  round(amax / 127.0, 9) AS scale
+             |FROM c ORDER BY vec_id""".stripMargin)
     )
   )
 }

@@ -867,6 +867,54 @@ object TextOps {
              |  CAST(sum(CASE WHEN coin < 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
              |  CAST(sum(CASE WHEN coin < 15 THEN pos + 1 ELSE 0 END) AS BIGINT) AS pos_checksum
              |FROM coins GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Length-bucketed batch assignment — the batching step of a training
+    // pipeline that groups similar-length documents (width-32 token
+    // buckets) and carves each bucket into fixed-size batches of 8 in
+    // doc_id order. The global per-bucket row number is computed WITHOUT a
+    // single-partition window: phase 1 ranks locally within (bucket,
+    // salt) where salt = doc_id div 100 is MONOTONE in the sort key, so
+    // ranks don't interleave across salts; phase 2 turns per-(bucket,
+    // salt) counts into cumulative offsets with a window over the tiny
+    // (bucket × salt) frame and broadcasts them back. At 100 TB the big
+    // side shuffles once on (bucket, salt) — thousands of balanced
+    // partitions — instead of one executor sorting an entire bucket (the
+    // classic row_number() scale trap). The oracle states the same thing
+    // as the plain global window.
+    QueryDef(
+      "text_length_bucket_batches",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val dl = T(s, d, "documents").select(col("doc_id"),
+            expr("CAST(size(filter(split(text, ' +'), x -> x != '')) AS BIGINT)").as("n_tok"))
+          .withColumn("bucket", expr("((n_tok + 31L) div 32L) * 32L"))
+          .withColumn("salt", expr("doc_id div 100L"))
+        val wLocal = Window.partitionBy("bucket", "salt").orderBy("doc_id")
+        val local = dl.withColumn("lrk", row_number().over(wLocal).cast("long"))
+        val wOff = Window.partitionBy("bucket").orderBy("salt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = dl.groupBy("bucket", "salt").agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum("cnt").over(wOff), lit(0L)))
+          .select("bucket", "salt", "off")
+        local.join(broadcast(offs), Seq("bucket", "salt"))
+          .withColumn("rn", col("lrk") + col("off"))
+          .withColumn("batch", expr("(rn - 1L) div 8L"))
+          .groupBy("bucket", "batch")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("n_tok").cast("long").as("tok_sum"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("bucket", "batch")
+      },
+      Some("""WITH dl AS (SELECT doc_id,
+             |    CAST(len(list_filter(string_split_regex(text, ' +'), x -> x <> '')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |b AS (SELECT doc_id, n_tok, ((n_tok + 31) // 32) * 32 AS bucket FROM dl),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM b)
+             |SELECT bucket, (rn - 1) // 8 AS batch, count(*) AS n_docs,
+             |  CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM r GROUP BY 1, 2 ORDER BY bucket, batch""".stripMargin)
     )
   )
 }
