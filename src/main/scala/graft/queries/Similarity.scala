@@ -597,6 +597,66 @@ object SimilarityQ {
              |    i -> codes[i + 1] * (i + 1))) AS BIGINT) AS checksum,
              |  round(amax / 127.0, 9) AS scale
              |FROM c ORDER BY vec_id""".stripMargin)
+    ),
+
+    // ANN quality evaluation: recall@10 of the IVF path against the
+    // brute-force ground truth, per query — the metric that decides
+    // whether an approximate index is shippable. Both sides are the
+    // registered, independently-oracled queries (md5-pinned seeds), so
+    // the eval itself is a tiny (qid, nid) semi-join + count; at 100 TB
+    // the ground truth is computed for a small query sample only (here
+    // vec_id < 5) and the join is |sample|·k rows. recall_pct stays
+    // integer (hits·10 for k=10) — no FP anywhere in the eval.
+    QueryDef(
+      "sim_ann_recall_eval",
+      (s, d) => {
+        val brute = qs.find(_.name == "sim_cosine_topk_bruteforce").get.fn(s, d)
+          .select(col("qid"), col("nid"))
+        val ivf = qs.find(_.name == "sim_ann_ivf_md5").get.fn(s, d)
+          .select(col("qid"), col("nid"))
+        brute.join(ivf, Seq("qid", "nid"), "left_semi")
+          .groupBy("qid")
+          .agg(count(lit(1)).cast("long").as("hits"))
+          .withColumn("recall_pct", (col("hits") * 10L).cast("long"))
+          .orderBy("qid")
+      },
+      Some("""WITH be AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+             |bq AS (SELECT vec_id AS qid, ve AS qe FROM be WHERE vec_id < 5),
+             |bsc AS (SELECT q.qid, e.vec_id AS nid,
+             |    round(list_dot_product(e.ve, q.qe) /
+             |      (sqrt(list_dot_product(e.ve, e.ve)) * sqrt(list_dot_product(q.qe, q.qe))), 6) AS score
+             |  FROM be e CROSS JOIN bq q),
+             |br AS (SELECT qid, nid,
+             |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn FROM bsc),
+             |btop AS (SELECT qid, nid FROM br WHERE rn <= 10),
+             |ie AS (SELECT vec_id,
+             |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS ve
+             |  FROM embeddings),
+             |isd AS (SELECT CAST(rk - 1 AS BIGINT) AS cand, ve AS cv FROM (
+             |    SELECT ve, row_number() OVER (
+             |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM ie)
+             |  WHERE rk <= 8),
+             |iasg AS (SELECT e.vec_id, s.cand, e.ve,
+             |    list_sum(list_transform(range(1, len(e.ve) + 1),
+             |      i -> CAST(round((e.ve[i] - s.cv[i]) * (e.ve[i] - s.cv[i]), 12)
+             |           AS DECIMAL(28,12)))) AS d2
+             |  FROM ie e CROSS JOIN isd s),
+             |irk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS ark
+             |  FROM iasg),
+             |icorpus AS (SELECT vec_id AS nid, cand AS cluster, ve AS nv FROM irk WHERE ark = 1),
+             |iq AS (SELECT vec_id AS qid, cand AS cluster, ve AS qv
+             |  FROM irk WHERE vec_id < 5 AND ark <= 2),
+             |isc AS (SELECT q.qid, c.nid,
+             |    round(list_dot_product(q.qv, c.nv) /
+             |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.nv, c.nv))), 6) AS score
+             |  FROM iq q JOIN icorpus c USING (cluster)),
+             |ir AS (SELECT qid, nid,
+             |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn FROM isc),
+             |itop AS (SELECT qid, nid FROM ir WHERE rn <= 10)
+             |SELECT b.qid AS qid, CAST(count(*) AS BIGINT) AS hits,
+             |  CAST(count(*) * 10 AS BIGINT) AS recall_pct
+             |FROM btop b JOIN itop i ON b.qid = i.qid AND b.nid = i.nid
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }
