@@ -894,6 +894,48 @@ object AnalyticsOps {
              |ORDER BY ante, cons""".stripMargin)
     ),
 
+    // Trailing-window anomaly detection over the event stream: per
+    // (event_type, hour), flag hours whose count exceeds 2× the trailing
+    // 6-hour average — the monitoring query a pipeline runs over its own
+    // ingest rates. The RANGE window is VALUE-based on the integer hour
+    // index (deterministic under ties) and, crucially, runs over the
+    // hourly AGGREGATE (|types|×|hours| rows), not raw events — at 100 TB
+    // the only data-sized shuffle is the rollup itself; the per-type
+    // window frame is tiny. The spike test is cross-multiplied integer
+    // arithmetic (cnt·n > 2·sum), so no FP anywhere.
+    QueryDef(
+      "events_anomaly_trailing",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = T.events(s, d)
+          .withColumn("hr", expr("unix_micros(ts) div 3600000000"))
+          .groupBy("event_type", "hr")
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("event_type").orderBy("hr")
+          .rangeBetween(-6, -1)
+        hourly
+          .withColumn("trail_sum", sum("cnt").over(w))
+          .withColumn("trail_hours", count(lit(1)).over(w))
+          .where(col("trail_hours") >= 3)
+          .withColumn("spike", col("cnt") * col("trail_hours") > col("trail_sum") * 2L)
+          .select(col("event_type"), col("hr"), col("cnt"),
+            col("trail_sum"), col("trail_hours"), col("spike"))
+          .orderBy("event_type", "hr")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT event_type, hr, cnt,
+             |    CAST(sum(cnt) OVER w AS BIGINT) AS trail_sum,
+             |    CAST(count(*) OVER w AS BIGINT) AS trail_hours
+             |  FROM hourly
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+             |    RANGE BETWEEN 6 PRECEDING AND 1 PRECEDING))
+             |SELECT event_type, hr, cnt, trail_sum, trail_hours,
+             |  cnt * trail_hours > trail_sum * 2 AS spike
+             |FROM t WHERE trail_hours >= 3 ORDER BY event_type, hr""".stripMargin)
+    ),
+
     // Contrastive negative sampling: for every anchor document, pick K=4
     // deterministic random negatives from a corpus-wide candidate pool
     // (an md5 1-in-20 downsample), excluding the anchor itself and
