@@ -93,6 +93,108 @@ object LayoutOps {
              |  CAST(sum(CASE WHEN ymax >= 24 AND ymin <= 31 THEN 1 ELSE 0 END) AS BIGINT) AS y_files,
              |  CAST(sum(CASE WHEN ymax >= 24 AND ymin <= 31 THEN nrows ELSE 0 END) AS BIGINT) AS y_rows
              |FROM al GROUP BY layout ORDER BY layout""".stripMargin)
+    ),
+
+    // Hilbert-curve vs z-order layout, same pruning experiment as the
+    // z-order twin: the Hilbert index preserves locality strictly better
+    // than Morton (no diagonal jumps), which is why Iceberg/Hudi expose it
+    // as the premium clustering option. The 6-bit-per-dim xy→d transform
+    // is the classic 6-step rotate-and-flip recurrence, unrolled; every
+    // step is integer CASE arithmetic over (hx, hy, hd), expressed with
+    // the SAME generated SQL text in both engines (the XOR in
+    // d += s²·((3·rx)⊕ry) is expanded into a CASE table so neither
+    // engine's xor operator semantics are in play). At 100 TB the
+    // transform is a map-side projection inside one whole-stage-codegen
+    // span; the ntile stands in for repartitionByRange exactly as
+    // documented on the z-order twin.
+    QueryDef(
+      "layout_hilbert_pruning",
+      (s, d) => {
+        def stepSql(ss: Long): Seq[String] = Seq(
+          s"CASE WHEN (hy & $ss) > 0 THEN hx WHEN (hx & $ss) > 0 THEN $ss - 1 - hy ELSE hy END",
+          s"CASE WHEN (hy & $ss) > 0 THEN hy WHEN (hx & $ss) > 0 THEN $ss - 1 - hx ELSE hx END",
+          s"hd + ${ss * ss} * (CASE WHEN (hx & $ss) > 0 THEN " +
+            s"(CASE WHEN (hy & $ss) > 0 THEN 2 ELSE 3 END) ELSE " +
+            s"(CASE WHEN (hy & $ss) > 0 THEN 1 ELSE 0 END) END)")
+        val o = T(s, d, "orders")
+          .withColumn("p2", expr("CAST(round(o_totalprice * 100.0D, 0) AS BIGINT)"))
+        val st = o.agg(
+          min("o_custkey").as("minc"), max("o_custkey").as("maxc"),
+          min("p2").as("minp"), max("p2").as("maxp"))
+        val b = o.crossJoin(broadcast(st))
+          .withColumn("xb", expr("((o_custkey - minc) * 64) div (maxc - minc + 1)"))
+          .withColumn("yb", expr("((p2 - minp) * 64) div (maxp - minp + 1)"))
+          .withColumn("zval", ZOrder.interleaveBits(Seq(col("xb"), col("yb")), 6))
+        var cur = b.select(col("o_orderkey"), col("xb"), col("yb"), col("zval"),
+          col("xb").as("hx"), col("yb").as("hy"), lit(0L).as("hd"))
+        for (ss <- Seq(32L, 16L, 8L, 4L, 2L, 1L)) {
+          val Seq(ex, ey, ed) = stepSql(ss)
+          cur = cur.select(col("o_orderkey"), col("xb"), col("yb"), col("zval"),
+            expr(ex).as("hx2"), expr(ey).as("hy2"), expr(ed).as("hd2"))
+            .withColumnRenamed("hx2", "hx").withColumnRenamed("hy2", "hy")
+            .withColumnRenamed("hd2", "hd")
+        }
+        val filed = cur
+          .withColumn("fh", ntile(32).over(Window.orderBy(col("hd"), col("o_orderkey"))))
+          .withColumn("fz", ntile(32).over(Window.orderBy(col("zval"), col("o_orderkey"))))
+        def fileStats(fcol: String, layout: String) =
+          filed.groupBy(col(fcol).as("fid"))
+            .agg(min("xb").as("xmin"), max("xb").as("xmax"),
+              min("yb").as("ymin"), max("yb").as("ymax"),
+              count(lit(1)).as("nrows"))
+            .withColumn("layout", lit(layout))
+        val all = fileStats("fh", "hilbert").unionByName(fileStats("fz", "zorder"))
+        all.groupBy("layout").agg(
+          sum(when(col("xmax") >= 24 && col("xmin") <= 31, 1L).otherwise(0L))
+            .cast("long").as("x_files"),
+          sum(when(col("xmax") >= 24 && col("xmin") <= 31, col("nrows")).otherwise(0L))
+            .cast("long").as("x_rows"),
+          sum(when(col("ymax") >= 24 && col("ymin") <= 31, 1L).otherwise(0L))
+            .cast("long").as("y_files"),
+          sum(when(col("ymax") >= 24 && col("ymin") <= 31, col("nrows")).otherwise(0L))
+            .cast("long").as("y_rows"))
+          .orderBy("layout")
+      },
+      Some {
+        val steps = Seq(32L, 16L, 8L, 4L, 2L, 1L).zipWithIndex.map { case (ss, i) =>
+          s"""h${i + 1} AS (SELECT o_orderkey, xb, yb, zval,
+             |  CASE WHEN (hy & $ss) > 0 THEN hx WHEN (hx & $ss) > 0 THEN $ss - 1 - hy ELSE hy END AS hx,
+             |  CASE WHEN (hy & $ss) > 0 THEN hy WHEN (hx & $ss) > 0 THEN $ss - 1 - hx ELSE hx END AS hy,
+             |  hd + ${ss * ss} * (CASE WHEN (hx & $ss) > 0 THEN
+             |    (CASE WHEN (hy & $ss) > 0 THEN 2 ELSE 3 END) ELSE
+             |    (CASE WHEN (hy & $ss) > 0 THEN 1 ELSE 0 END) END) AS hd
+             |  FROM h$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH o AS (SELECT o_orderkey, o_custkey,
+           |    CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS p2 FROM orders),
+           |st AS (SELECT min(o_custkey) AS minc, max(o_custkey) AS maxc,
+           |    min(p2) AS minp, max(p2) AS maxp FROM o),
+           |b AS (SELECT o_orderkey,
+           |    ((o_custkey - minc) * 64) // (maxc - minc + 1) AS xb,
+           |    ((p2 - minp) * 64) // (maxp - minp + 1) AS yb
+           |  FROM o CROSS JOIN st),
+           |h0 AS (SELECT *, CAST(list_sum(list_transform(range(0, 6),
+           |    i -> (((xb >> i) & 1) << (2 * i)) + (((yb >> i) & 1) << (2 * i + 1))))
+           |    AS BIGINT) AS zval,
+           |    xb AS hx, yb AS hy, CAST(0 AS BIGINT) AS hd FROM b),
+           |$steps,
+           |filed AS (SELECT *,
+           |    ntile(32) OVER (ORDER BY hd, o_orderkey) AS fh,
+           |    ntile(32) OVER (ORDER BY zval, o_orderkey) AS fz FROM h6),
+           |sh AS (SELECT 'hilbert' AS layout, fh AS fid,
+           |    min(xb) AS xmin, max(xb) AS xmax, min(yb) AS ymin, max(yb) AS ymax,
+           |    count(*) AS nrows FROM filed GROUP BY 1, 2),
+           |sz AS (SELECT 'zorder' AS layout, fz AS fid,
+           |    min(xb) AS xmin, max(xb) AS xmax, min(yb) AS ymin, max(yb) AS ymax,
+           |    count(*) AS nrows FROM filed GROUP BY 1, 2),
+           |al AS (SELECT * FROM sh UNION ALL SELECT * FROM sz)
+           |SELECT layout,
+           |  CAST(sum(CASE WHEN xmax >= 24 AND xmin <= 31 THEN 1 ELSE 0 END) AS BIGINT) AS x_files,
+           |  CAST(sum(CASE WHEN xmax >= 24 AND xmin <= 31 THEN nrows ELSE 0 END) AS BIGINT) AS x_rows,
+           |  CAST(sum(CASE WHEN ymax >= 24 AND ymin <= 31 THEN 1 ELSE 0 END) AS BIGINT) AS y_files,
+           |  CAST(sum(CASE WHEN ymax >= 24 AND ymin <= 31 THEN nrows ELSE 0 END) AS BIGINT) AS y_rows
+           |FROM al GROUP BY layout ORDER BY layout""".stripMargin
+      }
     )
   )
 }
