@@ -894,6 +894,73 @@ object AnalyticsOps {
              |ORDER BY ante, cons""".stripMargin)
     ),
 
+    // Shuffle-skew diagnosis: the top-10 hottest join/agg keys with their
+    // integer basis-point share of all rows and the cumulative share —
+    // the query you run BEFORE deciding whether a key needs salting.
+    // Top-k travels as TakeOrderedAndProject (per-partition heaps, no
+    // global window over the key space); total rides as a broadcast
+    // scalar; the window runs over the 10 survivors only.
+    QueryDef(
+      "stats_key_skew",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = T(s, d, "lineitem")
+          .groupBy(col("l_suppkey").as("key"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = counts.agg(sum("cnt").as("total"))
+        val top = counts.orderBy(col("cnt").desc, col("key")).limit(10)
+        val w = Window.orderBy(col("cnt").desc, col("key"))
+        top.crossJoin(broadcast(tot))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("share_bp", expr("(cnt * 10000) div total"))
+          .withColumn("cum_cnt", sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("cum_share_bp", expr("(cum_cnt * 10000) div total"))
+          .select("rk", "key", "cnt", "share_bp", "cum_share_bp")
+          .orderBy("rk")
+      },
+      Some("""WITH counts AS (SELECT l_suppkey AS key, count(*) AS cnt
+             |  FROM lineitem GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+             |top AS (SELECT key, cnt,
+             |    row_number() OVER (ORDER BY cnt DESC, key) AS rk
+             |  FROM counts QUALIFY rk <= 10)
+             |SELECT CAST(rk AS BIGINT) AS rk, key, cnt,
+             |  (cnt * 10000) // total AS share_bp,
+             |  (CAST(sum(cnt) OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |    * 10000) // total AS cum_share_bp
+             |FROM top CROSS JOIN tot ORDER BY rk""".stripMargin)
+    ),
+
+    // Deterministic train/val/test split assignment (90/5/5) by an md5
+    // coin on the document id — the canonical first step of dataset
+    // packaging, reproducible across engines, runs, and re-shards (no
+    // RNG state, no ordering dependence). Map-only classify + one
+    // per-split aggregate; the doc_id sum doubles as an assignment
+    // checksum so moving ANY doc between splits is caught.
+    QueryDef(
+      "sample_train_split",
+      (s, d) => {
+        val coin = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+        T(s, d, "documents")
+          .withColumn("split", expr(
+            s"CASE WHEN $coin < 90 THEN 'train' WHEN $coin < 95 THEN 'val' ELSE 'test' END"))
+          .groupBy("split")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("doc_id").cast("long").as("id_checksum"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .orderBy("split")
+      },
+      Some("""WITH c AS (SELECT doc_id,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS coin
+             |  FROM documents)
+             |SELECT CASE WHEN coin < 90 THEN 'train' WHEN coin < 95 THEN 'val'
+             |  ELSE 'test' END AS split,
+             |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+             |  min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM c GROUP BY 1 ORDER BY split""".stripMargin)
+    ),
+
     // Trailing-window anomaly detection over the event stream: per
     // (event_type, hour), flag hours whose count exceeds 2× the trailing
     // 6-hour average — the monitoring query a pipeline runs over its own
