@@ -1003,6 +1003,27 @@ object AnalyticsOps {
              |FROM t WHERE trail_hours >= 3 ORDER BY event_type, hr""".stripMargin)
     ),
 
+    // Streaming twin of the anomaly detector: same oracle, state is a
+    // per-type hour→count map in flatMapGroupsWithState (sentinel-flushed
+    // here; event-time-timeout + trailing-horizon eviction in production —
+    // see EventStream.anomFn).
+    QueryDef(
+      "events_anomaly_stream",
+      (s, d) => graft.streaming.EventStream.anomalyTrailing(s, d),
+      Some("""WITH hourly AS (
+             |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT event_type, hr, cnt,
+             |    CAST(sum(cnt) OVER w AS BIGINT) AS trail_sum,
+             |    CAST(count(*) OVER w AS BIGINT) AS trail_hours
+             |  FROM hourly
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+             |    RANGE BETWEEN 6 PRECEDING AND 1 PRECEDING))
+             |SELECT event_type, hr, cnt, trail_sum, trail_hours,
+             |  cnt * trail_hours > trail_sum * 2 AS spike
+             |FROM t WHERE trail_hours >= 3 ORDER BY event_type, hr""".stripMargin)
+    ),
+
     // Contrastive negative sampling: for every anchor document, pick K=4
     // deterministic random negatives from a corpus-wide candidate pool
     // (an md5 1-in-20 downsample), excluding the anchor itself and

@@ -382,6 +382,75 @@ object EventStream {
     * session), so the emitted set equals the batch window-function query
     * events_sessionize and shares its DuckDB oracle.
     */
+  private[streaming] case class AnomEv(event_type: String, hr: Long, sentinel: Boolean)
+  private[streaming] case class AnomState(counts: Map[Long, Long])
+  private[streaming] case class AnomOut(event_type: String, hr: Long, cnt: Long,
+      trail_sum: Long, trail_hours: Long, spike: Boolean)
+
+  /** Streaming twin of events_anomaly_trailing: per-event_type hourly
+    * counts accumulate in flatMapGroupsWithState; the trailing-6-hour
+    * spike test for hour H needs H−6..H−1 final, so rows emit once no
+    * earlier data can arrive — signaled here by the staged sentinel (the
+    * whole corpus replays in one AvailableNow pass), in production by an
+    * event-time timeout at watermark > H, after which hours older than
+    * H−6 evict and state is O(watermark horizon) per key. State is a
+    * hour→count map — |distinct hours| entries per event_type, never raw
+    * events.
+    */
+  private def anomFn(
+      key: String, events: Iterator[AnomEv],
+      state: GroupState[AnomState]): Iterator[AnomOut] = {
+    var counts = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
+    var flush = false
+    events.foreach { e =>
+      if (e.sentinel) flush = true
+      else counts = counts.updated(e.hr, counts.getOrElse(e.hr, 0L) + 1L)
+    }
+    if (!flush) {
+      state.update(AnomState(counts))
+      Iterator.empty
+    } else {
+      state.remove()
+      counts.keys.toArray.sorted.iterator.map { h =>
+        val trail = (h - 6 to h - 1).flatMap(counts.get)
+        AnomOut(key, h, counts(h), trail.sum, trail.size.toLong,
+          counts(h) * trail.size > trail.sum * 2)
+      }.filter(_.trail_hours >= 3)
+    }
+  }
+
+  def anomalyTrailing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val batch = graft.queries.T.normTs(spark.read.parquet(s"$dir/events.parquet"))
+    val srcDir = Files.createTempDirectory("graft_anom_src")
+    srcDir.toFile.deleteOnExit()
+    val normalized = batch.select(col("event_type"),
+      expr("unix_micros(ts) div 3600000000").as("hr"), lit(false).as("sentinel"))
+    normalized.write.mode("overwrite").parquet(srcDir.resolve("00_events").toString)
+    normalized.select("event_type").distinct()
+      .select(col("event_type"), lit(Long.MaxValue).as("hr"), lit(true).as("sentinel"))
+      .write.mode("overwrite").parquet(srcDir.resolve("zz_sentinel").toString)
+
+    val raw = spark.readStream
+      .schema(normalized.schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir.toString)
+      .as[AnomEv]
+    val out = raw.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(anomFn)
+
+    val sinkName = s"graft_stream_anom_${math.abs(dir.hashCode)}"
+    val q = out.toDF().writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_anom_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).orderBy("event_type", "hr")
+  }
+
   private def sessionFn(gapMicros: Long)(
       user: Long, events: Iterator[Ev], state: GroupState[SessState]): Iterator[SessOut] = {
     val evs = events.toArray.sortBy(e => (e.tsu, e.event_id))
