@@ -419,6 +419,56 @@ object EventStream {
     }
   }
 
+  private val anomSinkSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Spec harness: run the anomaly gate with events SPLIT across
+    * micro-batches (one file per trigger, mtime-pinned order, sentinel
+    * last) to prove the hour→count state accumulates across batches —
+    * the cross-batch property the single-pass driver run can't
+    * distinguish from a within-batch accumulate. Returns (rows,
+    * non-empty micro-batches).
+    */
+  private[streaming] def anomalyMultiBatch(
+      spark: SparkSession, events: DataFrame): (DataFrame, Long) = {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_anom_mb")
+    srcDir.toFile.deleteOnExit()
+    val typed = events.select(col("event_type"), col("hr").cast("long"),
+      lit(false).as("sentinel"))
+    val parts = Seq(
+      typed.where(col("hr") % 2 === 0),
+      typed.where(col("hr") % 2 =!= 0),
+      typed.select("event_type").distinct()
+        .select(col("event_type"), lit(Long.MaxValue).as("hr"), lit(true).as("sentinel")))
+    val base = System.currentTimeMillis() - (parts.length + 1) * 2000L
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val partDir = srcDir.resolve(f"$i%02d_part")
+      p.coalesce(1).write.mode("overwrite").parquet(partDir.toString)
+      val t = java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)
+      val listing = Files.list(partDir)
+      try listing.forEach(pp => Files.setLastModifiedTime(pp, t))
+      finally listing.close()
+    }
+    val raw = spark.readStream.schema(typed.schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .as[AnomEv]
+    val out = raw.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(anomFn)
+    val sinkName = s"graft_anom_mb_${anomSinkSeq.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_anom_mb_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0).toLong
+    (spark.table(sinkName).orderBy("event_type", "hr"), nBatches)
+  }
+
   def anomalyTrailing(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val batch = graft.queries.T.normTs(spark.read.parquet(s"$dir/events.parquet"))
