@@ -110,6 +110,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("top-k windows push a partial WindowGroupLimit below the shuffle") {
+    // Spark 4's rank-based group-limit pushdown is why the engine
+    // composes top-k-per-group as row_number + filter instead of a
+    // custom operator: the PARTIAL WindowGroupLimit runs before the
+    // exchange, so the shuffle carries at most k rows per group per map
+    // partition — the same bound a hand-built grouped-top-k physical
+    // operator would give. Pin that it actually fires (a regression to a
+    // full-window plan would shuffle and sort every row of every group).
+    // both queries filter a row_number to k; partial AND final
+    // group-limit nodes must be present in each plan
+    for (q <- Seq("w1_topk_per_group", "sample_capped_per_group")) {
+      val p = planOf(q)
+      assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+        s"$q: expected partial+final WindowGroupLimit:\n${p.take(3000)}")
+    }
+  }
+
   test("no registered batch query plans a CartesianProduct") {
     // excluded: streaming twins (building the frame RUNS the stream),
     // k-means/BPE training and resolve pipelines (eager jobs at build
