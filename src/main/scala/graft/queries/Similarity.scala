@@ -599,6 +599,140 @@ object SimilarityQ {
              |FROM c ORDER BY vec_id""".stripMargin)
     ),
 
+    // Distributed covariance (the data pass of PCA / embedding whitening):
+    // one scan computes all d(d+1)/2 = 2080 second moments as a map-side
+    // HOF explode (each row emits its own upper-triangle products) feeding
+    // a partial-aggregated groupBy on (i, j) — the classic one-pass
+    // moment-matrix build. Per-dim sums and n are tiny broadcast
+    // aggregates. The eigensolve over the resulting 64×64 matrix is a
+    // driver-side O(d³) step by design (d is fixed and tiny next to the
+    // corpus) — what this query oracles is the 100 TB-side work.
+    // Cross-engine exactness: coordinates quantize to 1e-6 integers, so
+    // every moment is an EXACT int64 (|x6| < 10^6, d·n·x6² < 2^63 even at
+    // sf1000); the covariance double derives from those integers by
+    // identical IEEE arithmetic in both engines.
+    QueryDef(
+      "embedding_pca_covariance",
+      (s, d) => {
+        val e = T(s, d, "embeddings").select(col("vec_id"),
+          expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(round(x * 1000000.0D, 0) AS BIGINT))")
+            .as("x6"))
+        val pairs = e.select(explode(expr(
+            """flatten(transform(sequence(1, size(x6)), i ->
+              |  transform(sequence(i, size(x6)), j ->
+              |    named_struct('i', i, 'j', j,
+              |      'pxy', element_at(x6, i) * element_at(x6, j)))))""".stripMargin))
+            .as("p"))
+          .select(col("p.i"), col("p.j"), col("p.pxy"))
+        val sums = e.select(posexplode(col("x6")).as(Seq("d0", "x")))
+          .groupBy((col("d0") + 1).as("i")).agg(sum("x").as("s"))
+        val n = e.agg(count(lit(1)).as("n"))
+        pairs.groupBy("i", "j").agg(sum("pxy").as("s_xy"))
+          .join(broadcast(sums.select(col("i"), col("s").as("s_i"))), "i")
+          .join(broadcast(sums.select(col("i").as("j"), col("s").as("s_j"))), "j")
+          .crossJoin(broadcast(n))
+          .withColumn("cov", round(
+            (col("s_xy").cast("double") -
+              col("s_i").cast("double") * col("s_j").cast("double") / col("n")) /
+              (col("n") - 1) / lit(1e12), 9))
+          .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+            col("s_xy"), col("s_i"), col("s_j"), col("cov"))
+          .orderBy("i", "j")
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+             |    x -> CAST(round(x * 1000000.0, 0) AS BIGINT)) AS x6 FROM embeddings),
+             |dims AS (SELECT vec_id, i, x6[i] AS x
+             |  FROM e, (SELECT unnest(range(1, 65)) AS i) t),
+             |pairs AS (SELECT a.i AS i, b.i AS j, a.x * b.x AS pxy
+             |  FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.i <= b.i),
+             |s AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM dims GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM e),
+             |g AS (SELECT i, j, CAST(sum(pxy) AS BIGINT) AS s_xy FROM pairs GROUP BY 1, 2)
+             |SELECT CAST(g.i AS BIGINT) AS i, CAST(g.j AS BIGINT) AS j, s_xy,
+             |  si.s AS s_i, sj.s AS s_j,
+             |  round((CAST(s_xy AS DOUBLE) - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / n)
+             |    / (n - 1) / 1e12, 9) AS cov
+             |FROM g JOIN s si ON g.i = si.i JOIN s sj ON g.j = sj.i CROSS JOIN n
+             |ORDER BY i, j""".stripMargin)
+    ),
+
+    // PCA end-to-end, CHECKED: the oracled covariance feeds a driver-side
+    // deterministic Jacobi eigensolve (O(d³) on the 64×64 matrix — the
+    // standard driver-resident step, like k-means centroids or PQ
+    // codebooks), then the top-8 components broadcast back as literal
+    // arrays and every embedding projects MAP-SIDE through codegen'd
+    // higher-order functions. The in-engine checks close the loop:
+    // Σλ must equal trace(S) (eigensolve conserves total variance), VᵀV
+    // must be orthonormal, and — the end-to-end one — the DISTRIBUTED
+    // per-component score variances must reproduce the eigenvalues. The
+    // oracle pins those booleans plus the two DuckDB-computable scalars
+    // (n, the DECIMAL-summed trace of the same covariance SQL).
+    QueryDef(
+      "embedding_pca_project_checked",
+      (s, d) => {
+        import s.implicits._
+        val dDim = 64
+        val covRows = qs.find(_.name == "embedding_pca_covariance").get.fn(s, d)
+          .select("i", "j", "cov", "s_i").collect()
+        val m = Array.ofDim[Double](dDim, dDim)
+        val sInt = Array.ofDim[Long](dDim)
+        covRows.foreach { r =>
+          val i = r.getLong(0).toInt - 1; val j = r.getLong(1).toInt - 1
+          m(i)(j) = r.getDouble(2); m(j)(i) = r.getDouble(2)
+          if (i == j) sInt(i) = r.getLong(3)
+        }
+        val n = T(s, d, "embeddings").count()
+        val (evals, evecs) = graft.operators.Pca.jacobiEigen(m)
+        val traceDec = (0 until dDim)
+          .map(i => BigDecimal.valueOf(m(i)(i)).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+          .sum
+        val eigSumOk = math.abs(evals.sum - traceDec.toDouble) <=
+          1e-9 * math.max(1.0, math.abs(traceDec.toDouble))
+        val orthoErr = (for (i <- 0 until dDim; j <- i until dDim) yield {
+          val dot = (0 until dDim).map(k => evecs(i)(k) * evecs(j)(k)).sum
+          math.abs(dot - (if (i == j) 1.0 else 0.0))
+        }).max
+        val mean = sInt.map(_ / 1e6 / n)
+        val k = 8
+        // quantized coords (same 1e-6 grid the covariance used)
+        val e = T(s, d, "embeddings").select(expr(
+          "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> round(x * 1000000.0D, 0) / 1000000.0D)")
+          .as("xq"))
+        val scored = (0 until k).foldLeft(e) { (acc, c) =>
+          val vArr = evecs(c).map(x => s"${x}D").mkString(",")
+          val off = mean.zip(evecs(c)).map { case (mu, vv) => mu * vv }.sum
+          acc.withColumn(s"sc$c",
+            expr(s"aggregate(zip_with(xq, array($vArr), (x, y) -> x * y), 0D, (a, t) -> a + t)") - lit(off))
+        }
+        val aggs = (0 until k).map(c => sum(col(s"sc$c") * col(s"sc$c")).as(s"q$c"))
+        val ssq = scored.agg(aggs.head, aggs.tail: _*).head()
+        val varOk = (0 until k).forall { c =>
+          val varC = ssq.getDouble(c) / (n - 1)
+          math.abs(varC - evals(c)) <= math.max(1e-6, 1e-4 * math.abs(evals(c)))
+        }
+        Seq((eigSumOk, orthoErr <= 1e-9, varOk, n, traceDec.toDouble))
+          .toDF("eig_sum_matches_trace", "orthonormal", "variance_matches_eigs",
+            "n", "trace")
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+             |    x -> CAST(round(x * 1000000.0, 0) AS BIGINT)) AS x6 FROM embeddings),
+             |dims AS (SELECT vec_id, i, x6[i] AS x
+             |  FROM e, (SELECT unnest(range(1, 65)) AS i) t),
+             |pairs AS (SELECT a.i AS i, b.i AS j, a.x * b.x AS pxy
+             |  FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.i <= b.i),
+             |s AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM dims GROUP BY 1),
+             |nn AS (SELECT count(*) AS n FROM e),
+             |g AS (SELECT i, j, CAST(sum(pxy) AS BIGINT) AS s_xy FROM pairs GROUP BY 1, 2),
+             |cv AS (SELECT g.i, g.j,
+             |    round((CAST(s_xy AS DOUBLE) - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / n)
+             |      / (n - 1) / 1e12, 9) AS cov
+             |  FROM g JOIN s si ON g.i = si.i JOIN s sj ON g.j = sj.i CROSS JOIN nn)
+             |SELECT true AS eig_sum_matches_trace, true AS orthonormal,
+             |  true AS variance_matches_eigs,
+             |  (SELECT n FROM nn) AS n,
+             |  CAST((SELECT sum(CAST(cov AS DECIMAL(18,9))) FROM cv WHERE i = j) AS DOUBLE) AS trace""".stripMargin)
+    ),
+
     // ANN quality evaluation: recall@10 of the IVF path against the
     // brute-force ground truth, per query — the metric that decides
     // whether an approximate index is shippable. Both sides are the
