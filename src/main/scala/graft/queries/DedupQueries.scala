@@ -127,6 +127,42 @@ object DedupQueries {
     if (hex.head < '8') 1 else -1
   }
 
+  /** DuckDB twin of the md5-Rademacher LSH verified-pairs pipeline (no
+    * final ORDER BY): shared by embedding_neardup_lsh_md5 and the
+    * cluster-consolidation query that feeds its pairs to connected
+    * components.
+    */
+  private lazy val embLshMd5PairsSql: String = {
+    val bitExprs = (0 until RademacherH).map { k =>
+      val arr = rademacherSigns(k).map(v => s"$v.0").mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product(ve, $arr) >= 0 THEN '1' ELSE '0' END AS bit$k"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until RademacherB).map { b =>
+      val cols = (0 until RademacherH / RademacherB)
+        .map(r => s"bit${b * (RademacherH / RademacherB) + r}")
+      s"SELECT vec_id, $b AS band, ${cols.mkString(" || ")} AS key FROM bits"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH all_v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.05)
+       |  FROM embeddings),
+       |bits AS (SELECT vec_id,
+       |  $bitExprs
+       |  FROM all_v),
+       |buckets AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+       |sc AS (SELECT a, b,
+       |  round(list_dot_product(va.ve, vb.ve) /
+       |    (sqrt(list_dot_product(va.ve, va.ve)) * sqrt(list_dot_product(vb.ve, vb.ve))), 6) AS cos
+       |  FROM cand JOIN all_v va ON cand.a = va.vec_id
+       |            JOIN all_v vb ON cand.b = vb.vec_id)
+       |SELECT a, b, cos FROM sc WHERE cos >= 0.9""".stripMargin
+  }
+
   /** The planted segment-dedup corpus: documents ∪ one exact copy per doc
     * (+100000) ∪ one partial copy sharing the first two segments plus a
     * unique tail (+200000), exploded to non-overlapping 10-token segments
@@ -778,36 +814,37 @@ object DedupQueries {
           .select("a", "b", "cos")
           .orderBy("a", "b")
       },
-      Some {
-        val bitExprs = (0 until RademacherH).map { k =>
-          val arr = rademacherSigns(k).map(v => s"$v.0").mkString("[", ", ", "]")
-          s"CASE WHEN list_dot_product(ve, $arr) >= 0 THEN '1' ELSE '0' END AS bit$k"
-        }.mkString(",\n  ")
-        val bandSelects = (0 until RademacherB).map { b =>
-          val cols = (0 until RademacherH / RademacherB)
-            .map(r => s"bit${b * (RademacherH / RademacherB) + r}")
-          s"SELECT vec_id, $b AS band, ${cols.mkString(" || ")} AS key FROM bits"
-        }.mkString("\n  UNION ALL ")
-        s"""WITH all_v AS (
-           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
-           |  UNION ALL
-           |  SELECT vec_id + 100000, list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.05)
-           |  FROM embeddings),
-           |bits AS (SELECT vec_id,
-           |  $bitExprs
-           |  FROM all_v),
-           |buckets AS (
-           |  $bandSelects),
-           |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-           |  FROM buckets x JOIN buckets y
-           |    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
-           |sc AS (SELECT a, b,
-           |  round(list_dot_product(va.ve, vb.ve) /
-           |    (sqrt(list_dot_product(va.ve, va.ve)) * sqrt(list_dot_product(vb.ve, vb.ve))), 6) AS cos
-           |  FROM cand JOIN all_v va ON cand.a = va.vec_id
-           |            JOIN all_v vb ON cand.b = vb.vec_id)
-           |SELECT a, b, cos FROM sc WHERE cos >= 0.9 ORDER BY a, b""".stripMargin
-      }),
+      Some(embLshMd5PairsSql + "\nORDER BY a, b")),
+
+    // Embedding duplicate-CLUSTER consolidation under one oracle — the
+    // embedding-space twin of dedup_lsh_clusters_md5: md5-Rademacher LSH
+    // verified pairs → connected components (large-star/small-star in
+    // Spark; recursive-CTE reachability in DuckDB) → cluster-size
+    // histogram. Completes the "find near-dups, group, summarize"
+    // pipeline for the vector modality with every stage hash-matched.
+    QueryDef("embedding_neardup_clusters_md5",
+      (s, d) => {
+        val edges = qs.find(_.name == "embedding_neardup_lsh_md5").get
+          .fn(s, d).select("a", "b")
+        graft.operators.ConnectedComponents.components(s, edges, "a", "b")
+          .groupBy("comp").agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .orderBy("cluster_size")
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+              |$embLshMd5PairsSql
+              |),
+              |und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+              |reach(node, r) AS (
+              |  SELECT a AS node, a AS r FROM und
+              |  UNION
+              |  SELECT u.a AS node, reach.r FROM und u JOIN reach ON u.b = reach.node
+              |),
+              |labels AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+              |sizes AS (SELECT comp, count(*) AS sz FROM labels GROUP BY comp)
+              |SELECT sz AS cluster_size, count(*) AS n_clusters
+              |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin)),
 
     // Semantic decontamination: the embedding-space analog of
     // text_decontaminate — train vectors whose cosine against ANY held-out
