@@ -277,9 +277,11 @@ object GraphOps {
       Some(kcoreOracle(k = 80, rounds = 8))
     ),
 
-    // Synchronous label propagation (community detection) over the
-    // customer↔supplier bipartite graph, 4 fixed rounds. Deterministic
-    // variant: each node adopts its neighbors' most frequent label,
+    // Semi-synchronous label propagation (community detection) over the
+    // customer↔supplier bipartite graph, 4 fixed rounds alternating
+    // which side updates (see lpaAdjAndRounds — fully-synchronous LPA
+    // oscillates on bipartite graphs). Deterministic
+    // variant: each active node adopts its neighbors' most frequent label,
     // ties broken by the SMALLEST label — the argmax is packed into one
     // BIGINT (cnt·1e9 + (1e9−1−label)) so a plain max() resolves it
     // identically in both engines, with no FP and no window. Scale shape
@@ -291,57 +293,158 @@ object GraphOps {
     QueryDef(
       "graph_label_propagation",
       (s, d) => {
-        val o = T(s, d, "orders").select("o_orderkey", "o_custkey")
-        val l = T(s, d, "lineitem").select("l_orderkey", "l_suppkey")
-        val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
-          .distinct()
-        val adj = pairs.unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
-          .localCheckpoint()
-        var lbl = adj.select(col("u").as("node")).distinct()
-          .select(col("node"), col("node").as("lbl"))
-        val perRound = (1 to 4).map { i =>
-          lbl = adj
-            .join(lbl.withColumnRenamed("node", "v"), "v")
-            .groupBy(col("u"), col("lbl"))
-            .agg(count(lit(1)).as("c"))
-            .groupBy(col("u").as("node"))
-            .agg((lit(999999999L) -
-              max(col("c") * 1000000000L + (lit(999999999L) - col("lbl"))) % 1000000000L)
-              .as("lbl"))
-            .localCheckpoint()
+        val (adj, labels) = lpaAdjAndRounds(s, d, 4)
+        val perRound = labels.zipWithIndex.map { case (lbl, i) =>
           // summarize EVERY round, not just the last: the per-round
           // community histogram pins the whole convergence trajectory
           lbl.groupBy(col("lbl").as("community"))
             .agg(count(lit(1)).cast("long").as("sz"), min("node").as("rep"))
-            .withColumn("round", lit(i.toLong))
+            .withColumn("round", lit((i + 1).toLong))
         }
+        val _ = adj
         perRound.reduce(_ unionByName _)
           .select("round", "community", "sz", "rep")
           .orderBy(col("round"), col("sz").desc, col("community"))
       },
       Some {
-        val iters = (1 to 4).map { i =>
-          val p = s"l${i - 1}"
-          s"""c$i AS (SELECT a.u, l.lbl, count(*) AS c
-             |  FROM adj a JOIN $p l ON a.v = l.node GROUP BY 1, 2),
-             |l$i AS (SELECT u AS node,
-             |    999999999 - (max(c * 1000000000 + (999999999 - lbl)) % 1000000000) AS lbl
-             |  FROM c$i GROUP BY u)""".stripMargin
-        }.mkString(",\n")
         val rounds = (1 to 4).map(i =>
           s"""SELECT CAST($i AS BIGINT) AS round, lbl AS community,
              |  CAST(count(*) AS BIGINT) AS sz, min(node) AS rep
              |FROM l$i GROUP BY 2""".stripMargin).mkString("\nUNION ALL\n")
-        s"""WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
-           |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-           |adj AS MATERIALIZED (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-           |l0 AS (SELECT node, node AS lbl
-           |  FROM (SELECT DISTINCT u AS node FROM adj)),
-           |$iters
+        s"""WITH ${lpaCtes(4)}
            |SELECT * FROM ($rounds)
            |ORDER BY round, sz DESC, community""".stripMargin
       }
+    ),
+
+    // Newman modularity of the LPA partition — the quality score that
+    // tells you whether the communities are real structure or noise:
+    // Q = Σ_c (e_c/m − (d_c/2m)²). Multiplying through by 4m² keeps
+    // every per-community contribution an EXACT int64
+    // (q_num = 4·m·e_c − d_c²), so both engines agree unconditionally;
+    // the familiar double Q derives from those integers at the end. One
+    // degree aggregation, one label join per edge side, |C|-sized
+    // output plus a −1-keyed total row. Composes the oracled LPA labels
+    // (same unrolled rounds) — partition quality and partition
+    // construction verified under one roof.
+    QueryDef(
+      "graph_community_modularity",
+      (s, d) => {
+        val (adj, labels) = lpaAdjAndRounds(s, d, 4)
+        val lbl = labels.last
+        val pairs = adj.where(col("u") % 2 === 0) // canonical cust→supp edges
+        val mDf = pairs.agg(count(lit(1)).as("m"))
+        val deg = adj.groupBy("u").agg(count(lit(1)).as("dg"))
+        val dSum = deg.join(lbl.withColumnRenamed("node", "u"), "u")
+          .groupBy(col("lbl").as("community")).agg(sum("dg").as("d_sum"))
+        val eIn = pairs
+          .join(lbl.select(col("node").as("u"), col("lbl").as("la")), "u")
+          .join(lbl.select(col("node").as("v"), col("lbl").as("lb")), "v")
+          .where(col("la") === col("lb"))
+          .groupBy(col("la").as("community")).agg(count(lit(1)).as("e_in"))
+        val perC = dSum.join(eIn, Seq("community"), "left")
+          .na.fill(0L, Seq("e_in"))
+          .crossJoin(broadcast(mDf))
+          .withColumn("q_num", expr("4 * m * e_in - d_sum * d_sum"))
+          .withColumn("q", round(col("q_num").cast("double") /
+            (lit(4.0) * col("m") * col("m")), 9))
+          .select("community", "e_in", "d_sum", "q_num", "q")
+        val total = perC.agg(sum("e_in").as("e_in"), sum("d_sum").as("d_sum"),
+            sum("q_num").as("q_num"))
+          .crossJoin(broadcast(mDf))
+          .withColumn("community", lit(-1L))
+          .withColumn("q", round(col("q_num").cast("double") /
+            (lit(4.0) * col("m") * col("m")), 9))
+          .select("community", "e_in", "d_sum", "q_num", "q")
+        perC.unionByName(total).orderBy("community")
+      },
+      Some(s"""WITH ${lpaCtes(4)},
+              |deg AS (SELECT u, count(*) AS dg FROM adj GROUP BY 1),
+              |ds AS (SELECT l.lbl AS community, CAST(sum(dg) AS BIGINT) AS d_sum
+              |  FROM deg JOIN l4 l ON deg.u = l.node GROUP BY 1),
+              |ei AS (SELECT a.lbl AS community, count(*) AS e_in
+              |  FROM pairs p JOIN l4 a ON p.u = a.node JOIN l4 b ON p.v = b.node
+              |  WHERE a.lbl = b.lbl GROUP BY 1),
+              |mm AS (SELECT count(*) AS m FROM pairs),
+              |perc AS (SELECT ds.community, COALESCE(ei.e_in, 0) AS e_in, ds.d_sum,
+              |    4 * m * COALESCE(ei.e_in, 0) - ds.d_sum * ds.d_sum AS q_num,
+              |    round(CAST(4 * m * COALESCE(ei.e_in, 0) - ds.d_sum * ds.d_sum AS DOUBLE)
+              |      / (4.0 * m * m), 9) AS q
+              |  FROM ds LEFT JOIN ei USING (community) CROSS JOIN mm),
+              |tot AS (SELECT CAST(-1 AS BIGINT) AS community,
+              |    CAST(sum(e_in) AS BIGINT) AS e_in,
+              |    CAST(sum(d_sum) AS BIGINT) AS d_sum,
+              |    CAST(sum(q_num) AS BIGINT) AS q_num,
+              |    round(CAST(sum(q_num) AS DOUBLE) /
+              |      (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm)), 9) AS q
+              |  FROM perc)
+              |SELECT * FROM perc UNION ALL SELECT * FROM tot
+              |ORDER BY community""".stripMargin)
     )
   )
+
+  /** Bipartite customer↔supplier adjacency (both directions,
+    * localCheckpointed) plus the per-round synchronous-LPA label frames —
+    * shared by the LPA histogram and modularity queries so partition
+    * construction and partition quality derive from the same pipeline.
+    */
+  private def lpaAdjAndRounds(s: org.apache.spark.sql.SparkSession, d: String,
+      rounds: Int): (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    val o = T(s, d, "orders").select("o_orderkey", "o_custkey")
+    val l = T(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+      .distinct()
+    val adj = pairs.unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var lbl = adj.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    // SEMI-synchronous sweep: odd rounds update the even (customer) side,
+    // even rounds the odd (supplier) side, the other side carries over.
+    // Fully-synchronous LPA OSCILLATES on bipartite graphs (each side
+    // adopts the other's labels every round, so no edge ever becomes
+    // intra-community and modularity sits at its −0.5 floor — the
+    // modularity query flagged exactly that in development); alternating
+    // sides is the standard deterministic cure.
+    val perRound = (1 to rounds).map { i =>
+      val parity = if (i % 2 == 1) 0 else 1
+      val upd = adj
+        .join(lbl.withColumnRenamed("node", "v"), "v")
+        .where(col("u") % 2 === parity)
+        .groupBy(col("u"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("u").as("node"))
+        .agg((lit(999999999L) -
+          max(col("c") * 1000000000L + (lit(999999999L) - col("lbl"))) % 1000000000L)
+          .as("lbl"))
+      lbl = upd.unionByName(lbl.where(col("node") % 2 =!= parity))
+        .localCheckpoint()
+      lbl
+    }
+    (adj, perRound)
+  }
+
+  /** DuckDB CTE prefix shared by the LPA queries: pairs, adj, l0 and the
+    * unrolled c{i}/l{i} rounds (identical integer argmax packing).
+    */
+  private def lpaCtes(rounds: Int): String = {
+    val iters = (1 to rounds).map { i =>
+      val p = s"l${i - 1}"
+      val parity = if (i % 2 == 1) 0 else 1
+      s"""c$i AS (SELECT a.u, l.lbl, count(*) AS c
+         |  FROM adj a JOIN $p l ON a.v = l.node
+         |  WHERE a.u % 2 = $parity GROUP BY 1, 2),
+         |l$i AS (SELECT u AS node,
+         |    999999999 - (max(c * 1000000000 + (999999999 - lbl)) % 1000000000) AS lbl
+         |  FROM c$i GROUP BY u
+         |  UNION ALL
+         |  SELECT node, lbl FROM $p WHERE node % 2 <> $parity)""".stripMargin
+    }.mkString(",\n")
+    s"""pairs AS (SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |adj AS MATERIALIZED (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+       |l0 AS (SELECT node, node AS lbl
+       |  FROM (SELECT DISTINCT u AS node FROM adj)),
+       |$iters""".stripMargin
+  }
 }
