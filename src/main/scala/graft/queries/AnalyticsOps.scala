@@ -894,6 +894,44 @@ object AnalyticsOps {
              |ORDER BY ante, cons""".stripMargin)
     ),
 
+    // Event-path analysis: the per-user transition matrix (Markov chain
+    // over event types) — which step follows which, with integer
+    // basis-point transition probabilities. One window shuffle on
+    // user_id (the natural per-user ordering partition; state after it
+    // is the |types|² transition table, tiny at any scale); the
+    // per-source totals broadcast back. Ordering ties break on event_id
+    // so both engines sequence identically.
+    QueryDef(
+      "events_path_transitions",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(expr("unix_micros(ts)"), col("event_id"))
+        val trans = T.events(s, d)
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .where(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val fromTot = trans.groupBy("from_type").agg(sum("n").as("tot"))
+        trans.join(broadcast(fromTot), "from_type")
+          .withColumn("p_bp", expr("(n * 10000) div tot"))
+          .select("from_type", "to_type", "n", "p_bp")
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH seq AS (SELECT event_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS next_type
+             |  FROM events),
+             |tr AS (SELECT event_type AS from_type, next_type AS to_type,
+             |    count(*) AS n
+             |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+             |ft AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+             |  FROM tr GROUP BY 1)
+             |SELECT from_type, to_type, n, (n * 10000) // tot AS p_bp
+             |FROM tr JOIN ft USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)
+    ),
+
     // Shuffle-skew diagnosis: the top-10 hottest join/agg keys with their
     // integer basis-point share of all rows and the cumulative share —
     // the query you run BEFORE deciding whether a key needs salting.
