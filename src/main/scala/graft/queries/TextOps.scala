@@ -869,6 +869,48 @@ object TextOps {
              |FROM coins GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ),
 
+    // N-gram novelty scoring: per document, the fraction of its distinct
+    // word trigrams NOT seen in any earlier (lower doc_id) document — the
+    // corpus-order novelty measure dedup research uses to quantify how
+    // much fresh text each additional document contributes. Global state
+    // is the gram → first-doc table built by ONE min-aggregation shuffle
+    // on the gram key; the doc side re-joins co-partitioned on the same
+    // key. Novelty is integer basis points.
+    QueryDef(
+      "text_ngram_novelty",
+      (s, d) => {
+        val g = T(s, d, "documents")
+          .select(col("doc_id"), expr("filter(split(text, ' +'), x -> x != '')").as("ws"))
+          .where(size(col("ws")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(ws) - 2), i ->
+              |  concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ',
+              |         element_at(ws, i + 2)))""".stripMargin)).as("gram"))
+          .distinct()
+        val first = g.groupBy("gram").agg(min("doc_id").as("first_doc"))
+        g.join(first, "gram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .cast("long").as("n_novel"))
+          .withColumn("novelty_bp", expr("(n_novel * 10000) div n_grams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split_regex(text, ' +'), x -> x <> '') AS ws
+             |  FROM documents),
+             |g AS (SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(1, len(ws) - 1),
+             |      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS gram
+             |  FROM t WHERE len(ws) >= 3),
+             |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+             |SELECT doc_id, count(*) AS n_grams,
+             |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |  (CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+             |    // count(*) AS novelty_bp
+             |FROM g JOIN f USING (gram) GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
     // Length-bucketed batch assignment — the batching step of a training
     // pipeline that groups similar-length documents (width-32 token
     // buckets) and carves each bucket into fixed-size batches of 8 in
