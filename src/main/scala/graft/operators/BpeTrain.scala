@@ -82,4 +82,14 @@ object BpeTrain {
       .map { case ((a, b), r) => (r.toLong + 1, a, b) }
       .toDF("rank", "left", "right")
   }
+
+  /** Tokenize one word with an ordered rule list (the APPLY side of the
+    * tokenizer: chars + end-marker, then each trained merge in training
+    * order — the published BPE inference procedure).
+    */
+  def applyWord(word: String, rules: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = word.map(_.toString) :+ EndMark
+    rules.foreach { case (a, b) => syms = fusePair(syms, a, b) }
+    syms
+  }
 }

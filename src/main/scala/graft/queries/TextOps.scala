@@ -217,6 +217,90 @@ object TextOps {
            |ORDER BY rank""".stripMargin
       }),
 
+    // BPE APPLY — the inference half of the tokenizer: the 12 merges
+    // trained by text_bpe_train (corpus-derived, driver-resident, 12
+    // bounded rules — the codebook pattern again) tokenize every
+    // document; output pins per-doc token counts, the chars-per-token
+    // compression in basis points, and an md5 of the full in-order token
+    // stream, so ANY divergence in merge application order or
+    // non-overlapping fuse semantics hash-fails. Apply is embarrassingly
+    // parallel (map-only over docs; training touched the corpus once to
+    // build the word-freq table). The oracle re-trains the same 12 rules
+    // via the proven materialized-CTE unroll, then applies them to every
+    // doc word with the same two-pass separator-string fuse.
+    QueryDef(
+      "text_bpe_apply",
+      (s, d) => {
+        val rules = graft.operators.BpeTrain.train(s, T(s, d, "documents"), "text", 12)
+        val tokenizeDoc = (text: String) => {
+          val words = text.split(" +").filter(_.nonEmpty)
+          val toks = words.flatMap(w => graft.operators.BpeTrain.applyWord(w, rules))
+          (toks.length.toLong, toks.mkString(" "))
+        }
+        s.udf.register("bpe_apply_doc", tokenizeDoc)
+        T(s, d, "documents")
+          .withColumn("r", callUDF("bpe_apply_doc", col("text")))
+          .select(col("doc_id"),
+            col("r._1").as("n_tokens"),
+            expr("(CAST(length(regexp_replace(text, ' +', '')) AS BIGINT) * 10000) div r._1")
+              .as("chars_per_tok_bp"),
+            md5(col("r._2")).as("tok_md5"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val merges = 12
+        val trainIters = (1 to merges).map { i =>
+          s"""p$i AS MATERIALIZED (
+             |  SELECT string_split(pr, chr(2))[1] AS a,
+             |         string_split(pr, chr(2))[2] AS b,
+             |         CAST(sum(freq) AS BIGINT) AS n
+             |  FROM (SELECT freq, unnest(list_transform(range(1, len(sy)),
+             |          j -> sy[j] || chr(2) || sy[j+1])) AS pr
+             |        FROM (SELECT list_filter(string_split(s, chr(1)),
+             |                t -> t <> '') AS sy, freq FROM w${i - 1}))
+             |  GROUP BY 1, 2),
+             |b$i AS MATERIALIZED (SELECT a, b FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+             |w$i AS MATERIALIZED (SELECT replace(replace(s,
+             |    chr(1)||bb.a||chr(1)||bb.b||chr(1), chr(1)||bb.a||bb.b||chr(1)),
+             |    chr(1)||bb.a||chr(1)||bb.b||chr(1), chr(1)||bb.a||bb.b||chr(1)) AS s, freq
+             |  FROM w${i - 1}, b$i bb)""".stripMargin
+        }.mkString(",\n")
+        val applyIters = (1 to merges).map { i =>
+          s"""a$i AS MATERIALIZED (SELECT doc_id, wi, replace(replace(s,
+             |    chr(1)||bb.a||chr(1)||bb.b||chr(1), chr(1)||bb.a||bb.b||chr(1)),
+             |    chr(1)||bb.a||chr(1)||bb.b||chr(1), chr(1)||bb.a||bb.b||chr(1)) AS s
+             |  FROM a${i - 1}, b$i bb)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH w0 AS MATERIALIZED (
+           |  SELECT chr(1) || array_to_string(
+           |      list_append(string_split(w, ''), '</w>'), chr(1)) || chr(1) AS s,
+           |    CAST(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT unnest(string_split_regex(text, ' +')) AS w FROM documents)
+           |  WHERE len(w) > 0 GROUP BY 1),
+           |$trainIters,
+           |dt AS (SELECT doc_id,
+           |    list_filter(string_split_regex(text, ' +'), x -> x <> '') AS ws,
+           |    CAST(length(regexp_replace(text, ' +', '', 'g')) AS BIGINT) AS n_chars_ns
+           |  FROM documents),
+           |a0 AS (SELECT doc_id, wi,
+           |    chr(1) || array_to_string(
+           |      list_append(string_split(ws[wi + 1], ''), '</w>'), chr(1)) || chr(1) AS s
+           |  FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS wi FROM dt)),
+           |$applyIters,
+           |toks AS (SELECT doc_id, wi,
+           |    list_filter(string_split(s, chr(1)), t -> t <> '') AS tk
+           |  FROM a$merges),
+           |per_doc AS (SELECT doc_id,
+           |    CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+           |    string_agg(array_to_string(tk, ' '), ' ' ORDER BY wi) AS tok_str
+           |  FROM toks GROUP BY doc_id)
+           |SELECT p.doc_id, p.n_tokens,
+           |  (d.n_chars_ns * 10000) // p.n_tokens AS chars_per_tok_bp,
+           |  md5(p.tok_str) AS tok_md5
+           |FROM per_doc p JOIN dt d USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // Unigram-LM perplexity (the CCNet-style quality filter): corpus token
     // frequencies → per-doc mean negative logprob → exp. The scoring join
     // shuffles on the token key with NO broadcast hint: on a 100 TB web

@@ -132,7 +132,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // k-means/BPE training and resolve pipelines (eager jobs at build
     // time), and the source round-trip (writes files when built). None of
     // them contain a join that could degrade to a cartesian anyway.
-    val eager = Set("text_bpe_train")
+    val eager = Set("text_bpe_train", "text_bpe_apply")
     def excluded(n: String) =
       n.contains("_stream") || n.startsWith("sim_ann") ||
         n.startsWith("h3_resolve") || n == "geojson_source_roundtrip" ||
