@@ -894,6 +894,110 @@ object AnalyticsOps {
              |ORDER BY ante, cons""".stripMargin)
     ),
 
+    // Curation-funnel observability: the whole dedup/quality pipeline as
+    // ONE verified report — ingest → repetition gate → exact-dup
+    // collapse → decontamination, with survivors, dropped and drop rate
+    // (integer basis points) per stage. This is the report a production
+    // curation run publishes next to its output; composing it under one
+    // oracle means the STAGE ACCOUNTING (not just each stage's output)
+    // is cross-engine verified. Stage frames are localCheckpointed —
+    // exactly where a production pipeline would materialize between
+    // stages — so the four stage counts don't recompute the chain.
+    QueryDef(
+      "corpus_funnel_report",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = T(s, d, "documents").select("doc_id", "source", "text")
+        val exact = base.select((col("doc_id") + 100000).as("doc_id"),
+          col("source"), col("text"))
+        val partial = base.select((col("doc_id") + 200000).as("doc_id"),
+          col("source"),
+          concat(
+            expr("concat_ws(' ', slice(filter(split(text, ' +'), x -> x != ''), 1, 20))"),
+            lit(" tail "), col("doc_id").cast("string")).as("text"))
+        val all = base.unionByName(exact).unionByName(partial)
+          .withColumn("ws", expr("filter(split(text, ' +'), x -> x != '')"))
+          .localCheckpoint()
+        val rep = all.where(size(col("ws")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', slice(ws, i, 2)))"))
+            .as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            (sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).cast("double") /
+              sum("c")).as("dupf"))
+        val s1 = all.join(rep, "doc_id").where(col("dupf") <= 0.08)
+          .select("doc_id", "source", "ws").localCheckpoint()
+        val fp = s1.withColumn("fp", md5(concat_ws(" ", col("ws"))))
+        val keepIds = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        val s2 = fp.join(keepIds, Seq("fp", "doc_id"), "left_semi").localCheckpoint()
+        val grams = s2.where(size(col("ws")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "array_distinct(transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3))))"))
+            .as("gram"))
+        val isEval = pmod(col("doc_id"), lit(97)) === 0 && col("doc_id") < 100000
+        val evalG = grams.where(isEval).select("gram").distinct()
+        val flagged = grams.where(!isEval).join(broadcast(evalG), "gram")
+          .select("doc_id").distinct()
+        val s3 = s2.join(flagged, Seq("doc_id"), "left_anti")
+        def stageCount(df: org.apache.spark.sql.DataFrame, i: Int, name: String) =
+          df.agg(count(lit(1)).cast("long").as("survivors"))
+            .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+              col("survivors"))
+        val counts = stageCount(all, 0, "ingest")
+          .unionByName(stageCount(s1, 1, "repetition_gate"))
+          .unionByName(stageCount(s2, 2, "exact_dedup"))
+          .unionByName(stageCount(s3, 3, "decontaminate"))
+        val w = Window.orderBy("stage")
+        counts.withColumn("prev", lag("survivors", 1).over(w))
+          .withColumn("dropped", coalesce(col("prev") - col("survivors"), lit(0L)))
+          .withColumn("drop_bp",
+            coalesce(expr("((prev - survivors) * 10000) div prev"), lit(0L)))
+          .select("stage", "stage_name", "survivors", "dropped", "drop_bp")
+          .orderBy("stage")
+      },
+      Some("""WITH base AS (SELECT doc_id, source, text FROM documents),
+             |ex AS (SELECT doc_id + 100000 AS doc_id, source, text FROM base),
+             |pt AS (SELECT doc_id + 200000 AS doc_id, source,
+             |    array_to_string(list_filter(string_split_regex(text, ' +'),
+             |      x -> x <> '')[1:20], ' ') || ' tail ' || CAST(doc_id AS VARCHAR) AS text
+             |  FROM base),
+             |allv AS (SELECT * FROM base UNION ALL SELECT * FROM ex UNION ALL SELECT * FROM pt),
+             |t AS (SELECT doc_id, source, list_filter(string_split_regex(text, ' +'),
+             |    x -> x <> '') AS ws FROM allv),
+             |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+             |    i -> array_to_string(ws[i:i+1], ' '))) AS g FROM t WHERE len(ws) >= 2),
+             |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+             |rep AS (SELECT doc_id,
+             |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dupf
+             |  FROM c2 GROUP BY 1),
+             |s1 AS (SELECT t.doc_id, t.ws FROM t JOIN rep USING (doc_id) WHERE dupf <= 0.08),
+             |fp AS (SELECT doc_id, ws, md5(array_to_string(ws, ' ')) AS fp FROM s1),
+             |keep2 AS (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY 1),
+             |s2 AS (SELECT f.doc_id, f.ws FROM fp f JOIN keep2 k
+             |  ON f.fp = k.fp AND f.doc_id = k.doc_id),
+             |g AS (SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+             |      i -> array_to_string(ws[i:i+2], ' '))) AS gram
+             |  FROM s2 WHERE len(ws) >= 3),
+             |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0 AND doc_id < 100000),
+             |fl AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+             |  WHERE NOT (g.doc_id % 97 = 0 AND g.doc_id < 100000)),
+             |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM fl)),
+             |counts AS (
+             |  SELECT 0 AS stage, 'ingest' AS stage_name,
+             |    (SELECT count(*) FROM allv) AS survivors
+             |  UNION ALL SELECT 1, 'repetition_gate', (SELECT count(*) FROM s1)
+             |  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM s2)
+             |  UNION ALL SELECT 3, 'decontaminate', (SELECT count(*) FROM s3))
+             |SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+             |  CAST(survivors AS BIGINT) AS survivors,
+             |  CAST(COALESCE(lag(survivors) OVER (ORDER BY stage) - survivors, 0) AS BIGINT) AS dropped,
+             |  CAST(COALESCE(((lag(survivors) OVER (ORDER BY stage) - survivors) * 10000)
+             |    // lag(survivors) OVER (ORDER BY stage), 0) AS BIGINT) AS drop_bp
+             |FROM counts ORDER BY stage""".stripMargin)
+    ),
+
     // Event-path analysis: the per-user transition matrix (Markov chain
     // over event types) — which step follows which, with integer
     // basis-point transition probabilities. One window shuffle on
