@@ -90,6 +90,36 @@ class TrainingPrepOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("funnel report: survivors strictly decrease and accounting balances") {
+    val rows = q("corpus_funnel_report").collect().sortBy(_.getAs[Long]("stage"))
+    assert(rows.length == 4)
+    val surv = rows.map(_.getAs[Long]("survivors"))
+    assert(surv.sliding(2).forall { case Array(a, b) => b < a; case _ => true },
+      s"expected monotone funnel: ${surv.mkString(",")}")
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur.getAs[Long]("dropped") ==
+        prev.getAs[Long]("survivors") - cur.getAs[Long]("survivors"))
+    case _ => ()
+    }
+    assert(rows.head.getAs[Long]("dropped") == 0)
+  }
+
+  test("bpe apply: token counts bounded by chars+1 per word and words per doc") {
+    val df = q("text_bpe_apply").cache()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id",
+        "CAST(size(filter(split(text, ' +'), x -> x != '')) AS LONG) AS n_words",
+        "CAST(length(regexp_replace(text, ' +', '')) AS LONG) AS n_chars")
+    val j = df.join(docs, "doc_id")
+    // each word yields between 1 (fully merged) and len+1 (no merges) tokens
+    assert(j.where(col("n_tokens") < col("n_words")).count() == 0)
+    assert(j.where(col("n_tokens") > col("n_chars") + col("n_words")).count() == 0)
+    // merges actually fired: total tokens strictly below the no-merge count
+    val t = j.agg(sum("n_tokens"), sum(col("n_chars") + col("n_words"))).head()
+    assert(t.getLong(0) < t.getLong(1))
+    df.unpersist()
+  }
+
   test("length batching: batches of 8, bucket covers doc lengths, all docs used") {
     val df = q("text_length_bucket_batches").cache()
     assert(df.agg(sum("n_docs")).head().getLong(0) == 500)
