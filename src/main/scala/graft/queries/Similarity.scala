@@ -656,6 +656,64 @@ object SimilarityQ {
              |ORDER BY i, j""".stripMargin)
     ),
 
+    // PQ recall@10 against the brute-force ground truth — the second
+    // point on the ANN quality curve next to sim_ann_recall_eval (IVF):
+    // PQ ranks by asymmetric ADC distance, so its recall vs true cosine
+    // is precisely the quantization loss being measured. Same shape as
+    // the IVF eval: both sides are registered oracled queries; the eval
+    // itself is a tiny integer semi-join.
+    QueryDef(
+      "sim_ann_recall_eval_pq",
+      (s, d) => {
+        val brute = qs.find(_.name == "sim_cosine_topk_bruteforce").get.fn(s, d)
+          .select(col("qid"), col("nid"))
+        val pq = qs.find(_.name == "sim_ann_pq_md5").get.fn(s, d)
+          .select(col("qid"), col("nid"))
+        brute.join(pq, Seq("qid", "nid"), "left_semi")
+          .groupBy("qid")
+          .agg(count(lit(1)).cast("long").as("hits"))
+          .withColumn("recall_pct", (col("hits") * 10L).cast("long"))
+          .orderBy("qid")
+      },
+      Some("""WITH be AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+             |bq AS (SELECT vec_id AS qid, ve AS qe FROM be WHERE vec_id < 5),
+             |bsc AS (SELECT q.qid, e.vec_id AS nid,
+             |    round(list_dot_product(e.ve, q.qe) /
+             |      (sqrt(list_dot_product(e.ve, e.ve)) * sqrt(list_dot_product(q.qe, q.qe))), 6) AS score
+             |  FROM be e CROSS JOIN bq q),
+             |br AS (SELECT qid, nid,
+             |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn FROM bsc),
+             |btop AS (SELECT qid, nid FROM br WHERE rn <= 10),
+             |pe AS (SELECT vec_id,
+             |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS ve
+             |  FROM embeddings),
+             |psd AS (SELECT CAST(rk - 1 AS BIGINT) AS cand, ve AS cv FROM (
+             |    SELECT ve, row_number() OVER (
+             |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM pe)
+             |  WHERE rk <= 8),
+             |psub AS (SELECT e.vec_id, g.sub, s.cand,
+             |    list_sum(list_transform(range(1, 9),
+             |      i -> CAST(round((e.ve[g.sub * 8 + i] - s.cv[g.sub * 8 + i]) *
+             |                      (e.ve[g.sub * 8 + i] - s.cv[g.sub * 8 + i]), 12)
+             |           AS DECIMAL(28,12)))) AS d2
+             |  FROM pe e CROSS JOIN psd s CROSS JOIN (SELECT unnest(range(0, 8)) AS sub) g),
+             |pcodes AS (SELECT vec_id AS nid, sub, cand AS code FROM (
+             |    SELECT *, row_number() OVER (
+             |      PARTITION BY vec_id, sub ORDER BY d2, cand) AS ark FROM psub)
+             |  WHERE ark = 1),
+             |padc AS (SELECT vec_id AS qid, sub, cand AS code, d2 FROM psub WHERE vec_id < 5),
+             |psc AS (SELECT a.qid, c.nid, round(CAST(sum(a.d2) AS DOUBLE), 6) AS adist
+             |  FROM pcodes c JOIN padc a USING (sub, code)
+             |  GROUP BY a.qid, c.nid),
+             |ptop AS (SELECT qid, nid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+             |    FROM psc) WHERE rn <= 10)
+             |SELECT b.qid AS qid, CAST(count(*) AS BIGINT) AS hits,
+             |  CAST(count(*) * 10 AS BIGINT) AS recall_pct
+             |FROM btop b JOIN ptop p ON b.qid = p.qid AND b.nid = p.nid
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // PCA end-to-end, CHECKED: the oracled covariance feeds a driver-side
     // deterministic Jacobi eigensolve (O(d³) on the 64×64 matrix — the
     // standard driver-resident step, like k-means centroids or PQ
