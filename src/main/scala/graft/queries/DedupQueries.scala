@@ -1332,6 +1332,62 @@ object DedupQueries {
              |           FROM scored)
              |SELECT qid, qname, cname AS best_match, dist AS best_dist, n_cand
              |FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin)
+    ),
+
+    // Exact duplicated-SPAN detection (the substring-dedup family): slide an
+    // 8-token window (stride 1) over every doc, key each window by md5, and
+    // count per doc how many window POSITIONS land on a window that occurs
+    // in >= 2 distinct docs. This is the windowed approximation of
+    // suffix-array exact-substring dedup: a K-token duplicated span is
+    // detected at every position it covers, with no alignment needed.
+    // Scale shape (100 TB): windows explode map-side; the only shuffles are
+    // the groupBy on the fixed-width md5 key (partial-agg combines) and the
+    // wh-co-partitioned left-semi join back (AQE broadcasts the dup-key set
+    // when it is small, which boilerplate spans usually are); final per-doc
+    // rollup shuffles doc_id only. No pair enumeration anywhere.
+    QueryDef(
+      "dedup_ngram_spans",
+      (s, d) => {
+        val K = 8
+        val wins = docsWithDups(s, d)
+          .withColumn("ws", expr("filter(split(text, ' +'), x -> x != '')"))
+          .where(size(col("ws")) >= K)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(1, size(ws) - ${K - 1}), i -> md5(concat_ws(' ', slice(ws, i, $K))))")).as("wh"))
+        val dup = wins.groupBy("wh")
+          .agg(countDistinct("doc_id").as("ndocs"))
+          .where(col("ndocs") >= 2)
+          .select("wh")
+        val tot = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+        val dupPer = wins.join(dup, Seq("wh"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+        tot.join(dupPer, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_windows"),
+            coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+          .withColumn("dup_bp", expr("(10000 * n_dup_windows) div n_windows"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000,
+             |    substr(text, instr(text, ' ') + 1) || ' zzz' FROM documents),
+             |t AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+             |        x -> x <> '') AS ws FROM all_docs),
+             |w0 AS (SELECT doc_id, unnest(range(1, len(ws) - 6)) AS pos, ws
+             |       FROM t WHERE len(ws) >= 8),
+             |w AS (SELECT doc_id, md5(array_to_string(ws[pos:pos+7], ' ')) AS wh
+             |      FROM w0),
+             |dup AS (SELECT wh FROM w GROUP BY wh
+             |        HAVING count(DISTINCT doc_id) >= 2),
+             |tot AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id),
+             |dp AS (SELECT doc_id, count(*) AS n_dup_windows FROM w
+             |       WHERE wh IN (SELECT wh FROM dup) GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_windows,
+             |  coalesce(dp.n_dup_windows, 0) AS n_dup_windows,
+             |  (10000 * coalesce(dp.n_dup_windows, 0)) // t.n_windows AS dup_bp
+             |FROM tot t LEFT JOIN dp USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -195,6 +195,51 @@ object LayoutOps {
            |  CAST(sum(CASE WHEN ymax >= 24 AND ymin <= 31 THEN nrows ELSE 0 END) AS BIGINT) AS y_rows
            |FROM al GROUP BY layout ORDER BY layout""".stripMargin
       }
+    ),
+
+    // Small-file compaction planner: roll the orders table up to month
+    // partitions, estimate each partition's on-disk bytes from row widths,
+    // and assign partitions to output files by next-fit over the cumulative
+    // size (file_id = cum_bytes_before * 8 / total_bytes, integer math) —
+    // the planning half of an OPTIMIZE/compaction pass, which decides which
+    // adjacent partitions coalesce into ~total/8-byte files WITHOUT breaking
+    // partition-key order (so min/max pruning on the key survives
+    // compaction). Scale shape: the rollup is one partial-agged groupBy on
+    // the month; the planner itself then runs over PARTITION STATS — at
+    // 100 TB that is thousands of rows of metadata, not data, so its single
+    // global window (the irreducible sequential cumsum any bin-packer
+    // needs) is driver-scale by construction. All-integer arithmetic, so
+    // the plan is bit-identical cross-engine.
+    QueryDef(
+      "layout_compaction_plan",
+      (s, d) => {
+        val parts = T(s, d, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("part_key"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(octet_length(col("o_orderstatus")).cast("long") +
+              octet_length(col("o_orderpriority")).cast("long") + lit(40L))
+              .as("est_bytes"))
+        val w = Window.orderBy("part_key")
+        parts
+          .withColumn("cum_before",
+            coalesce(sum("est_bytes").over(w) - col("est_bytes"), lit(0L)))
+          .withColumn("total", sum("est_bytes").over(
+            Window.partitionBy(lit(1))))
+          .select(col("part_key"), col("n_rows"), col("est_bytes"),
+            expr("(cum_before * 8) div total").as("file_id"))
+          .orderBy("part_key")
+      },
+      Some("""WITH p AS (SELECT strftime(o_orderdate, '%Y-%m') AS part_key,
+             |    count(*) AS n_rows,
+             |    CAST(sum(strlen(o_orderstatus) +
+             |             strlen(o_orderpriority) + 40) AS BIGINT) AS est_bytes
+             |  FROM orders GROUP BY 1),
+             |c AS (SELECT part_key, n_rows, est_bytes,
+             |    CAST(sum(est_bytes) OVER (ORDER BY part_key) - est_bytes AS BIGINT) AS cum_before,
+             |    CAST(sum(est_bytes) OVER () AS BIGINT) AS total FROM p)
+             |SELECT part_key, n_rows, est_bytes,
+             |  (cum_before * 8) // total AS file_id
+             |FROM c ORDER BY part_key""".stripMargin)
     )
   )
 }

@@ -1041,6 +1041,42 @@ object TextOps {
              |  CAST(sum(n_tok) AS BIGINT) AS tok_sum,
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
              |FROM r GROUP BY 1, 2 ORDER BY bucket, batch""".stripMargin)
+    ),
+
+    // Boilerplate detection: the top-20 exact 8-token spans that repeat
+    // across documents (>= 2 distinct docs), ranked by reach then volume.
+    // This is the reporting face of dedup_ngram_spans — the spans a curation
+    // pass would strip corpus-wide (headers, footers, license blurbs).
+    // Scale shape: map-side window explode, one groupBy on the span string
+    // (partial aggs bound the shuffle to distinct spans), and a
+    // TakeOrderedAndProject top-k — no global sort materializes. The tie
+    // order (n_docs desc, n_occurrences desc, ngram asc) is total, so the
+    // k rows are deterministic cross-engine.
+    QueryDef(
+      "text_dup_ngrams_top",
+      (s, d) => {
+        val K = 8
+        T(s, d, "documents")
+          .withColumn("ws", expr("filter(split(text, ' +'), x -> x != '')"))
+          .where(size(col("ws")) >= K)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(1, size(ws) - ${K - 1}), i -> concat_ws(' ', slice(ws, i, $K)))")).as("ngram"))
+          .groupBy("ngram")
+          .agg(count(lit(1)).as("n_occurrences"), countDistinct("doc_id").as("n_docs"))
+          .where(col("n_docs") >= 2)
+          .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("ngram"))
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+             |        x -> x <> '') AS ws FROM documents),
+             |w0 AS (SELECT doc_id, unnest(range(1, len(ws) - 6)) AS pos, ws
+             |       FROM t WHERE len(ws) >= 8),
+             |w AS (SELECT doc_id, array_to_string(ws[pos:pos+7], ' ') AS ngram
+             |      FROM w0)
+             |SELECT ngram, count(*) AS n_occurrences,
+             |  count(DISTINCT doc_id) AS n_docs
+             |FROM w GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2
+             |ORDER BY n_docs DESC, n_occurrences DESC, ngram LIMIT 20""".stripMargin)
     )
   )
 }

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants for the duplicated-span detectors and the
+  * compaction planner — properties that must hold for ANY corpus/table,
+  * beyond the pinned values the DuckDB compare checks at one SF.
+  */
+class SpanCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  private def q(name: String) =
+    graft.SparkEntry.registry.find(_.name == name).get.fn(spark, dir)
+
+  test("ngram spans: every original doc's perturbed twin is detected") {
+    val rows = q("dedup_ngram_spans").collect()
+    // docsWithDups pairs every original (id) with a perturbed copy
+    // (id+100000) sharing all interior 8-token windows, so any doc long
+    // enough to have >= 2 windows (>= 9 tokens) must show duplicated spans.
+    val byId = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"),
+        r.getAs[Long]("dup_bp"))).toMap
+    val originals = byId.keys.filter(_ < 100000)
+    assert(originals.nonEmpty)
+    originals.foreach { id =>
+      val (nw, nd, bp) = byId(id)
+      assert(nd <= nw, s"doc $id: dup windows $nd exceed total $nw")
+      assert(bp == 10000L * nd / nw, s"doc $id: dup_bp mismatch")
+      if (nw >= 2) assert(nd >= 1,
+        s"doc $id has $nw windows but none flagged despite its perturbed twin")
+    }
+    // the perturbed twin of every flagged original must itself be flagged
+    originals.filter(id => byId(id)._2 > 0).foreach { id =>
+      byId.get(id + 100000).foreach { case (_, nd, _) =>
+        assert(nd > 0, s"twin of $id shares spans but reports none")
+      }
+    }
+  }
+
+  test("top duplicated ngrams: exactly k rows, totally ordered, reach >= 2") {
+    val rows = q("text_dup_ngrams_top").collect()
+    assert(rows.length == 20)
+    val keys = rows.map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occurrences"),
+      r.getAs[String]("ngram")))
+    assert(keys.forall(_._1 >= 2))
+    assert(keys.forall { case (d, o, g) => o >= d && g.split(" ").length == 8 })
+    // (n_docs desc, n_occurrences desc, ngram asc) is a strict total order
+    keys.sliding(2).foreach {
+      case Array((d1, o1, g1), (d2, o2, g2)) =>
+        assert(d1 > d2 || (d1 == d2 && (o1 > o2 || (o1 == o2 && g1 < g2))),
+          s"rows out of order: ($d1,$o1,$g1) then ($d2,$o2,$g2)")
+      case _ =>
+    }
+  }
+
+  test("compaction plan: order-preserving next-fit with bounded bins") {
+    val rows = q("layout_compaction_plan").collect()
+    val parts = rows.map(r => (r.getAs[String]("part_key"), r.getAs[Long]("n_rows"),
+      r.getAs[Long]("est_bytes"), r.getAs[Long]("file_id")))
+    assert(parts.map(_._1).sorted.sameElements(parts.map(_._1)), "not in key order")
+    val fids = parts.map(_._4)
+    assert(fids.forall(f => f >= 0 && f <= 7))
+    // file ids never go backwards: compaction must not break key order
+    assert(fids.sliding(2).forall { case Array(a, b) => b >= a; case _ => true })
+    // row conservation vs the source table
+    val total = T(spark, dir, "orders").count()
+    assert(parts.map(_._2).sum == total)
+    // next-fit bound: every bin < target + max partition size
+    val totBytes = parts.map(_._3).sum
+    val target = totBytes / 8
+    val maxPart = parts.map(_._3).max
+    val perFile = parts.groupBy(_._4).map { case (_, ps) => ps.map(_._3).sum }
+    assert(perFile.forall(_ <= target + maxPart),
+      s"bin exceeds next-fit bound: ${perFile.max} > $target + $maxPart")
+  }
+}
