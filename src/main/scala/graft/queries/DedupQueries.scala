@@ -345,6 +345,13 @@ object DedupQueries {
        |FROM verified WHERE $den * inter >= $num * union_sz
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Distinct 3-gram shingle expr over a token-array column (SQL string,
+    * mirrored verbatim by the DuckDB oracles). */
+  private def shingleExprStr(c: String): String =
+    s"""array_distinct(CASE WHEN size($c) >= 3
+       |  THEN transform(sequence(1, size($c) - 2), i -> concat_ws(' ', slice($c, i, 3)))
+       |  ELSE array(concat_ws(' ', $c)) END)""".stripMargin
+
   /** embeddings ∪ perturbed copies (+0.05 per component, cos ≈ 0.93). */
   private def embWithDups(s: SparkSession, d: String): DataFrame = {
     val e = T(s, d, "embeddings")
@@ -1388,6 +1395,90 @@ object DedupQueries {
              |  (10000 * coalesce(dp.n_dup_windows, 0)) // t.n_windows AS dup_bp
              |FROM tot t LEFT JOIN dp USING (doc_id)
              |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ASYMMETRIC containment join: find snippets whose shingle set is >= 80%
+    // covered by some document — the subset-duplication case symmetric
+    // Jaccard misses (a half-doc quote has J ~= 0.5 against its source but
+    // containment 1.0). Probe side = the first-half snippet of every doc
+    // (id + 200000); index side = full docs. Candidate generation is
+    // prefix-filtered ON THE PROBE's rarest shingles (prefix length
+    // p = sz - ceil(0.8*sz) + 1, df-ascending order; a probe shingle absent
+    // from the index keeps its prefix slot — it burns one allowed miss),
+    // plus the size bound |B| >= 0.8*|A|. Scale shape: shuffles only on the
+    // shingle key (candidate join) and the pair key (verify); never
+    // all-pairs — candidate cost is bounded by prefix length x df of the
+    // RAREST probe shingles, the prefix-filtering guarantee.
+    QueryDef(
+      "dedup_containment_prefix",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ws = T(s, d, "documents").select("doc_id", "text")
+          .withColumn("ws", expr("filter(split(text, ' +'), x -> x != '')"))
+        val shFull = ws.select(col("doc_id"), expr(shingleExprStr("ws")).as("sh"))
+          .localCheckpoint()
+        val shSnip = ws.where(size(col("ws")) >= 8)
+          .withColumn("ws2", expr("slice(ws, 1, (size(ws) + 1) div 2)"))
+          .select((col("doc_id") + 200000).as("snip_id"),
+            expr(shingleExprStr("ws2")).as("sh"))
+          .localCheckpoint()
+        val exFull = shFull.select(col("doc_id"),
+          size(col("sh")).as("sb"), explode(col("sh")).as("s3"))
+        val dfT = exFull.groupBy("s3").agg(count(lit(1)).as("df"))
+        val exSnip = shSnip.select(col("snip_id"),
+          size(col("sh")).as("sa"), explode(col("sh")).as("s2"))
+        val ranked = exSnip.join(dfT, col("s2") === col("s3"), "left")
+          .withColumn("dfc", coalesce(col("df"), lit(0L)))
+          .repartition(s.sparkContext.defaultParallelism, col("snip_id"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("snip_id").orderBy(col("dfc"), col("s2"))))
+        val pref = ranked.where(
+          col("rn") <= col("sa") - expr("((4 * sa) + 4) div 5") + 1)
+          .select("snip_id", "sa", "s2")
+        val cand = pref.join(exFull,
+            col("s2") === col("s3") && lit(5) * col("sb") >= lit(4) * col("sa"))
+          .select("snip_id", "doc_id").distinct()
+        cand
+          .join(shSnip.select(col("snip_id"), col("sh").as("sha")), "snip_id")
+          .join(shFull.select(col("doc_id"), col("sh").as("shb")), "doc_id")
+          .withColumn("inter",
+            size(array_intersect(col("sha"), col("shb"))).cast("bigint"))
+          .withColumn("snip_sz", size(col("sha")).cast("bigint"))
+          .where(lit(5) * col("inter") >= lit(4) * col("snip_sz"))
+          .select(col("snip_id"), col("doc_id"), col("inter"), col("snip_sz"),
+            expr("(10000 * inter) div snip_sz").as("containment_bp"))
+          .orderBy("snip_id", "doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+             |        x -> x <> '') AS ws FROM documents),
+             |full_sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+             |    THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+             |    ELSE [array_to_string(ws, ' ')] END) AS sh FROM t),
+             |snip AS (SELECT doc_id + 200000 AS snip_id,
+             |    ws[1:(len(ws) + 1) // 2] AS ws2 FROM t WHERE len(ws) >= 8),
+             |snip_sh AS (SELECT snip_id, list_distinct(CASE WHEN len(ws2) >= 3
+             |    THEN list_transform(range(1, len(ws2) - 1), i -> array_to_string(ws2[i:i+2], ' '))
+             |    ELSE [array_to_string(ws2, ' ')] END) AS sh FROM snip),
+             |exf AS (SELECT doc_id, len(sh) AS sb, unnest(sh) AS s3 FROM full_sh),
+             |dft AS (SELECT s3, count(*) AS df FROM exf GROUP BY s3),
+             |exs AS (SELECT snip_id, len(sh) AS sa, unnest(sh) AS s2 FROM snip_sh),
+             |ranked AS (SELECT exs.snip_id, exs.sa, exs.s2,
+             |    row_number() OVER (PARTITION BY exs.snip_id
+             |                       ORDER BY coalesce(dft.df, 0), exs.s2) AS rn
+             |  FROM exs LEFT JOIN dft ON exs.s2 = dft.s3),
+             |pref AS (SELECT snip_id, sa, s2 FROM ranked
+             |  WHERE rn <= sa - ((4 * sa + 4) // 5) + 1),
+             |cand AS (SELECT DISTINCT p.snip_id, f.doc_id
+             |  FROM pref p JOIN exf f ON p.s2 = f.s3 AND 5 * f.sb >= 4 * p.sa),
+             |verified AS (SELECT c.snip_id, c.doc_id,
+             |    CAST(len(list_intersect(ss.sh, fs.sh)) AS BIGINT) AS inter,
+             |    CAST(len(ss.sh) AS BIGINT) AS snip_sz
+             |  FROM cand c JOIN snip_sh ss ON ss.snip_id = c.snip_id
+             |              JOIN full_sh fs ON fs.doc_id = c.doc_id)
+             |SELECT snip_id, doc_id, inter, snip_sz,
+             |  (10000 * inter) // snip_sz AS containment_bp
+             |FROM verified WHERE 5 * inter >= 4 * snip_sz
+             |ORDER BY snip_id, doc_id""".stripMargin)
     )
   )
 }

@@ -69,6 +69,37 @@ class SpanCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("containment join: every snippet covers its source; prefix filter is lossless") {
+    // sf0.001 is small enough to brute-force ALL (snippet, doc) pairs —
+    // the prefix-filtered join must return exactly the pairs whose true
+    // shingle containment >= 0.8 (completeness AND soundness).
+    val tiny = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.registry.find(_.name == "dedup_containment_prefix")
+      .get.fn(spark, tiny).collect()
+      .map(r => (r.getAs[Long]("snip_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("containment_bp")).toMap
+    // every snippet is a prefix of its source doc -> containment exactly 1
+    val sources = got.keys.filter { case (s0, d0) => s0 - 200000 == d0 }
+    assert(sources.nonEmpty)
+    sources.foreach(k => assert(got(k) == 10000L, s"$k not fully contained"))
+    // brute force over raw token arrays
+    def shingles(ts: Seq[String]): Set[String] =
+      if (ts.length >= 3) ts.sliding(3).map(_.mkString(" ")).toSet
+      else Set(ts.mkString(" "))
+    val docs = T(spark, tiny, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" +").filter(_.nonEmpty).toSeq)
+    val full = docs.map { case (id, ts) => id -> shingles(ts) }
+    val snips = docs.filter(_._2.length >= 8)
+      .map { case (id, ts) => (id + 200000) -> shingles(ts.take((ts.length + 1) / 2)) }
+    val want = (for {
+      (sid, sa) <- snips; (did, sb) <- full
+      inter = (sa & sb).size
+      if 5L * inter >= 4L * sa.size
+    } yield (sid, did) -> 10000L * inter / sa.size).toMap
+    assert(got == want,
+      s"missing=${(want.keySet -- got.keySet).take(5)} extra=${(got.keySet -- want.keySet).take(5)}")
+  }
+
   test("compaction plan: order-preserving next-fit with bounded bins") {
     val rows = q("layout_compaction_plan").collect()
     val parts = rows.map(r => (r.getAs[String]("part_key"), r.getAs[Long]("n_rows"),
