@@ -1479,6 +1479,55 @@ object DedupQueries {
              |  (10000 * inter) // snip_sz AS containment_bp
              |FROM verified WHERE 5 * inter >= 4 * snip_sz
              |ORDER BY snip_id, doc_id""".stripMargin)
+    ),
+
+    // Takedown propagation (right-to-be-forgotten / license retraction):
+    // given a seed set of doc_ids to remove (here doc_id % 97 = 0), the
+    // removal must also cover every NEAR-DUPLICATE of a seed — near-dup
+    // copies re-leak the content a takedown was meant to purge. Removal
+    // set = seeds ∪ all members of any md5-LSH connected component that
+    // contains a seed. Scale shape: reuses the verified-pair CC labeling
+    // (one shuffle per star round over EDGES, not docs); seed-component
+    // selection is a semi-join on comp; seeds without near-dups survive
+    // via the union, so docs outside any cluster still get removed. The
+    // actual purge downstream is then one anti-join on this table.
+    QueryDef("dedup_takedown_propagate",
+      (s, d) => {
+        val seeds = docsWithDups(s, d).select("doc_id")
+          .where(expr("doc_id % 97 = 0"))
+        val edges = md5LshPairs(s, d).select("a", "b")
+        val comps = graft.operators.ConnectedComponents
+          .components(s, edges, "a", "b")  // (node, comp)
+        val seedComps = comps
+          .join(seeds.withColumnRenamed("doc_id", "node"), "node")
+          .select("comp").distinct()
+        val clusterHits = comps.join(seedComps, "comp")
+          .select(col("node").as("doc_id"))
+        seeds.select(col("doc_id"), lit(1L).as("is_seed"))
+          .unionByName(clusterHits.select(col("doc_id"), lit(0L).as("is_seed")))
+          .groupBy("doc_id").agg(max("is_seed").as("is_seed"))
+          .select(col("doc_id"),
+            when(col("is_seed") === 1, "seed").otherwise("cluster").as("reason"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${md5LshPairsSqlCtes},
+              |und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+              |reach(node, r) AS (
+              |  SELECT a AS node, a AS r FROM und
+              |  UNION
+              |  SELECT u.a AS node, reach.r FROM und u JOIN reach ON u.b = reach.node
+              |),
+              |labels AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+              |seeds AS (SELECT doc_id FROM all_docs WHERE doc_id % 97 = 0),
+              |seed_comps AS (SELECT DISTINCT l.comp FROM labels l
+              |  JOIN seeds s ON l.node = s.doc_id),
+              |hits AS (SELECT l.node AS doc_id FROM labels l
+              |  JOIN seed_comps sc ON l.comp = sc.comp),
+              |rm AS (SELECT doc_id, 1 AS is_seed FROM seeds
+              |  UNION ALL SELECT doc_id, 0 AS is_seed FROM hits)
+              |SELECT doc_id,
+              |  CASE WHEN max(is_seed) = 1 THEN 'seed' ELSE 'cluster' END AS reason
+              |FROM rm GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -100,6 +100,25 @@ class SpanCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing=${(want.keySet -- got.keySet).take(5)} extra=${(got.keySet -- want.keySet).take(5)}")
   }
 
+  test("takedown propagation: all seeds removed, clusters pulled in whole") {
+    val rows = q("dedup_takedown_propagate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    // every seed (doc_id % 97 == 0 over docs ∪ perturbed twins) is removed
+    val nDocs = T(spark, dir, "documents").count()
+    val expectedSeeds = (0L until nDocs).filter(_ % 97 == 0) ++
+      (0L until nDocs).map(_ + 100000).filter(_ % 97 == 0)
+    expectedSeeds.foreach(id =>
+      assert(rows.get(id).contains("seed"), s"seed $id missing or mislabeled"))
+    // every original seed's perturbed twin is a verified near-dup by
+    // construction, so it must be swept in (as seed or cluster member)
+    expectedSeeds.filter(_ < 100000).foreach(id =>
+      assert(rows.contains(id + 100000), s"near-dup twin of seed $id not removed"))
+    // nothing outside seeds is removed without cluster reason
+    rows.foreach { case (id, reason) =>
+      if (id % 97 != 0) assert(reason == "cluster", s"$id removed as $reason")
+    }
+  }
+
   test("compaction plan: order-preserving next-fit with bounded bins") {
     val rows = q("layout_compaction_plan").collect()
     val parts = rows.map(r => (r.getAs[String]("part_key"), r.getAs[Long]("n_rows"),
