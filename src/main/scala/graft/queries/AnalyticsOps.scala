@@ -1211,6 +1211,56 @@ object AnalyticsOps {
              |  FROM pairs)
              |SELECT doc_id, cand AS neg_id, CAST(rk AS BIGINT) AS rk
              |FROM r WHERE rk <= 4 ORDER BY doc_id, rk""".stripMargin)
+    ),
+
+    // Corpus snapshot diff (dataset-versioning primitive): classify every
+    // doc across two corpus versions as added / removed / changed /
+    // unchanged by content hash, reported per source — the audit table a
+    // versioned data lake derives between snapshots. v2 is simulated
+    // deterministically from v1 (delete doc_id%31=0, edit doc_id%13=0,
+    // add doc_id%41=0 under id+300000) so both engines diff the SAME two
+    // versions. Scale shape: one full-outer hash join on the id key with
+    // map-side md5 — content never shuffles, only (id, source, hash);
+    // the per-source rollup partial-aggregates.
+    QueryDef("corpus_snapshot_diff",
+      (s, d) => {
+        val v1 = T(s, d, "documents").select("doc_id", "source", "text")
+        val v2 = v1.where(expr("doc_id % 31 != 0"))
+          .withColumn("text", when(expr("doc_id % 13 = 0"),
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          .unionByName(v1.where(expr("doc_id % 41 = 0"))
+            .select((col("doc_id") + 300000).as("doc_id"),
+              col("source"), col("text")))
+        val a = v1.select(col("doc_id"), col("source").as("src1"),
+          md5(col("text")).as("h1"))
+        val b = v2.select(col("doc_id"), col("source").as("src2"),
+          md5(col("text")).as("h2"))
+        a.join(b, Seq("doc_id"), "full_outer")
+          .select(coalesce(col("src1"), col("src2")).as("source"),
+            when(col("h1").isNull, "added")
+              .when(col("h2").isNull, "removed")
+              .when(col("h1") === col("h2"), "unchanged")
+              .otherwise("changed").as("status"))
+          .groupBy("source", "status").agg(count(lit(1)).as("n_docs"))
+          .orderBy("source", "status")
+      },
+      Some("""WITH v1 AS (SELECT doc_id, source, text FROM documents),
+             |v2 AS (
+             |  SELECT doc_id, source,
+             |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+             |  FROM v1 WHERE doc_id % 31 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 300000, source, text FROM v1 WHERE doc_id % 41 = 0),
+             |a AS (SELECT doc_id, source AS src1, md5(text) AS h1 FROM v1),
+             |b AS (SELECT doc_id, source AS src2, md5(text) AS h2 FROM v2),
+             |j AS (SELECT coalesce(src1, src2) AS source,
+             |    CASE WHEN h1 IS NULL THEN 'added'
+             |         WHEN h2 IS NULL THEN 'removed'
+             |         WHEN h1 = h2 THEN 'unchanged'
+             |         ELSE 'changed' END AS status
+             |  FROM a FULL OUTER JOIN b USING (doc_id))
+             |SELECT source, status, count(*) AS n_docs
+             |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin)
     )
   )
 

@@ -119,6 +119,22 @@ class SpanCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("snapshot diff: classification counts reconcile with the simulated edits") {
+    val rows = q("corpus_snapshot_diff").collect()
+    val byStatus = rows.groupBy(_.getAs[String]("status"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val ids = T(spark, dir, "documents").select("doc_id").collect().map(_.getLong(0))
+    val removed = ids.count(_ % 31 == 0)
+    val added = ids.count(_ % 41 == 0)
+    val changed = ids.count(i => i % 31 != 0 && i % 13 == 0)
+    val unchanged = ids.count(i => i % 31 != 0 && i % 13 != 0)
+    assert(byStatus.getOrElse("removed", 0L) == removed)
+    assert(byStatus.getOrElse("added", 0L) == added)
+    assert(byStatus.getOrElse("changed", 0L) == changed)
+    assert(byStatus.getOrElse("unchanged", 0L) == unchanged)
+    assert(byStatus.values.sum == ids.length + added)
+  }
+
   test("compaction plan: order-preserving next-fit with bounded bins") {
     val rows = q("layout_compaction_plan").collect()
     val parts = rows.map(r => (r.getAs[String]("part_key"), r.getAs[Long]("n_rows"),
