@@ -1261,6 +1261,74 @@ object AnalyticsOps {
              |  FROM a FULL OUTER JOIN b USING (doc_id))
              |SELECT source, status, count(*) AS n_docs
              |FROM j GROUP BY source, status ORDER BY source, status""".stripMargin)
+    ),
+
+    // KMV distinct-overlap matrix: per-source 3-gram vocabulary overlap
+    // estimated from k-minimum-values sketches (k=64 smallest distinct
+    // 48-bit md5 hashes per source). Union sketch = k-min merge, so
+    // |A∩B| = est(A) + est(B) − est(A∪B) by inclusion–exclusion — the
+    // cross-corpus audience/vocabulary-overlap question answered from
+    // |sources|·k longs of state instead of a distinct-count join. The
+    // md5 hash family makes the sketch ITSELF portable: DuckDB rebuilds it
+    // value-for-value and every integer estimate hash-matches exactly.
+    // Scale shape: one partial-agged groupBy(source) with an O(k) buffer
+    // (duplicates die in the buffer — no pre-distinct shuffle); the pair
+    // matrix is a broadcast self-join of the |sources|-row sketch table.
+    QueryDef("stats_kmv_overlap",
+      (s, d) => {
+        val K = 64; val H = 281474976710656L // 2^48
+        s.udf.register("kmv64", udaf(graft.operators.Kmv.agg(K)))
+        val sh = T(s, d, "documents")
+          .withColumn("ws", expr("filter(split(text, ' +'), x -> x != '')"))
+          .select(col("source"), explode(expr(
+            """CASE WHEN size(ws) >= 3
+              |  THEN transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))
+              |  ELSE array(concat_ws(' ', ws)) END""".stripMargin)).as("g"))
+          .withColumn("h", expr("cast(conv(substring(md5(g), 1, 12), 16, 10) as bigint)"))
+        val sk = sh.groupBy("source").agg(expr("kmv64(h)").as("kmv"))
+        def est(c: String) =
+          s"""CASE WHEN size($c) < $K THEN cast(size($c) AS BIGINT)
+             |  ELSE (${K - 1}L * ${H}L) div greatest(1L, element_at($c, $K)) END""".stripMargin
+        val a = sk.select(col("source").as("src_a"), col("kmv").as("ka"))
+        val b = sk.select(col("source").as("src_b"), col("kmv").as("kb"))
+        a.join(broadcast(b), col("src_a") < col("src_b"))
+          .withColumn("mg", expr(s"slice(array_sort(array_distinct(concat(ka, kb))), 1, $K)"))
+          .withColumn("est_a", expr(est("ka")))
+          .withColumn("est_b", expr(est("kb")))
+          .withColumn("est_union", expr(est("mg")))
+          .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+            col("est_union"),
+            greatest(lit(0L), col("est_a") + col("est_b") - col("est_union"))
+              .as("est_inter"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH t AS (SELECT source, list_filter(string_split_regex(text, ' +'),
+             |        x -> x <> '') AS ws FROM documents),
+             |g0 AS (SELECT source, unnest(CASE WHEN len(ws) >= 3
+             |    THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+             |    ELSE [array_to_string(ws, ' ')] END) AS g FROM t),
+             |h0 AS (SELECT DISTINCT source,
+             |    CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) AS h FROM g0),
+             |r AS (SELECT source, h,
+             |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h0),
+             |sk AS (SELECT source, list(h ORDER BY h) AS kmv
+             |  FROM r WHERE rn <= 64 GROUP BY source),
+             |p AS (SELECT a.source AS src_a, a.kmv AS ka, b.source AS src_b, b.kmv AS kb
+             |  FROM sk a JOIN sk b ON a.source < b.source),
+             |m AS (SELECT src_a, src_b,
+             |    CASE WHEN len(ka) < 64 THEN CAST(len(ka) AS BIGINT)
+             |      ELSE (63 * 281474976710656) // greatest(1, ka[64]) END AS est_a,
+             |    CASE WHEN len(kb) < 64 THEN CAST(len(kb) AS BIGINT)
+             |      ELSE (63 * 281474976710656) // greatest(1, kb[64]) END AS est_b,
+             |    list_slice(list_sort(list_distinct(list_concat(ka, kb))), 1, 64) AS mg
+             |  FROM p),
+             |u AS (SELECT src_a, src_b, est_a, est_b,
+             |    CASE WHEN len(mg) < 64 THEN CAST(len(mg) AS BIGINT)
+             |      ELSE (63 * 281474976710656) // greatest(1, mg[64]) END AS est_union
+             |  FROM m)
+             |SELECT src_a, src_b, est_a, est_b, est_union,
+             |  greatest(0, est_a + est_b - est_union) AS est_inter
+             |FROM u ORDER BY src_a, src_b""".stripMargin)
     )
   )
 

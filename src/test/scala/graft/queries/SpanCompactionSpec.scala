@@ -135,6 +135,31 @@ class SpanCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byStatus.values.sum == ids.length + added)
   }
 
+  test("kmv overlap: estimates track exact distinct counts within sketch error") {
+    val est = q("stats_kmv_overlap").collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        (r.getAs[Long]("est_a"), r.getAs[Long]("est_b"), r.getAs[Long]("est_union")))
+      .toMap
+    // exact per-source distinct 3-gram sets (driver-side; tiny at sf0.01)
+    def shingles(ts: Array[String]): Set[String] =
+      if (ts.length >= 3) ts.sliding(3).map(_.mkString(" ")).toSet
+      else Set(ts.mkString(" "))
+    val bySource = T(spark, dir, "documents").select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.flatMap(r => shingles(r.getString(1).split(" +").filter(_.nonEmpty))).toSet)
+      .toMap
+    assert(est.nonEmpty)
+    est.foreach { case ((a, b), (ea, eb, eu)) =>
+      val (xa, xb) = (bySource(a).size.toLong, bySource(b).size.toLong)
+      val xu = (bySource(a) | bySource(b)).size.toLong
+      // k=64 KMV: sd ~= 1/sqrt(k-1) ~= 12.6%; assert within ~3 sd
+      def ok(e: Long, x: Long) = math.abs(e - x) <= math.max(3, (0.4 * x).toLong)
+      assert(ok(ea, xa), s"$a: est $ea vs exact $xa")
+      assert(ok(eb, xb), s"$b: est $eb vs exact $xb")
+      assert(ok(eu, xu), s"$a|$b: est $eu vs exact $xu")
+    }
+  }
+
   test("compaction plan: order-preserving next-fit with bounded bins") {
     val rows = q("layout_compaction_plan").collect()
     val parts = rows.map(r => (r.getAs[String]("part_key"), r.getAs[Long]("n_rows"),
