@@ -1329,6 +1329,52 @@ object AnalyticsOps {
              |SELECT src_a, src_b, est_a, est_b, est_union,
              |  greatest(0, est_a + est_b - est_union) AS est_inter
              |FROM u ORDER BY src_a, src_b""".stripMargin)
+    ),
+
+    // ANALYZE-style table profile: per-column row count, null count and
+    // exact NDV for lineitem — the statistics a cost-based optimizer feeds
+    // on (join reorder, broadcast decisions). One scan: the multi-distinct
+    // aggregate plans as a single Expand+aggregate pass (each row fans out
+    // once per column), then the wide one-row result unpivots to the
+    // per-column stats table driver-side — never a per-column rescan.
+    QueryDef("stats_table_profile",
+      (s, d) => {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_linestatus", "l_shipdate")
+        val li = T(s, d, "lineitem")
+        val aggs = count(lit(1)).as("n_rows") +:
+          cols.flatMap(c => Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+            countDistinct(col(c)).as(s"ndv_$c")))
+        val wide = li.agg(aggs.head, aggs.tail: _*)
+        val stacked = cols.map(c =>
+          s"'$c', nulls_$c, ndv_$c").mkString(", ")
+        wide.select(col("n_rows"), expr(
+            s"stack(${cols.length}, $stacked) AS (col_name, n_nulls, ndv)"))
+          .select(col("col_name"), col("n_rows"), col("n_nulls"), col("ndv"))
+          .orderBy("col_name")
+      },
+      Some("""WITH w AS (SELECT count(*) AS n_rows,
+             |  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nu1, count(DISTINCT l_orderkey) AS nd1,
+             |  sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS nu2, count(DISTINCT l_partkey) AS nd2,
+             |  sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS nu3, count(DISTINCT l_suppkey) AS nd3,
+             |  sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nu4, count(DISTINCT l_quantity) AS nd4,
+             |  sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS nu5, count(DISTINCT l_extendedprice) AS nd5,
+             |  sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nu6, count(DISTINCT l_returnflag) AS nd6,
+             |  sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS nu7, count(DISTINCT l_linestatus) AS nd7,
+             |  sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS nu8, count(DISTINCT l_shipdate) AS nd8
+             |  FROM lineitem),
+             |s AS (
+             |  SELECT 'l_orderkey' AS col_name, n_rows, nu1 AS n_nulls, nd1 AS ndv FROM w
+             |  UNION ALL SELECT 'l_partkey', n_rows, nu2, nd2 FROM w
+             |  UNION ALL SELECT 'l_suppkey', n_rows, nu3, nd3 FROM w
+             |  UNION ALL SELECT 'l_quantity', n_rows, nu4, nd4 FROM w
+             |  UNION ALL SELECT 'l_extendedprice', n_rows, nu5, nd5 FROM w
+             |  UNION ALL SELECT 'l_returnflag', n_rows, nu6, nd6 FROM w
+             |  UNION ALL SELECT 'l_linestatus', n_rows, nu7, nd7 FROM w
+             |  UNION ALL SELECT 'l_shipdate', n_rows, nu8, nd8 FROM w)
+             |SELECT col_name, n_rows, CAST(n_nulls AS BIGINT) AS n_nulls, ndv
+             |FROM s ORDER BY col_name""".stripMargin)
     )
   )
 

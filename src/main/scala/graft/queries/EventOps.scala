@@ -252,6 +252,36 @@ object EventOps {
              |       ELSE 'updated' END AS src
              |FROM m WHERE key IS NULL OR event_type <> 'click'
              |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // Incremental aggregate maintenance (materialized-view delta merge):
+    // base partial aggregates (events before the temporal midpoint) merged
+    // with a delta batch's partials — count sums, DECIMAL sums sum, min/max
+    // fold — and the ORACLE is a full recompute over everything, so a hash
+    // match proves the merge algebra is lossless. This is the incremental
+    // ETL contract at 100 TB: the nightly view update touches only the
+    // delta's partials, never the base data. The split point is derived
+    // from broadcast min/max scalars so both engines cut identically.
+    QueryDef("events_incremental_agg",
+      (s, d) => {
+        val ev = T.events(s, d).withColumn("us", expr("unix_micros(ts)"))
+        val bounds = ev.agg(min("us").as("lo"), max("us").as("hi"))
+        val partials = ev.crossJoin(broadcast(bounds))
+          .withColumn("is_base", expr("us < (lo + hi) div 2"))
+          .groupBy("event_type", "is_base")
+          .agg(count(lit(1)).as("pn"),
+            sum(col("value").cast("decimal(18,2)")).as("psum"),
+            min("us").as("pmin"), max("us").as("pmax"))
+        partials.groupBy("event_type")
+          .agg(sum("pn").as("n_events"),
+            sum("psum").cast("double").as("sum_value"),
+            min("pmin").as("min_us"), max("pmax").as("max_us"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |  min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     )
   )
 }

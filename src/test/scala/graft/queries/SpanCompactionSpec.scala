@@ -160,6 +160,38 @@ class SpanCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incremental agg: delta-merged partials equal a direct recompute") {
+    val merged = q("events_incremental_agg").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"),
+          r.getAs[Long]("min_us"), r.getAs[Long]("max_us"))).toMap
+    val direct = graft.queries.T.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"),
+        min(expr("unix_micros(ts)")).as("mn"), max(expr("unix_micros(ts)")).as("mx"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sv"),
+          r.getAs[Long]("mn"), r.getAs[Long]("mx"))).toMap
+    assert(merged == direct)
+  }
+
+  test("table profile: one-pass stats with sane bounds") {
+    val rows = q("stats_table_profile").collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val (n, nulls, ndv) = (r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_nulls"), r.getAs[Long]("ndv"))
+      assert(nulls >= 0 && nulls <= n)
+      assert(ndv >= 1 && ndv <= n - nulls,
+        s"${r.getAs[String]("col_name")}: ndv $ndv out of [1, ${n - nulls}]")
+    }
+    // low-cardinality flags really are low-cardinality
+    val byCol = rows.map(r => r.getAs[String]("col_name") -> r.getAs[Long]("ndv")).toMap
+    assert(byCol("l_returnflag") <= 3 && byCol("l_linestatus") <= 2)
+  }
+
   test("compaction plan: order-preserving next-fit with bounded bins") {
     val rows = q("layout_compaction_plan").collect()
     val parts = rows.map(r => (r.getAs[String]("part_key"), r.getAs[Long]("n_rows"),
