@@ -282,6 +282,48 @@ object EventOps {
              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
              |  min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // Hourly gap-fill: a time-series rollup is only chartable/joinable if
+    // every (type, hour) cell exists — generate the full hourly spine
+    // between the corpus min/max hour, cross it with the type dimension,
+    // and left-join the observed counts, filling absent cells with 0.
+    // Scale shape: the spine is hours × types — DIMENSION-sized, built
+    // from broadcast min/max scalars with one sequence() explode — and the
+    // fact side arrives pre-aggregated (one groupBy shuffle), so the fill
+    // join is spine-sized, never event-sized. Hour keys stay integer
+    // (epoch hours) end to end.
+    QueryDef("events_gapfill_hourly",
+      (s, d) => {
+        val ev = T.events(s, d)
+          .withColumn("eh", expr("unix_micros(ts) div 3600000000"))
+        val hourly = ev.groupBy("event_type", "eh")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("sv"))
+        val bounds = ev.agg(min("eh").as("lo"), max("eh").as("hi"))
+        val types = ev.select("event_type").distinct()
+        val spine = types.crossJoin(broadcast(bounds))
+          .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("eh"))
+        spine.join(hourly, Seq("event_type", "eh"), "left")
+          .select(col("event_type"), col("eh"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("sv").cast("double"), lit(0.0d)).as("sum_value"))
+          .orderBy("event_type", "eh")
+      },
+      Some("""WITH ev AS (SELECT event_type, epoch_us(ts) // 3600000000 AS eh,
+             |    value FROM events),
+             |hourly AS (SELECT event_type, eh, count(*) AS n,
+             |    sum(CAST(value AS DECIMAL(18,2))) AS sv
+             |  FROM ev GROUP BY 1, 2),
+             |b AS (SELECT min(eh) AS lo, max(eh) AS hi FROM ev),
+             |spine AS (SELECT t.event_type, g.eh
+             |  FROM (SELECT DISTINCT event_type FROM ev) t,
+             |       b, UNNEST(range(b.lo, b.hi + 1)) AS g(eh))
+             |SELECT s.event_type, s.eh, coalesce(h.n, 0) AS n,
+             |  coalesce(CAST(h.sv AS DOUBLE), 0.0) AS sum_value
+             |FROM spine s LEFT JOIN hourly h
+             |  ON s.event_type = h.event_type AND s.eh = h.eh
+             |ORDER BY s.event_type, s.eh""".stripMargin)
     )
   )
 }

@@ -192,6 +192,22 @@ class SpanCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byCol("l_returnflag") <= 3 && byCol("l_linestatus") <= 2)
   }
 
+  test("gap-fill: complete hourly spine, zero fills, event conservation") {
+    val rows = q("events_gapfill_hourly").collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    val hours = rows.map(_.getAs[Long]("eh"))
+    val (lo, hi) = (hours.min, hours.max)
+    assert(rows.length == types.length * (hi - lo + 1), "spine has holes or dups")
+    types.foreach { t =>
+      val hs = rows.filter(_.getAs[String]("event_type") == t).map(_.getAs[Long]("eh")).sorted
+      assert(hs.head == lo && hs.last == hi && hs.length == hi - lo + 1,
+        s"type $t spine incomplete")
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum == graft.queries.T.events(spark, dir).count())
+    rows.filter(_.getAs[Long]("n") == 0)
+      .foreach(r => assert(r.getAs[Double]("sum_value") == 0.0))
+  }
+
   test("compaction plan: order-preserving next-fit with bounded bins") {
     val rows = q("layout_compaction_plan").collect()
     val parts = rows.map(r => (r.getAs[String]("part_key"), r.getAs[Long]("n_rows"),
