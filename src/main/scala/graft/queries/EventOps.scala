@@ -28,6 +28,39 @@ object EventOps {
        |FROM x GROUP BY user_id, session_idx
        |ORDER BY user_id, session_idx""".stripMargin
 
+  /** Zero-filled (event_type, hour) series — see events_gapfill_hourly. */
+  private def gapfillHourly(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val ev = T.events(s, d)
+      .withColumn("eh", expr("unix_micros(ts) div 3600000000"))
+    val hourly = ev.groupBy("event_type", "eh")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
+    val bounds = ev.agg(min("eh").as("lo"), max("eh").as("hi"))
+    val types = ev.select("event_type").distinct()
+    val spine = types.crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("eh"))
+    spine.join(hourly, Seq("event_type", "eh"), "left")
+      .select(col("event_type"), col("eh"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sv").cast("double"), lit(0.0d)).as("sum_value"))
+  }
+
+  /** The gap-filled series as DuckDB CTEs (`gf` = the filled frame). */
+  private val GapfillSqlCtes =
+    """ev AS (SELECT event_type, epoch_us(ts) // 3600000000 AS eh,
+      |    value FROM events),
+      |hourly AS (SELECT event_type, eh, count(*) AS n,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS sv
+      |  FROM ev GROUP BY 1, 2),
+      |b AS (SELECT min(eh) AS lo, max(eh) AS hi FROM ev),
+      |spine AS (SELECT t.event_type, g.eh
+      |  FROM (SELECT DISTINCT event_type FROM ev) t,
+      |       b, UNNEST(range(b.lo, b.hi + 1)) AS g(eh)),
+      |gf AS (SELECT s.event_type, s.eh, coalesce(h.n, 0) AS n,
+      |    coalesce(CAST(h.sv AS DOUBLE), 0.0) AS sum_value
+      |  FROM spine s LEFT JOIN hourly h
+      |    ON s.event_type = h.event_type AND s.eh = h.eh)""".stripMargin
+
   val qs: Seq[QueryDef] = Seq(
     // gap-based sessionization: lag → break flag → running session index →
     // per-session aggregate. One shuffle on user_id; at scale this is the
@@ -294,36 +327,38 @@ object EventOps {
     // join is spine-sized, never event-sized. Hour keys stay integer
     // (epoch hours) end to end.
     QueryDef("events_gapfill_hourly",
+      (s, d) => gapfillHourly(s, d).orderBy("event_type", "eh"),
+      Some(s"""WITH $GapfillSqlCtes
+              |SELECT event_type, eh, n, sum_value
+              |FROM gf ORDER BY event_type, eh""".stripMargin)
+    ),
+
+    // Rolling-median smoothing over the gap-filled series: a 7-hour
+    // centered window median per type — the robust trend line (medians
+    // shrug off the spikes events_anomaly_trailing hunts). No window
+    // percentile needed: collect the ≤7-row frame, sort, take the middle —
+    // med2 = twice the median, kept integer (sum of the two middle
+    // elements; equal for odd frames) so cross-engine equality is exact.
+    // Scale shape: the window runs over the AGGREGATED hourly series
+    // (dimension-sized), partitioned by type — never over raw events.
+    QueryDef("events_rolling_median",
       (s, d) => {
-        val ev = T.events(s, d)
-          .withColumn("eh", expr("unix_micros(ts) div 3600000000"))
-        val hourly = ev.groupBy("event_type", "eh")
-          .agg(count(lit(1)).as("n"),
-            sum(col("value").cast("decimal(18,2)")).as("sv"))
-        val bounds = ev.agg(min("eh").as("lo"), max("eh").as("hi"))
-        val types = ev.select("event_type").distinct()
-        val spine = types.crossJoin(broadcast(bounds))
-          .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("eh"))
-        spine.join(hourly, Seq("event_type", "eh"), "left")
-          .select(col("event_type"), col("eh"),
-            coalesce(col("n"), lit(0L)).as("n"),
-            coalesce(col("sv").cast("double"), lit(0.0d)).as("sum_value"))
+        val w = Window.partitionBy("event_type").orderBy("eh").rowsBetween(-3, 3)
+        gapfillHourly(s, d)
+          .withColumn("ls", sort_array(collect_list(col("n")).over(w)))
+          .select(col("event_type"), col("eh"), col("n"), expr(
+            """element_at(ls, int((size(ls) + 1) div 2)) +
+              |element_at(ls, int(size(ls) div 2 + 1))""".stripMargin).as("med2"))
           .orderBy("event_type", "eh")
       },
-      Some("""WITH ev AS (SELECT event_type, epoch_us(ts) // 3600000000 AS eh,
-             |    value FROM events),
-             |hourly AS (SELECT event_type, eh, count(*) AS n,
-             |    sum(CAST(value AS DECIMAL(18,2))) AS sv
-             |  FROM ev GROUP BY 1, 2),
-             |b AS (SELECT min(eh) AS lo, max(eh) AS hi FROM ev),
-             |spine AS (SELECT t.event_type, g.eh
-             |  FROM (SELECT DISTINCT event_type FROM ev) t,
-             |       b, UNNEST(range(b.lo, b.hi + 1)) AS g(eh))
-             |SELECT s.event_type, s.eh, coalesce(h.n, 0) AS n,
-             |  coalesce(CAST(h.sv AS DOUBLE), 0.0) AS sum_value
-             |FROM spine s LEFT JOIN hourly h
-             |  ON s.event_type = h.event_type AND s.eh = h.eh
-             |ORDER BY s.event_type, s.eh""".stripMargin)
+      Some(s"""WITH $GapfillSqlCtes,
+              |r AS (SELECT event_type, eh, n,
+              |    list_sort(list(n) OVER (PARTITION BY event_type ORDER BY eh
+              |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS ls
+              |  FROM gf)
+              |SELECT event_type, eh, n,
+              |  ls[(len(ls) + 1) // 2] + ls[len(ls) // 2 + 1] AS med2
+              |FROM r ORDER BY event_type, eh""".stripMargin)
     )
   )
 }

@@ -208,6 +208,23 @@ class SpanCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(r => assert(r.getAs[Double]("sum_value") == 0.0))
   }
 
+  test("rolling median: matches a driver-side recompute over the filled series") {
+    val rows = q("events_rolling_median").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("eh"),
+        r.getAs[Long]("n"), r.getAs[Long]("med2")))
+    rows.groupBy(_._1).foreach { case (_, series) =>
+      val s = series.sortBy(_._2)
+      val ns = s.map(_._3)
+      s.zipWithIndex.foreach { case ((_, _, _, med2), i) =>
+        val frame = ns.slice(math.max(0, i - 3), math.min(ns.length, i + 4)).sorted
+        val k = frame.length
+        val expect = frame((k + 1) / 2 - 1) + frame(k / 2)
+        assert(med2 == expect, s"idx $i: med2 $med2 != $expect")
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("compaction plan: order-preserving next-fit with bounded bins") {
     val rows = q("layout_compaction_plan").collect()
     val parts = rows.map(r => (r.getAs[String]("part_key"), r.getAs[Long]("n_rows"),
