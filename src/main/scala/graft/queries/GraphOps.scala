@@ -380,6 +380,70 @@ object GraphOps {
               |  FROM perc)
               |SELECT * FROM perc UNION ALL SELECT * FROM tot
               |ORDER BY community""".stripMargin)
+    ),
+
+    // BFS layer expansion (multi-source shortest hops): distance from a
+    // seed set (every 100th customer) over the bipartite co-purchase
+    // graph, 4 unrolled min-distance rounds — the reachability primitive
+    // behind influence radius / link-distance quality signals. Round =
+    // one shuffle join of the frontier with edges + one min-aggregation
+    // (the PageRank silhouette); distances are |V|-sized, checkpointed
+    // per round; layer histogram + an explicit unreached bucket (-1) so
+    // coverage is part of the verified result.
+    QueryDef("graph_bfs_layers",
+      (s, d) => {
+        val o = T(s, d, "orders").select("o_orderkey", "o_custkey")
+        val l = T(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+        val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+          .distinct()
+        val adj = pairs.unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
+          .localCheckpoint()
+        val nodes = adj.select(col("u").as("node")).distinct().localCheckpoint()
+        var dist = nodes
+          .where(expr("node % 2 = 0 AND (node div 2) % 100 = 0"))
+          .select(col("node"), lit(0L).as("d"))
+          .localCheckpoint()
+        (1 to 4).foreach { _ =>
+          dist = dist.unionByName(
+              adj.join(dist.withColumnRenamed("node", "v"), "v")
+                .select(col("u").as("node"), (col("d") + 1L).as("d")))
+            .groupBy("node").agg(min("d").as("d"))
+            .localCheckpoint()
+        }
+        val reached = dist.groupBy(col("d").as("dist"))
+          .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"))
+        val unreached = nodes.join(dist, Seq("node"), "left_anti")
+          .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"))
+          .select(lit(-1L).as("dist"), col("n_nodes"), col("min_node"))
+          .where(col("n_nodes") > 0)
+        reached.unionByName(unreached).orderBy("dist")
+      },
+      Some {
+        val rounds = (1 to 4).map { i =>
+          val p = s"bd${i - 1}"
+          s"""bd$i AS (SELECT node, min(d) AS d FROM (
+             |  SELECT node, d FROM $p
+             |  UNION ALL
+             |  SELECT a.u AS node, p.d + 1 AS d FROM adjb a JOIN $p p ON a.v = p.node)
+             |  GROUP BY node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH pairsb AS (SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+           |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+           |adjb AS MATERIALIZED (SELECT u, v FROM pairsb UNION ALL SELECT v, u FROM pairsb),
+           |nb AS (SELECT DISTINCT u AS node FROM adjb),
+           |bd0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM nb
+           |  WHERE node % 2 = 0 AND (node // 2) % 100 = 0),
+           |$rounds
+           |SELECT d AS dist, CAST(count(*) AS BIGINT) AS n_nodes,
+           |  min(node) AS min_node
+           |FROM bd4 GROUP BY d
+           |UNION ALL
+           |SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT), min(node)
+           |FROM nb WHERE node NOT IN (SELECT node FROM bd4)
+           |HAVING count(*) > 0
+           |ORDER BY dist""".stripMargin
+      }
     )
   )
 

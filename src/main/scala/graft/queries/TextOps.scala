@@ -1077,6 +1077,43 @@ object TextOps {
              |  count(DISTINCT doc_id) AS n_docs
              |FROM w GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2
              |ORDER BY n_docs DESC, n_occurrences DESC, ngram LIMIT 20""".stripMargin)
+    ),
+
+    // Tokenizer-coverage metric: per-doc out-of-vocabulary rate against the
+    // corpus top-16 token vocabulary ((count desc, token) total order) —
+    // the coverage question asked before freezing any vocab: how much of
+    // each document a fixed vocabulary fails to cover. Scale shape: the
+    // vocab is a top-k aggregate (TakeOrderedAndProject) broadcast to a
+    // map-side membership probe; one token-explode, one per-doc rollup.
+    QueryDef("text_oov_rate",
+      (s, d) => {
+        val toks = T(s, d, "documents")
+          .select(col("doc_id"),
+            explode(expr("filter(split(text, ' +'), x -> x != '')")).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(16)
+          .select(col("tok"), lit(1L).as("in_v"))
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            expr("(10000 * n_oov) div n_tokens").as("oov_bp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(text, ' +'), x -> x <> '')) AS tok
+             |  FROM documents),
+             |v AS (SELECT tok FROM (
+             |    SELECT tok, count(*) AS c FROM toks GROUP BY tok
+             |    ORDER BY c DESC, tok LIMIT 16)),
+             |p AS (SELECT doc_id, count(*) AS n_tokens,
+             |    CAST(sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END)
+             |      AS BIGINT) AS n_oov
+             |  FROM toks GROUP BY doc_id)
+             |SELECT doc_id, n_tokens, n_oov,
+             |  (10000 * n_oov) // n_tokens AS oov_bp
+             |FROM p ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -225,6 +225,35 @@ class SpanCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.nonEmpty)
   }
 
+  test("bfs layers: triangle inequality over rounds and full accounting") {
+    val rows = q("graph_bfs_layers").collect()
+      .map(r => (r.getAs[Long]("dist"), r.getAs[Long]("n_nodes"), r.getAs[Long]("min_node")))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    val reached = rows.filter(_._1 >= 0)
+    assert(reached.exists(_._1 == 0L), "no seed layer")
+    assert(reached.forall(_._1 <= 4L))
+    // seeds are even (customer) nodes; odd layers are supplier side
+    rows.foreach { case (d0, _, mn) =>
+      if (d0 >= 0) assert(mn % 2 == d0 % 2, s"layer $d0 min node $mn wrong side")
+    }
+    assert(rows.map(_._2).sum > 0)
+  }
+
+  test("oov rate: in-vocab mass dominates and arithmetic holds") {
+    val rows = q("text_oov_rate").collect()
+    assert(rows.length == T(spark, dir, "documents").count())
+    var tok = 0L; var oov = 0L
+    rows.foreach { r =>
+      val (n, o, bp) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+        r.getAs[Long]("oov_bp"))
+      assert(o >= 0 && o <= n)
+      assert(bp == 10000L * o / n)
+      tok += n; oov += o
+    }
+    // a top-16 vocab over a small-vocab corpus must cover the majority mass
+    assert(oov * 2 < tok, s"OOV mass $oov of $tok — vocab not dominating")
+  }
+
   test("compaction plan: order-preserving next-fit with bounded bins") {
     val rows = q("layout_compaction_plan").collect()
     val parts = rows.map(r => (r.getAs[String]("part_key"), r.getAs[Long]("n_rows"),
