@@ -1375,6 +1375,59 @@ object AnalyticsOps {
              |  UNION ALL SELECT 'l_shipdate', n_rows, nu8, nd8 FROM w)
              |SELECT col_name, n_rows, CAST(n_nulls AS BIGINT) AS n_nulls, ndv
              |FROM s ORDER BY col_name""".stripMargin)
+    ),
+
+    // Join-cardinality estimation audit: the textbook CBO estimate
+    // |A ⋈ B| ≈ |A|·|B| / max(ndv_A(k), ndv_B(k)) against the ACTUAL join
+    // size, for the two fact joins — the number a cost-based optimizer
+    // stakes its join order on, with its error made measurable (integer
+    // basis points). Inputs are scalar aggregates (broadcast one-row
+    // frames); the actual count is one equi-join aggregate. Companion to
+    // stats_table_profile: profile supplies the NDVs, this measures what
+    // the estimator does with them.
+    QueryDef("stats_join_cardinality",
+      (s, d) => {
+        def one(name: String, a: org.apache.spark.sql.DataFrame, ka: String,
+                b: org.apache.spark.sql.DataFrame, kb: String) = {
+          val sa = a.agg(count(lit(1)).as("rows_a"), countDistinct(col(ka)).as("ndv_a"))
+          val sb = b.agg(count(lit(1)).as("rows_b"), countDistinct(col(kb)).as("ndv_b"))
+          val act = a.select(col(ka).as("k")).join(b.select(col(kb).as("k")), "k")
+            .agg(count(lit(1)).as("actual_rows"))
+          sa.crossJoin(sb).crossJoin(act)
+            .select(lit(name).as("join_name"), col("rows_a"), col("rows_b"),
+              col("ndv_a"), col("ndv_b"),
+              expr("(rows_a * rows_b) div greatest(ndv_a, ndv_b)").as("est_rows"),
+              col("actual_rows"))
+            .withColumn("err_bp",
+              expr("(10000 * abs(est_rows - actual_rows)) div greatest(1L, actual_rows)"))
+        }
+        one("customer_orders", T(s, d, "customer"), "c_custkey",
+            T(s, d, "orders"), "o_custkey")
+          .unionByName(one("orders_lineitem", T(s, d, "orders"), "o_orderkey",
+            T(s, d, "lineitem"), "l_orderkey"))
+          .orderBy("join_name")
+      },
+      Some("""WITH co AS (SELECT 'customer_orders' AS join_name,
+             |    (SELECT count(*) FROM customer) AS rows_a,
+             |    (SELECT count(*) FROM orders) AS rows_b,
+             |    (SELECT count(DISTINCT c_custkey) FROM customer) AS ndv_a,
+             |    (SELECT count(DISTINCT o_custkey) FROM orders) AS ndv_b,
+             |    (SELECT count(*) FROM customer JOIN orders
+             |       ON c_custkey = o_custkey) AS actual_rows),
+             |ol AS (SELECT 'orders_lineitem' AS join_name,
+             |    (SELECT count(*) FROM orders) AS rows_a,
+             |    (SELECT count(*) FROM lineitem) AS rows_b,
+             |    (SELECT count(DISTINCT o_orderkey) FROM orders) AS ndv_a,
+             |    (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS ndv_b,
+             |    (SELECT count(*) FROM orders JOIN lineitem
+             |       ON o_orderkey = l_orderkey) AS actual_rows),
+             |u AS (SELECT * FROM co UNION ALL SELECT * FROM ol),
+             |e AS (SELECT join_name, rows_a, rows_b, ndv_a, ndv_b,
+             |    (rows_a * rows_b) // greatest(ndv_a, ndv_b) AS est_rows,
+             |    actual_rows FROM u)
+             |SELECT join_name, rows_a, rows_b, ndv_a, ndv_b, est_rows, actual_rows,
+             |  (10000 * abs(est_rows - actual_rows)) // greatest(1, actual_rows) AS err_bp
+             |FROM e ORDER BY join_name""".stripMargin)
     )
   )
 

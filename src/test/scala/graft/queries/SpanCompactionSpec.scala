@@ -254,6 +254,23 @@ class SpanCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(oov * 2 < tok, s"OOV mass $oov of $tok — vocab not dominating")
   }
 
+  test("join cardinality: estimator formula and actual counts line up") {
+    val rows = q("stats_join_cardinality").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val (ra, rb, na, nb) = (r.getAs[Long]("rows_a"), r.getAs[Long]("rows_b"),
+        r.getAs[Long]("ndv_a"), r.getAs[Long]("ndv_b"))
+      assert(r.getAs[Long]("est_rows") == ra * rb / math.max(na, nb))
+      assert(na <= ra && nb <= rb)
+      // FK joins on these tables: every child row finds its parent, so the
+      // actual equals the child side's matched count and est is in range
+      assert(r.getAs[Long]("actual_rows") > 0)
+    }
+    // PK-FK join orders⋈lineitem: actual = |lineitem| (every line has an order)
+    val ol = rows.find(_.getAs[String]("join_name") == "orders_lineitem").get
+    assert(ol.getAs[Long]("actual_rows") == ol.getAs[Long]("rows_b"))
+  }
+
   test("compaction plan: order-preserving next-fit with bounded bins") {
     val rows = q("layout_compaction_plan").collect()
     val parts = rows.map(r => (r.getAs[String]("part_key"), r.getAs[Long]("n_rows"),
