@@ -317,6 +317,20 @@ object EventOps {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
+    // Streaming twin of the incremental merge: the delta half arrives via
+    // Structured Streaming (readStream over staged files, complete-mode
+    // partial aggregation) and merges with the batch base partials — the
+    // lambda-architecture unification, under the SAME full-recompute
+    // oracle, so batch and streaming paths are proven to land on identical
+    // state. See streaming/EventStream.incrementalMerge.
+    QueryDef("events_incremental_agg_stream",
+      (s, d) => graft.streaming.EventStream.incrementalMerge(s, d),
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |  min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
     // Hourly gap-fill: a time-series rollup is only chartable/joinable if
     // every (type, hour) cell exists — generate the full hourly spine
     // between the corpus min/max hour, cross it with the type dimension,

@@ -569,4 +569,50 @@ object EventStream {
     q.awaitTermination()
     spark.table(sinkName).orderBy("user_id", "session_idx")
   }
+
+  /** Lambda-architecture unification: BATCH partial aggregates over the
+    * base half of the event log merged with partials STREAMED over the
+    * delta half — counts sum, DECIMAL sums sum, min/max fold — under the
+    * same DuckDB oracle as the all-batch `events_incremental_agg` (a full
+    * recompute), so a hash match proves batch and streaming paths land on
+    * identical state. The temporal split point is a bounded two-long
+    * driver pull (needed literally, to stage the delta files the stream
+    * source reads); at scale the delta would BE the arriving files.
+    */
+  def incrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.queries.T.events(spark, dir)
+      .withColumn("us", expr("unix_micros(ts)"))
+    val bounds = ev.agg(min("us"), max("us")).head()
+    val split = (bounds.getLong(0) + bounds.getLong(1)) / 2
+
+    def partials(df: DataFrame) = df.groupBy("event_type")
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(18,2)")).as("psum"),
+        min("us").as("pmin"), max("us").as("pmax"))
+
+    val base = partials(ev.where(col("us") < split))
+
+    val staged = ev.where(col("us") >= split)
+    val srcDir = Files.createTempDirectory("graft_incr_src")
+    srcDir.toFile.deleteOnExit()
+    staged.write.mode("overwrite").parquet(srcDir.toString)
+    val raw = spark.readStream.schema(staged.schema).parquet(srcDir.toString)
+
+    val sinkName = s"graft_incr_delta_${math.abs(dir.hashCode)}"
+    val q = partials(raw).writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_incr_ckpt").toString)
+      .start()
+    q.awaitTermination()
+
+    base.unionByName(spark.table(sinkName), allowMissingColumns = false)
+      .groupBy("event_type")
+      .agg(sum("pn").as("n_events"),
+        sum("psum").cast("double").as("sum_value"),
+        min("pmin").as("min_us"), max("pmax").as("max_us"))
+      .orderBy("event_type")
+  }
 }

@@ -271,6 +271,12 @@ class SpanCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ol.getAs[Long]("actual_rows") == ol.getAs[Long]("rows_b"))
   }
 
+  test("incremental agg stream twin: identical state to the batch merge") {
+    val batch = q("events_incremental_agg").collect().map(_.toSeq).toSeq
+    val stream = q("events_incremental_agg_stream").collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+  }
+
   test("compaction plan: order-preserving next-fit with bounded bins") {
     val rows = q("layout_compaction_plan").collect()
     val parts = rows.map(r => (r.getAs[String]("part_key"), r.getAs[Long]("n_rows"),
