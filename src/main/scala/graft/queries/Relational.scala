@@ -505,6 +505,48 @@ object Relational {
         .orderBy("l_suppkey"),
       Some("""SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts
              |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)
+    ),
+
+    // CSV ingestion with malformed-row quarantine — the messy-feed half of
+    // the validator story (P4/P5 quarantine, but at the SOURCE boundary):
+    // a pipe-delimited feed staged deterministically from orders (every
+    // 97th key gets a non-numeric amount), read back PERMISSIVE with a
+    // columnNameOfCorruptRecord column, rolled up per priority with the
+    // corrupt rows in an explicit '_corrupt' bucket — bad records are
+    // counted, never silently dropped. The oracle re-derives the expected
+    // buckets from the generation rule over orders, so the hash match
+    // proves the CSV parser's good/bad split is exactly the injected one.
+    // Scale shape: staging is map-only; the read is a parallel CSV scan;
+    // one rollup shuffle.
+    QueryDef(
+      "csv_ingest_quarantine",
+      (s, d) => {
+        val staged = T(s, d, "orders").select(concat(
+          col("o_orderkey"), lit("|"), col("o_custkey"), lit("|"),
+          when(expr("o_orderkey % 97 = 0"), lit("X"))
+            .otherwise(expr("CAST(CAST(round(o_totalprice * 100.0D, 0) AS BIGINT) AS STRING)")),
+          lit("|"), col("o_orderpriority")).as("value"))
+        val dirOut = java.nio.file.Files.createTempDirectory("graft_csv_src")
+        dirOut.toFile.deleteOnExit()
+        staged.write.mode("overwrite").text(dirOut.toString)
+        s.read
+          .schema("o_orderkey LONG, o_custkey LONG, cents LONG, prio STRING, _corrupt STRING")
+          .option("sep", "|").option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(dirOut.toString)
+          .select(when(col("_corrupt").isNotNull, "_corrupt")
+            .otherwise(col("prio")).as("prio"), col("cents"))
+          .groupBy("prio")
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum("cents"), lit(0L)).as("sum_cents"))
+          .orderBy("prio")
+      },
+      Some("""SELECT CASE WHEN o_orderkey % 97 = 0 THEN '_corrupt'
+             |    ELSE o_orderpriority END AS prio,
+             |  count(*) AS n,
+             |  CAST(coalesce(sum(CASE WHEN o_orderkey % 97 = 0 THEN NULL
+             |    ELSE CAST(round(o_totalprice * 100.0, 0) AS BIGINT) END), 0) AS BIGINT) AS sum_cents
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -277,6 +277,17 @@ class SpanCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream == batch)
   }
 
+  test("csv quarantine: corrupt bucket matches the injection rule exactly") {
+    val rows = q("csv_ingest_quarantine").collect()
+      .map(r => r.getAs[String]("prio") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_cents"))).toMap
+    val orders = T(spark, dir, "orders").select("o_orderkey").collect().map(_.getLong(0))
+    val expectBad = orders.count(_ % 97 == 0)
+    assert(rows("_corrupt") == ((expectBad.toLong, 0L)))
+    assert(rows.filterKeys(_ != "_corrupt").values.map(_._1).sum ==
+      orders.length - expectBad)
+  }
+
   test("compaction plan: order-preserving next-fit with bounded bins") {
     val rows = q("layout_compaction_plan").collect()
     val parts = rows.map(r => (r.getAs[String]("part_key"), r.getAs[Long]("n_rows"),
