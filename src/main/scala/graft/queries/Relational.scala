@@ -547,6 +547,34 @@ object Relational {
              |  CAST(coalesce(sum(CASE WHEN o_orderkey % 97 = 0 THEN NULL
              |    ELSE CAST(round(o_totalprice * 100.0, 0) AS BIGINT) END), 0) AS BIGINT) AS sum_cents
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // ORC format surface: write orders to an ORC table PARTITIONED BY
+    // priority, read it back with a partition predicate, and aggregate —
+    // proving the second columnar format end-to-end (write → partition
+    // layout → pruned read; the spec asserts the scan plans PartitionFilters
+    // so only 2 of 5 directories are read). The oracle recomputes from the
+    // parquet source table, so the hash match covers the full ORC
+    // write/read fidelity including the derived integer column.
+    QueryDef(
+      "orc_partitioned_roundtrip",
+      (s, d) => {
+        val dirOut = java.nio.file.Files.createTempDirectory("graft_orc")
+        dirOut.toFile.deleteOnExit()
+        T(s, d, "orders")
+          .withColumn("cents", expr("CAST(round(o_totalprice * 100.0D, 0) AS BIGINT)"))
+          .select("o_orderkey", "cents", "o_orderpriority")
+          .write.mode("overwrite").partitionBy("o_orderpriority").orc(dirOut.toString)
+        s.read.orc(dirOut.toString)
+          .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

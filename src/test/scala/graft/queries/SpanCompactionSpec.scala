@@ -288,6 +288,18 @@ class SpanCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
       orders.length - expectBad)
   }
 
+  test("orc roundtrip: partition predicate reaches the ORC scan") {
+    val df = q("orc_partitioned_roundtrip")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan orc"), "not reading ORC")
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderpriority"),
+      "partition predicate not pushed to the ORC scan")
+    val rows = df.collect()
+    assert(rows.map(_.getAs[String]("o_orderpriority")).toSet ==
+      Set("1-URGENT", "2-HIGH"))
+    assert(rows.forall(_.getAs[Long]("sum_cents") > 0))
+  }
+
   test("compaction plan: order-preserving next-fit with bounded bins") {
     val rows = q("layout_compaction_plan").collect()
     val parts = rows.map(r => (r.getAs[String]("part_key"), r.getAs[Long]("n_rows"),
