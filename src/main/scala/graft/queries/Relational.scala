@@ -575,6 +575,41 @@ object Relational {
              |  CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Schema evolution: a table whose early files predate a column. Stage
+    // the odd-key half of orders WITHOUT `cents` and the even-key half
+    // WITH it, read the directory with mergeSchema, and aggregate per
+    // priority treating the missing column as absent data (null → counted
+    // separately, summed as 0) — the read path every long-lived 100 TB
+    // table needs, since old files are never rewritten when a column is
+    // added. The oracle derives the same split from the key parity rule,
+    // so the hash match proves merged-schema reads backfill exactly null.
+    QueryDef(
+      "parquet_schema_evolution",
+      (s, d) => {
+        val o = T(s, d, "orders")
+          .withColumn("cents", expr("CAST(round(o_totalprice * 100.0D, 0) AS BIGINT)"))
+        val dirOut = java.nio.file.Files.createTempDirectory("graft_evo")
+        dirOut.toFile.deleteOnExit()
+        o.where(expr("o_orderkey % 2 = 1"))
+          .select("o_orderkey", "o_orderpriority")
+          .write.mode("overwrite").parquet(s"$dirOut/part=old")
+        o.where(expr("o_orderkey % 2 = 0"))
+          .select("o_orderkey", "o_orderpriority", "cents")
+          .write.mode("overwrite").parquet(s"$dirOut/part=new")
+        s.read.option("mergeSchema", "true").parquet(dirOut.toString)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("cents").isNull, 1L).otherwise(0L)).as("n_pre_column"),
+            coalesce(sum("cents"), lit(0L)).as("sum_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_column,
+             |  CAST(coalesce(sum(CASE WHEN o_orderkey % 2 = 0
+             |    THEN CAST(round(o_totalprice * 100.0, 0) AS BIGINT) END), 0) AS BIGINT) AS sum_cents
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -300,6 +300,15 @@ class SpanCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getAs[Long]("sum_cents") > 0))
   }
 
+  test("schema evolution: pre-column files read as null, halves reconcile") {
+    val rows = q("parquet_schema_evolution").collect()
+    val orders = T(spark, dir, "orders").select("o_orderkey").collect().map(_.getLong(0))
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == orders.length)
+    assert(rows.map(_.getAs[Long]("n_pre_column")).sum == orders.count(_ % 2 == 1))
+    rows.foreach(r => assert(r.getAs[Long]("n_pre_column") <= r.getAs[Long]("n_rows")))
+    assert(rows.map(_.getAs[Long]("sum_cents")).sum > 0)
+  }
+
   test("compaction plan: order-preserving next-fit with bounded bins") {
     val rows = q("layout_compaction_plan").collect()
     val parts = rows.map(r => (r.getAs[String]("part_key"), r.getAs[Long]("n_rows"),
