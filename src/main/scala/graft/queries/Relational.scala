@@ -610,6 +610,34 @@ object Relational {
              |  CAST(coalesce(sum(CASE WHEN o_orderkey % 2 = 0
              |    THEN CAST(round(o_totalprice * 100.0, 0) AS BIGINT) END), 0) AS BIGINT) AS sum_cents
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // J11: NULL-SAFE equi-join (<=> / IS NOT DISTINCT FROM): a key column
+    // with genuine nulls (every 50th customer's nation unknown) joined
+    // back to its own per-key aggregate — plain `=` would silently DROP
+    // the null-keyed rows (the classic dirty-dimension bug); the null-safe
+    // operator keeps them matched to the NULL bucket. Same hash-join
+    // shape/shuffle as J1; only the key comparison differs.
+    QueryDef(
+      "j11_null_safe_join",
+      (s, d) => {
+        val c = T(s, d, "customer").select(col("c_custkey"),
+          expr("CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_nationkey END").as("nk"))
+        val b = c.groupBy("nk").agg(count(lit(1)).as("bucket_sz"))
+          .withColumnRenamed("nk", "bnk")
+        c.join(b, col("nk") <=> col("bnk"))
+          .select(col("c_custkey"),
+            coalesce(col("nk"), lit(-1L)).as("nk_n"), col("bucket_sz"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH c AS (SELECT c_custkey,
+             |    CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_nationkey END AS nk
+             |  FROM customer),
+             |b AS (SELECT nk, CAST(count(*) AS BIGINT) AS bucket_sz
+             |  FROM c GROUP BY nk)
+             |SELECT c.c_custkey, CAST(coalesce(c.nk, -1) AS BIGINT) AS nk_n, b.bucket_sz
+             |FROM c JOIN b ON c.nk IS NOT DISTINCT FROM b.nk
+             |ORDER BY c_custkey""".stripMargin)
     )
   )
 }

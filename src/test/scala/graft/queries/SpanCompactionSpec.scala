@@ -309,6 +309,19 @@ class SpanCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getAs[Long]("sum_cents")).sum > 0)
   }
 
+  test("null-safe join: null-keyed rows survive and land in the null bucket") {
+    val rows = q("j11_null_safe_join").collect()
+    val total = T(spark, dir, "customer").count()
+    assert(rows.length == total, "null-keyed rows were dropped")
+    val nullBucket = rows.filter(_.getAs[Long]("nk_n") == -1L)
+    assert(nullBucket.nonEmpty)
+    val nb = nullBucket.length.toLong
+    nullBucket.foreach { r =>
+      assert(r.getAs[Long]("c_custkey") % 50 == 0)
+      assert(r.getAs[Long]("bucket_sz") == nb)
+    }
+  }
+
   test("compaction plan: order-preserving next-fit with bounded bins") {
     val rows = q("layout_compaction_plan").collect()
     val parts = rows.map(r => (r.getAs[String]("part_key"), r.getAs[Long]("n_rows"),
