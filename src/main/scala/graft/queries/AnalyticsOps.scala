@@ -1428,6 +1428,40 @@ object AnalyticsOps {
              |SELECT join_name, rows_a, rows_b, ndv_a, ndv_b, est_rows, actual_rows,
              |  (10000 * abs(est_rows - actual_rows)) // greatest(1, actual_rows) AS err_bp
              |FROM e ORDER BY join_name""".stripMargin)
+    ),
+
+    // Equi-DEPTH histogram (decile buckets per group): ntile(10) over a
+    // TOTAL order (value + unique row tiebreak, so bucket edges are
+    // deterministic cross-engine), then per-bucket count/min/max in cents —
+    // the bucket shape optimizers and data-profilers prefer over equi-width
+    // when the distribution is skewed (every bucket holds the same row
+    // count, so each is equally informative). One window sort per group
+    // over the column being profiled — the irreducible cost of exact
+    // equi-depth; the sketch-based alternative is stats_quantile_sketch.
+    QueryDef("stats_equidepth_histogram",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = T(s, d, "lineitem").select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100.0D, 0) AS BIGINT)").as("cents"),
+          col("l_orderkey"), col("l_linenumber"))
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+        li.withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy("l_returnflag", "decile")
+          .agg(count(lit(1)).as("n"),
+            min("cents").as("lo_cents"), max("cents").as("hi_cents"))
+          .orderBy("l_returnflag", "decile")
+      },
+      Some("""WITH li AS (SELECT l_returnflag,
+             |    CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS cents,
+             |    l_orderkey, l_linenumber FROM lineitem),
+             |t AS (SELECT l_returnflag, cents,
+             |    ntile(10) OVER (PARTITION BY l_returnflag
+             |      ORDER BY cents, l_orderkey, l_linenumber) AS decile
+             |  FROM li)
+             |SELECT l_returnflag, CAST(decile AS BIGINT) AS decile,
+             |  count(*) AS n, min(cents) AS lo_cents, max(cents) AS hi_cents
+             |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     )
   )
 

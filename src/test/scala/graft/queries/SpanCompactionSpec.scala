@@ -322,6 +322,25 @@ class SpanCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("equi-depth histogram: balanced buckets with non-decreasing edges") {
+    val rows = q("stats_equidepth_histogram").collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Long]("decile"),
+        r.getAs[Long]("n"), r.getAs[Long]("lo_cents"), r.getAs[Long]("hi_cents")))
+    rows.groupBy(_._1).foreach { case (flag, bs) =>
+      val s = bs.sortBy(_._2)
+      assert(s.map(_._2).toSeq == (1L to 10L), s"$flag: missing deciles")
+      // equal depth within one row (ntile remainder spread)
+      assert(s.map(_._3).max - s.map(_._3).min <= 1, s"$flag: unbalanced buckets")
+      // bucket ranges are ordered and internally consistent
+      s.foreach { case (_, _, _, lo, hi) => assert(lo <= hi) }
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 <= b._4, s"$flag: overlapping bucket edges")
+        case _ =>
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("compaction plan: order-preserving next-fit with bounded bins") {
     val rows = q("layout_compaction_plan").collect()
     val parts = rows.map(r => (r.getAs[String]("part_key"), r.getAs[Long]("n_rows"),
