@@ -1114,6 +1114,50 @@ object TextOps {
              |SELECT doc_id, n_tokens, n_oov,
              |  (10000 * n_oov) // n_tokens AS oov_bp
              |FROM p ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Vocabulary concentration (nucleus / top-p analysis): per source, the
+    // smallest token set covering >= 90% of token mass — how concentrated
+    // each slice's vocabulary is, the number that tells you whether a
+    // small fixed vocab will serve a source or starve it. A token is in
+    // the nucleus iff the mass BEFORE it (count-desc, token-asc total
+    // order) is under 90% — so the first token crossing the line is
+    // included, all integer cross-multiplied arithmetic. Scale shape: one
+    // (source, token) count shuffle, a per-source window over the DISTINCT
+    // vocab (vocab-sized, not corpus-sized), totals broadcast.
+    QueryDef("text_nucleus_vocab",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tc = T(s, d, "documents")
+          .select(col("source"),
+            explode(expr("filter(split(text, ' +'), x -> x != '')")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        val tot = tc.groupBy("source")
+          .agg(sum("c").as("total"), count(lit(1)).as("n_distinct"))
+        val w = Window.partitionBy("source").orderBy(col("c").desc, col("tok"))
+        tc.withColumn("cum", sum("c").over(w))
+          .join(broadcast(tot), "source")
+          .where(expr("(cum - c) * 10 < total * 9"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("nucleus_sz"), min("n_distinct").as("n_distinct"),
+            expr("(10000 * max(cum)) div min(total)").as("coverage_bp"))
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (SELECT source,
+             |    unnest(list_filter(string_split_regex(text, ' +'), x -> x <> '')) AS tok
+             |  FROM documents),
+             |tc AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+             |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS total,
+             |    count(*) AS n_distinct FROM tc GROUP BY 1),
+             |r AS (SELECT tc.source, tc.c, tot.total, tot.n_distinct,
+             |    sum(tc.c) OVER (PARTITION BY tc.source
+             |      ORDER BY tc.c DESC, tc.tok) AS cum
+             |  FROM tc JOIN tot USING (source))
+             |SELECT source, CAST(count(*) AS BIGINT) AS nucleus_sz,
+             |  min(n_distinct) AS n_distinct,
+             |  (10000 * CAST(max(cum) AS BIGINT)) // min(total) AS coverage_bp
+             |FROM r WHERE (cum - c) * 10 < total * 9
+             |GROUP BY source ORDER BY source""".stripMargin)
     )
   )
 }

@@ -341,6 +341,18 @@ class SpanCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.nonEmpty)
   }
 
+  test("nucleus vocab: minimal covering set crosses 90% exactly once") {
+    val rows = q("text_nucleus_vocab").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nz, nd, cov) = (r.getAs[Long]("nucleus_sz"), r.getAs[Long]("n_distinct"),
+        r.getAs[Long]("coverage_bp"))
+      assert(nz >= 1 && nz <= nd)
+      assert(cov >= 9000, s"${r.getAs[String]("source")}: nucleus covers only $cov bp")
+      assert(cov <= 10000)
+    }
+  }
+
   test("compaction plan: order-preserving next-fit with bounded bins") {
     val rows = q("layout_compaction_plan").collect()
     val parts = rows.map(r => (r.getAs[String]("part_key"), r.getAs[Long]("n_rows"),
