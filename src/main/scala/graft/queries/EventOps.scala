@@ -220,6 +220,60 @@ object EventOps {
              |FROM v ORDER BY user_id, version""".stripMargin)
     ),
 
+    // The CONSUMING half of SCD2: every fact row looks up the dimension
+    // version whose validity interval contains its event time (the as-of
+    // interval lookup every star schema with history does). Boundary
+    // semantics: an event AT a change point belongs to the NEW version
+    // (from inclusive, to exclusive) — purely ts-based, so both engines
+    // assign identically. Scale shape: equi-join on the user key carries
+    // the interval predicate as a join residual — dimension versions are
+    // per-key few, so the residual fan-out is bounded; rolled up per
+    // status with the versions-touched count.
+    QueryDef(
+      "events_scd2_lookup",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        val ev = T.events(s, d).select(col("user_id"), col("event_id"),
+          col("event_type"), expr("unix_micros(ts)").as("tsu"))
+        val dim = ev
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .where(col("prev_type").isNull || col("event_type") =!= col("prev_type"))
+          .withColumn("version", row_number().over(w).cast("long"))
+          .withColumn("valid_to_us", lead("tsu", 1).over(w))
+          .select(col("user_id").as("d_user"), col("version"),
+            col("event_type").as("status"), col("tsu").as("from_us"),
+            col("valid_to_us"))
+        ev.join(dim, col("user_id") === col("d_user") &&
+            col("tsu") >= col("from_us") &&
+            (col("valid_to_us").isNull || col("tsu") < col("valid_to_us")))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("d_user"), col("version")).as("n_versions"))
+          .orderBy("status")
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,
+             |         lag(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY epoch_us(ts), event_id) AS prev_type
+             |  FROM events),
+             |c AS (SELECT user_id, event_id, event_type, tsu FROM o
+             |  WHERE prev_type IS NULL OR event_type <> prev_type),
+             |v AS (SELECT user_id, event_type AS status, tsu AS from_us,
+             |    CAST(row_number() OVER (PARTITION BY user_id
+             |      ORDER BY tsu, event_id) AS BIGINT) AS version,
+             |    lead(tsu) OVER (PARTITION BY user_id
+             |      ORDER BY tsu, event_id) AS valid_to_us
+             |  FROM c),
+             |ev AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+             |j AS (SELECT v.status, v.user_id, v.version
+             |  FROM ev JOIN v ON ev.user_id = v.user_id
+             |    AND ev.tsu >= v.from_us
+             |    AND (v.valid_to_us IS NULL OR ev.tsu < v.valid_to_us))
+             |SELECT status, count(*) AS n_events,
+             |  count(DISTINCT (user_id, version)) AS n_versions
+             |FROM j GROUP BY status ORDER BY status""".stripMargin)
+    ),
+
     // CDC merge (MERGE INTO semantics without a table format): the event
     // log is a change stream keyed into the customer dimension — the last
     // event per key wins ((tsu, event_id) total order, one window shuffle),

@@ -353,6 +353,16 @@ class SpanCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("scd2 lookup: every event resolves to exactly one dimension version") {
+    val rows = q("events_scd2_lookup").collect()
+    val totalEvents = graft.queries.T.events(spark, dir).count()
+    // join fan-out of exactly 1: intervals partition each user's timeline
+    assert(rows.map(_.getAs[Long]("n_events")).sum == totalEvents)
+    val totalVersions = q("events_scd2_dimension").count()
+    assert(rows.map(_.getAs[Long]("n_versions")).sum == totalVersions,
+      "some dimension version matched no events or was double-counted across statuses")
+  }
+
   test("compaction plan: order-preserving next-fit with bounded bins") {
     val rows = q("layout_compaction_plan").collect()
     val parts = rows.map(r => (r.getAs[String]("part_key"), r.getAs[Long]("n_rows"),
