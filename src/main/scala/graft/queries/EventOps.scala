@@ -274,6 +274,56 @@ object EventOps {
              |FROM j GROUP BY status ORDER BY status""".stripMargin)
     ),
 
+    // Multi-touch LINEAR attribution: each click's 10000 bp of credit
+    // splits equally across the views that preceded it within 30 minutes
+    // (same user), integer remainder to the EARLIEST view — so per-click
+    // credit conserves EXACTLY (the invariant last-touch models get for
+    // free and linear models usually fudge with floats). Scale shape: one
+    // user-keyed join with a bounded time residual (the attribution-join
+    // shape events_attrib_join_stream streams), two windows over the
+    // per-click match group (match-sized, not event-sized), one view-keyed
+    // rollup.
+    QueryDef(
+      "events_attrib_linear",
+      (s, d) => {
+        val ev = T.events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), expr("unix_micros(ts)").as("tsu"))
+        val v = ev.where(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"), col("tsu").as("vts"))
+        val c = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("tsu").as("cts"))
+        val m = c.join(v, "user_id")
+          .where(col("vts") <= col("cts") && col("vts") >= col("cts") - lit(1800000000L))
+        val wk = Window.partitionBy("click_id")
+        val wr = Window.partitionBy("click_id").orderBy(col("vts"), col("view_id"))
+        m.withColumn("k", count(lit(1)).over(wk))
+          .withColumn("rk", row_number().over(wr))
+          .withColumn("credit_bp",
+            expr("10000 div k + CASE WHEN rk = 1 THEN 10000 % k ELSE 0L END"))
+          .groupBy("view_id")
+          .agg(count(lit(1)).as("n_clicks"), sum("credit_bp").as("credit_bp"))
+          .orderBy("view_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+             |    epoch_us(ts) AS tsu FROM events),
+             |v AS (SELECT event_id AS view_id, user_id, tsu AS vts FROM ev
+             |  WHERE event_type = 'view'),
+             |c AS (SELECT event_id AS click_id, user_id, tsu AS cts FROM ev
+             |  WHERE event_type = 'click'),
+             |m AS (SELECT c.click_id, v.view_id, v.vts
+             |  FROM c JOIN v ON c.user_id = v.user_id
+             |  WHERE v.vts <= c.cts AND v.vts >= c.cts - 1800000000),
+             |r AS (SELECT click_id, view_id,
+             |    count(*) OVER (PARTITION BY click_id) AS k,
+             |    row_number() OVER (PARTITION BY click_id
+             |      ORDER BY vts, view_id) AS rk
+             |  FROM m)
+             |SELECT view_id, count(*) AS n_clicks,
+             |  CAST(sum(10000 // k + CASE WHEN rk = 1 THEN 10000 % k ELSE 0 END)
+             |    AS BIGINT) AS credit_bp
+             |FROM r GROUP BY view_id ORDER BY view_id""".stripMargin)
+    ),
+
     // CDC merge (MERGE INTO semantics without a table format): the event
     // log is a change stream keyed into the customer dimension — the last
     // event per key wins ((tsu, event_id) total order, one window shuffle),

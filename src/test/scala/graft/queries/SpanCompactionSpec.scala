@@ -363,6 +363,23 @@ class SpanCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
       "some dimension version matched no events or was double-counted across statuses")
   }
 
+  test("linear attribution: per-click credit conserves to exactly 10000 bp") {
+    val totalCredit = q("events_attrib_linear").collect()
+      .map(_.getAs[Long]("credit_bp")).sum
+    // clicks with at least one preceding view within the window
+    val ev = graft.queries.T.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tsu")).collect()
+    val views = ev.filter(_.getString(2) == "view")
+      .map(r => (r.getLong(1), r.getLong(3)))
+    val attributedClicks = ev.filter(_.getString(2) == "click").count { r =>
+      views.exists { case (u, vt) =>
+        u == r.getLong(1) && vt <= r.getLong(3) && vt >= r.getLong(3) - 1800000000L }
+    }
+    assert(totalCredit == 10000L * attributedClicks,
+      s"credit $totalCredit != 10000 x $attributedClicks")
+  }
+
   test("compaction plan: order-preserving next-fit with bounded bins") {
     val rows = q("layout_compaction_plan").collect()
     val parts = rows.map(r => (r.getAs[String]("part_key"), r.getAs[Long]("n_rows"),
