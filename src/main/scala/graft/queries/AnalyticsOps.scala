@@ -1462,6 +1462,64 @@ object AnalyticsOps {
              |SELECT l_returnflag, CAST(decile AS BIGINT) AS decile,
              |  count(*) AS n, min(cents) AS lo_cents, max(cents) AS hi_cents
              |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // Data-quality expectation suite (the nightly dbt-test/expectations
+    // run): declarative checks — PK uniqueness, FK integrity, range and
+    // enum membership, plus coverage counts that are allowed to be nonzero
+    // (customers without orders) — each one scalar aggregate, unioned into
+    // a single report with the violation count per check. Violations are
+    // COUNTED, not just flagged, so triage starts from the report. Every
+    // check is one aggregate or one anti-join aggregate; nothing is
+    // row-expanded.
+    QueryDef("dq_expectations",
+      (s, d) => {
+        val orders = T(s, d, "orders"); val li = T(s, d, "lineitem")
+        val cust = T(s, d, "customer")
+        def row(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.select(lit(name).as("check_name"),
+            col("v").cast("long").as("n_violations"))
+        val checks = Seq(
+          row("orders_pk_unique", orders.groupBy("o_orderkey")
+            .agg(count(lit(1)).as("c")).where(col("c") > 1)
+            .agg(count(lit(1)).as("v"))),
+          row("lineitem_fk_orders", li.select(col("l_orderkey"))
+            .join(orders.select("o_orderkey"),
+              col("l_orderkey") === col("o_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("v"))),
+          row("discount_in_range", li.where(
+            col("l_discount") < 0.0 || col("l_discount") > 1.0)
+            .agg(count(lit(1)).as("v"))),
+          row("quantity_positive", li.where(col("l_quantity") <= 0.0)
+            .agg(count(lit(1)).as("v"))),
+          row("returnflag_enum", li.where(
+            !col("l_returnflag").isin("A", "N", "R"))
+            .agg(count(lit(1)).as("v"))),
+          row("customers_without_orders", cust.select(col("c_custkey"))
+            .join(orders.select("o_custkey"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+            .agg(count(lit(1)).as("v"))))
+        checks.reduce(_ unionByName _).orderBy("check_name")
+      },
+      Some("""SELECT check_name, n_violations FROM (
+             |  SELECT 'orders_pk_unique' AS check_name,
+             |    (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+             |      GROUP BY o_orderkey HAVING count(*) > 1)) AS n_violations
+             |  UNION ALL SELECT 'lineitem_fk_orders',
+             |    (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+             |      (SELECT o_orderkey FROM orders))
+             |  UNION ALL SELECT 'discount_in_range',
+             |    (SELECT count(*) FROM lineitem
+             |     WHERE l_discount < 0.0 OR l_discount > 1.0)
+             |  UNION ALL SELECT 'quantity_positive',
+             |    (SELECT count(*) FROM lineitem WHERE l_quantity <= 0.0)
+             |  UNION ALL SELECT 'returnflag_enum',
+             |    (SELECT count(*) FROM lineitem
+             |     WHERE l_returnflag NOT IN ('A', 'N', 'R'))
+             |  UNION ALL SELECT 'customers_without_orders',
+             |    (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+             |      (SELECT o_custkey FROM orders))
+             |) ORDER BY check_name""".stripMargin)
     )
   )
 

@@ -380,6 +380,21 @@ class SpanCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"credit $totalCredit != 10000 x $attributedClicks")
   }
 
+  test("dq expectations: integrity checks clean, coverage checks honest") {
+    val rows = q("dq_expectations").collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("n_violations")).toMap
+    assert(rows.size == 6)
+    // hard integrity invariants of the generated testdata must hold
+    Seq("orders_pk_unique", "lineitem_fk_orders", "discount_in_range",
+      "quantity_positive", "returnflag_enum")
+      .foreach(c => assert(rows(c) == 0L, s"$c reports ${rows(c)} violations"))
+    // the coverage metric is a count, not a pass/fail — verify it directly
+    val uncovered = T(spark, dir, "customer").select(col("c_custkey"))
+      .join(T(spark, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(rows("customers_without_orders") == uncovered)
+  }
+
   test("compaction plan: order-preserving next-fit with bounded bins") {
     val rows = q("layout_compaction_plan").collect()
     val parts = rows.map(r => (r.getAs[String]("part_key"), r.getAs[Long]("n_rows"),
