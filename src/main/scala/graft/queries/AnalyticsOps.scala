@@ -1393,7 +1393,7 @@ object AnalyticsOps {
           val sb = b.agg(count(lit(1)).as("rows_b"), countDistinct(col(kb)).as("ndv_b"))
           val act = a.select(col(ka).as("k")).join(b.select(col(kb).as("k")), "k")
             .agg(count(lit(1)).as("actual_rows"))
-          sa.crossJoin(sb).crossJoin(act)
+          sa.crossJoin(broadcast(sb)).crossJoin(broadcast(act))
             .select(lit(name).as("join_name"), col("rows_a"), col("rows_b"),
               col("ndv_a"), col("ndv_b"),
               expr("(rows_a * rows_b) div greatest(ndv_a, ndv_b)").as("est_rows"),
