@@ -9,7 +9,8 @@ object SparkEntry {
   /** Every registered query, in declaration order. */
   def registry: Seq[QueryDef] =
     Relational.qs ++ SetOps.qs ++ AnalyticsOps.qs ++ TextOps.qs ++ SimilarityQ.qs ++
-      GeoQueries.qs ++ DedupQueries.qs ++ EventOps.qs ++ LayoutOps.qs ++ GraphOps.qs
+      GeoQueries.qs ++ DedupQueries.qs ++ EventOps.qs ++ LayoutOps.qs ++ GraphOps.qs ++
+      PipelineOps.qs
 
   /** Flagship: the full H3 pipeline (validate → index → resolve) on
     * sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,354 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 continuation: the operational face of a curation/feature
+  * pipeline — customer value segmentation (RFM), share-of-total reporting,
+  * interval-sweep concurrency, churn label generation, JSON-lines ingest
+  * with quarantine, per-source information-theoretic profiling (entropy,
+  * chi-squared keyword extraction), and sequence mining over event streams.
+  *
+  * Cross-engine determinism follows the house rules (QueryDef scaladoc):
+  * money in BIGINT cents, DECIMAL sums, transcendentals through
+  * round(-ln x, 9) + DECIMAL, single +,-,*,/ chains on identical operands
+  * (IEEE-exact in both engines when the evaluation order is pinned by
+  * parentheses), total ORDER BY keys.
+  */
+object PipelineOps {
+
+  val qs: Seq[QueryDef] = Seq(
+
+    // RFM segmentation: per-customer recency/frequency/monetary quartiles.
+    // Scale shape: the heavy input shuffles ONCE into the per-customer
+    // rollup (|customers| rows — orders of magnitude below the fact
+    // table); the three ntile windows run over that rollup, the same
+    // "exact quantiles over the reduced frame" cost stats_equidepth_
+    // histogram documents. Tie-breaks on o_custkey make every quartile
+    // assignment total, so the segment strings are deterministic
+    // cross-engine.
+    QueryDef(
+      "customer_rfm_segments",
+      (s, d) => {
+        val o = T(s, d, "orders")
+        val mx = o.agg(max(to_date(col("o_orderdate"))).as("maxd"))
+        val per = o.groupBy("o_custkey").agg(
+            max(to_date(col("o_orderdate"))).as("lastd"),
+            count(lit(1)).as("frequency"),
+            sum(expr("CAST(round(o_totalprice * 100.0D, 0) AS BIGINT)"))
+              .as("monetary_cents"))
+          .crossJoin(broadcast(mx))
+          .withColumn("recency_days", datediff(col("maxd"), col("lastd")).cast("long"))
+        val wR = Window.orderBy(col("recency_days"), col("o_custkey"))
+        val wF = Window.orderBy(col("frequency").desc, col("o_custkey"))
+        val wM = Window.orderBy(col("monetary_cents").desc, col("o_custkey"))
+        per
+          .withColumn("r_q", ntile(4).over(wR).cast("long"))
+          .withColumn("f_q", ntile(4).over(wF).cast("long"))
+          .withColumn("m_q", ntile(4).over(wM).cast("long"))
+          .withColumn("segment", concat(lit("R"), col("r_q").cast("string"),
+            lit("F"), col("f_q").cast("string"), lit("M"), col("m_q").cast("string")))
+          .select("o_custkey", "recency_days", "frequency", "monetary_cents",
+            "r_q", "f_q", "m_q", "segment")
+          .orderBy("o_custkey")
+      },
+      Some("""WITH per AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS lastd,
+             |    count(*) AS frequency,
+             |    CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS monetary_cents
+             |  FROM orders GROUP BY 1),
+             |mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+             |base AS (SELECT per.*, datediff('day', lastd, maxd) AS recency_days FROM per, mx),
+             |q AS (SELECT *,
+             |    CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_q,
+             |    CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_q,
+             |    CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS BIGINT) AS m_q
+             |  FROM base)
+             |SELECT o_custkey, recency_days, frequency, monetary_cents, r_q, f_q, m_q,
+             |  'R' || r_q || 'F' || f_q || 'M' || m_q AS segment
+             |FROM q ORDER BY o_custkey""".stripMargin)
+    ),
+
+    // Share-of-total (ratio-to-report): revenue share of each linestatus
+    // within its returnflag. The fact table shuffles once into the
+    // (flag, status) rollup; the ratio window runs over that tiny frame.
+    // Numerator and denominator are exact BIGINT cents; the single IEEE
+    // division of identical operands is bit-exact cross-engine, so the
+    // share column needs no rounding at all.
+    QueryDef(
+      "sales_share_ratio",
+      (s, d) => {
+        val rev = T(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(expr(
+            "CAST(round(l_extendedprice * (1.0D - l_discount) * 100.0D, 0) AS BIGINT)"))
+            .as("revenue_cents"))
+        val wf = Window.partitionBy("l_returnflag")
+        rev
+          .withColumn("flag_total_cents", sum("revenue_cents").over(wf))
+          .withColumn("share_in_flag",
+            col("revenue_cents").cast("double") / col("flag_total_cents").cast("double"))
+          .select("l_returnflag", "l_linestatus", "revenue_cents",
+            "flag_total_cents", "share_in_flag")
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""WITH rev AS (SELECT l_returnflag, l_linestatus,
+             |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0, 0) AS BIGINT)) AS BIGINT)
+             |      AS revenue_cents
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT l_returnflag, l_linestatus, revenue_cents,
+             |  CAST(sum(revenue_cents) OVER (PARTITION BY l_returnflag) AS BIGINT) AS flag_total_cents,
+             |  CAST(revenue_cents AS DOUBLE) / CAST(sum(revenue_cents) OVER (PARTITION BY l_returnflag) AS DOUBLE)
+             |    AS share_in_flag
+             |FROM rev ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+
+    // Peak concurrency via the classic +1/-1 endpoint sweep: each event
+    // opens a 30-minute session [ts, ts+30min) clipped at midnight, and the
+    // per-(event_type, day) running sum over the ordered endpoints gives
+    // the number of concurrently-open sessions at every instant; we report
+    // each day's peak and the first time it is reached. Endpoint order is
+    // (t, delta) with -1 before +1, i.e. half-open intervals: a session
+    // ending exactly when another starts does not overlap it. Scale shape:
+    // the sweep partitions on (type, day) — thousands of bounded
+    // partitions — never a global sort; midnight clipping is what makes
+    // the per-day partition self-contained (no cross-partition carry).
+    QueryDef(
+      "events_concurrency_peak",
+      (s, d) => {
+        val base = T.events(s, d)
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            unix_micros(col("ts")).as("t0"))
+          .withColumn("day_end_us",
+            expr("unix_micros(CAST(day AS TIMESTAMP)) + 86400000000L"))
+          .withColumn("t1", least(col("t0") + lit(1800000000L), col("day_end_us")))
+        val pts = base.select(col("event_type"), col("day"), col("t0").as("t"), lit(1L).as("delta"))
+          .unionAll(base.select(col("event_type"), col("day"), col("t1").as("t"), lit(-1L).as("delta")))
+        val wRun = Window.partitionBy("event_type", "day").orderBy(col("t"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wPeak = Window.partitionBy("event_type", "day")
+        pts
+          .withColumn("running", sum("delta").over(wRun))
+          .withColumn("peak", max("running").over(wPeak))
+          .groupBy(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"))
+          .agg(max("running").cast("long").as("peak_concurrency"),
+            min(when(col("running") === col("peak"), col("t"))).as("first_peak_us"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH base AS (SELECT event_type, CAST(ts AS DATE) AS day, epoch_us(ts) AS t0,
+             |    epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) + 86400000000 AS day_end_us
+             |  FROM events),
+             |iv AS (SELECT event_type, day, t0,
+             |    least(t0 + 1800000000, day_end_us) AS t1 FROM base),
+             |pts AS (SELECT event_type, day, t0 AS t, CAST(1 AS BIGINT) AS delta FROM iv
+             |  UNION ALL SELECT event_type, day, t1 AS t, CAST(-1 AS BIGINT) AS delta FROM iv),
+             |run AS (SELECT *, sum(delta) OVER (PARTITION BY event_type, day
+             |    ORDER BY t, delta ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+             |  FROM pts),
+             |pk AS (SELECT *, max(running) OVER (PARTITION BY event_type, day) AS peak FROM run)
+             |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+             |  CAST(max(running) AS BIGINT) AS peak_concurrency,
+             |  min(CASE WHEN running = peak THEN t END) AS first_peak_us
+             |FROM pk GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin)
+    ),
+
+    // Churn label generation: the supervised-learning labeling pass — a
+    // user is "churned" if their last activity is at least 7 days before
+    // the corpus horizon (the global max event time). One shuffle into the
+    // per-user rollup; the horizon rides as a broadcast one-row aggregate,
+    // never a driver-side collect.
+    QueryDef(
+      "events_churn_labels",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val horizon = ev.agg(max(unix_micros(col("ts"))).as("max_us"))
+        ev.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(to_date(col("ts"))).as("active_days"),
+            max(unix_micros(col("ts"))).as("last_us"))
+          .crossJoin(broadcast(horizon))
+          .withColumn("churned",
+            (col("last_us") <= col("max_us") - lit(604800000000L)).cast("long"))
+          .select("user_id", "n_events", "active_days", "last_us", "churned")
+          .orderBy("user_id")
+      },
+      Some("""WITH h AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+             |u AS (SELECT user_id, count(*) AS n_events,
+             |    count(DISTINCT CAST(ts AS DATE)) AS active_days,
+             |    max(epoch_us(ts)) AS last_us
+             |  FROM events GROUP BY 1)
+             |SELECT user_id, n_events, active_days, last_us,
+             |  CAST(CASE WHEN last_us <= max_us - 604800000000 THEN 1 ELSE 0 END AS BIGINT) AS churned
+             |FROM u, h ORDER BY user_id""".stripMargin)
+    ),
+
+    // JSON-lines ingest with malformed-row quarantine — the third ingest
+    // format surface (CSV and ORC already covered). Stage documents as
+    // JSON lines with a deterministic 1-in-53 truncation corruption, read
+    // back under PERMISSIVE with columnNameOfCorruptRecord, and aggregate
+    // good rows per source with corrupt rows routed to a '_corrupt'
+    // bucket. The oracle recomputes the expectation from the parquet
+    // source, so the hash match covers the full JSON write→parse→quarantine
+    // fidelity. Map-only at scale: no shuffle before the final rollup.
+    QueryDef(
+      "json_ingest_quarantine",
+      (s, d) => {
+        val staged = T(s, d, "documents")
+          .select(col("doc_id"),
+            to_json(struct(col("doc_id"), col("source"), col("n_chars"))).as("j"))
+          .select(when(expr("doc_id % 53 = 0"), expr("substring(j, 1, 10)"))
+            .otherwise(col("j")).as("value"))
+        val dirOut = java.nio.file.Files.createTempDirectory("graft_json_src")
+        dirOut.toFile.deleteOnExit()
+        staged.write.mode("overwrite").text(dirOut.toString)
+        s.read
+          .schema("doc_id LONG, source STRING, n_chars LONG, _corrupt STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .json(dirOut.toString)
+          .select(when(col("_corrupt").isNotNull, "_corrupt")
+            .otherwise(col("source")).as("source"), col("n_chars"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum("n_chars"), lit(0L)).as("sum_chars"))
+          .orderBy("source")
+      },
+      Some("""SELECT CASE WHEN doc_id % 53 = 0 THEN '_corrupt' ELSE source END AS source,
+             |  count(*) AS n,
+             |  CAST(coalesce(sum(CASE WHEN doc_id % 53 = 0 THEN NULL ELSE n_chars END), 0) AS BIGINT)
+             |    AS sum_chars
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Per-source token-distribution profile: Shannon entropy (nats),
+    // type-token ratio, and vocabulary size — the corpus-diversity numbers
+    // a mixture planner reads before weighting sources. Determinism: each
+    // -ln p is rounded to 9 dp and DECIMAL-weighted by its count (exact,
+    // order-independent); the final divisions are single IEEE ops. Scale
+    // shape: one shuffle to (source, tok) counts, one to the per-source
+    // rollup; the per-source totals join back broadcast (|sources| rows).
+    QueryDef(
+      "stats_entropy_per_source",
+      (s, d) => {
+        val toks = T(s, d, "documents")
+          .select(col("source"), explode(expr(
+            "filter(split(text, ' +'), x -> x != '')")).as("tok"))
+        val c = toks.groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+        val n = c.groupBy("source").agg(sum("cnt").as("n_toks"),
+          count(lit(1)).as("n_vocab"))
+        c.join(broadcast(n), "source")
+          .withColumn("term", expr(
+            "cnt * CAST(round(-ln(cnt / CAST(n_toks AS DOUBLE)), 9) AS DECIMAL(18,9))"))
+          .groupBy("source")
+          .agg(first("n_toks").cast("long").as("n_toks"),
+            first("n_vocab").cast("long").as("n_vocab"),
+            round(sum("term").cast("double") / first("n_toks"), 6).as("entropy_nats"),
+            (first("n_vocab").cast("double") / first("n_toks").cast("double")).as("ttr"))
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (SELECT source, unnest(list_filter(string_split_regex(text, ' +'),
+             |    x -> x <> '')) AS tok FROM documents),
+             |c AS (SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+             |n AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_toks,
+             |    count(*) AS n_vocab FROM c GROUP BY 1)
+             |SELECT c.source, any_value(n.n_toks) AS n_toks, any_value(n.n_vocab) AS n_vocab,
+             |  round(CAST(sum(cnt * CAST(round(-ln(cnt / CAST(n.n_toks AS DOUBLE)), 9) AS DECIMAL(18,9)))
+             |    AS DOUBLE) / any_value(n.n_toks), 6) AS entropy_nats,
+             |  CAST(any_value(n.n_vocab) AS DOUBLE) / CAST(any_value(n.n_toks) AS DOUBLE) AS ttr
+             |FROM c JOIN n ON c.source = n.source
+             |GROUP BY c.source ORDER BY c.source""".stripMargin)
+    ),
+
+    // Chi-squared keyword extraction: the top-3 tokens most
+    // over-represented in each source vs the rest of the corpus — the
+    // classic feature-selection statistic over the (source, token)
+    // contingency table. All four cell counts are exact BIGINTs; the
+    // statistic is a parenthesis-pinned chain of IEEE ops on those
+    // integers, so the ranking is bit-deterministic with no rounding.
+    // Global-count floor (>= 5) keeps the tail out; positive association
+    // only (a*d > b*c). Scale: two count shuffles + a broadcast of the
+    // per-source totals; ranking windows partition by source.
+    QueryDef(
+      "text_keyword_chi2",
+      (s, d) => {
+        val toks = T(s, d, "documents")
+          .select(col("source"), explode(expr(
+            "filter(split(text, ' +'), x -> x != '')")).as("tok"))
+        val a = toks.groupBy("source", "tok").agg(count(lit(1)).as("a"))
+        val srcN = toks.groupBy("source").agg(count(lit(1)).as("src_n"))
+        val glob = a.groupBy("tok").agg(sum("a").as("g"))
+        val tot = toks.agg(count(lit(1)).as("n"))
+        val scored = a
+          .join(glob.where(col("g") >= 5), "tok")
+          .join(broadcast(srcN), "source")
+          .crossJoin(broadcast(tot))
+          .withColumn("b", col("g") - col("a"))
+          .withColumn("c", col("src_n") - col("a"))
+          .withColumn("dd", col("n") - col("src_n") - col("b"))
+          .where(col("a") * col("dd") > col("b") * col("c"))
+          .withColumn("chi2", expr(
+            """((CAST(n AS DOUBLE) * CAST(a * dd - b * c AS DOUBLE)) * CAST(a * dd - b * c AS DOUBLE)) /
+              |(((CAST(a + b AS DOUBLE) * CAST(c + dd AS DOUBLE)) * CAST(a + c AS DOUBLE)) * CAST(b + dd AS DOUBLE))
+              |""".stripMargin.replace("\n", " ")))
+        val w = Window.partitionBy("source").orderBy(col("chi2").desc, col("tok"))
+        scored
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .where(col("rnk") <= 3)
+          .select(col("source"), col("rnk"), col("tok"), col("a").as("cnt_in_source"), col("chi2"))
+          .orderBy("source", "rnk")
+      },
+      Some("""WITH toks AS (SELECT source, unnest(list_filter(string_split_regex(text, ' +'),
+             |    x -> x <> '')) AS tok FROM documents),
+             |a AS (SELECT source, tok, count(*) AS a FROM toks GROUP BY 1, 2),
+             |srcn AS (SELECT source, count(*) AS src_n FROM toks GROUP BY 1),
+             |gt AS (SELECT tok, CAST(sum(a) AS BIGINT) AS g FROM a GROUP BY 1),
+             |tot AS (SELECT count(*) AS n FROM toks),
+             |cells AS (SELECT a.source, a.tok, a.a, gt.g - a.a AS b,
+             |    srcn.src_n - a.a AS c, tot.n - srcn.src_n - (gt.g - a.a) AS dd,
+             |    srcn.src_n, gt.g, tot.n
+             |  FROM a JOIN gt ON a.tok = gt.tok AND gt.g >= 5
+             |  JOIN srcn ON a.source = srcn.source CROSS JOIN tot),
+             |sc AS (SELECT source, tok, a,
+             |    ((CAST(n AS DOUBLE) * CAST(a * dd - b * c AS DOUBLE)) * CAST(a * dd - b * c AS DOUBLE)) /
+             |    (((CAST(a + b AS DOUBLE) * CAST(c + dd AS DOUBLE)) * CAST(a + c AS DOUBLE)) * CAST(b + dd AS DOUBLE))
+             |      AS chi2
+             |  FROM cells WHERE a * dd > b * c),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY source
+             |    ORDER BY chi2 DESC, tok) AS rnk FROM sc)
+             |SELECT source, CAST(rnk AS BIGINT) AS rnk, tok, a AS cnt_in_source, chi2
+             |FROM r WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin)
+    ),
+
+    // Sequence mining lite: the top-10 event-type trigrams across per-user
+    // ordered histories — the pattern a behavioral-feature pass or a
+    // next-event model's vocabulary needs. The lead windows partition by
+    // user (one shuffle); the trigram rollup is bounded by |types|^3, so
+    // its top-k never materializes a global sort.
+    QueryDef(
+      "events_sequence_trigrams",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val tri = T.events(s, d)
+          .withColumn("e2", lead("event_type", 1).over(w))
+          .withColumn("e3", lead("event_type", 2).over(w))
+          .where(col("e2").isNotNull && col("e3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("trigram"))
+          .groupBy("trigram").agg(count(lit(1)).as("n"))
+        val wr = Window.orderBy(col("n").desc, col("trigram"))
+        tri
+          .withColumn("rnk", row_number().over(wr).cast("long"))
+          .where(col("rnk") <= 10)
+          .select("rnk", "trigram", "n")
+          .orderBy("rnk")
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type,
+             |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+             |  FROM events),
+             |tri AS (SELECT event_type || '>' || e2 || '>' || e3 AS trigram, count(*) AS n
+             |  FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1),
+             |r AS (SELECT *, row_number() OVER (ORDER BY n DESC, trigram) AS rnk FROM tri)
+             |SELECT CAST(rnk AS BIGINT) AS rnk, trigram, n FROM r WHERE rnk <= 10
+             |ORDER BY rnk""".stripMargin)
+    )
+  )
+}
