@@ -1528,6 +1528,56 @@ object DedupQueries {
               |SELECT doc_id,
               |  CASE WHEN max(is_seed) = 1 THEN 'seed' ELSE 'cluster' END AS reason
               |FROM rm GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // LSH candidate-generation QUALITY eval — the dedup counterpart of
+    // sim_ann_recall_eval: ground truth is the exact token-Jaccard of every
+    // planted duplicate pair (J >= 0.5), and we measure what fraction the
+    // (16-hash, 4-band) banding join actually surfaces, bucketed by
+    // Jaccard decile. This is the number a curation owner reads before
+    // trusting the approximate path at 100 TB: integer basis points, so
+    // the report is bit-deterministic. Scale shape: the truth join is
+    // keyed on the planted offset (one shuffle), candidates come from the
+    // same banding join the production query uses.
+    QueryDef("dedup_lsh_recall_eval",
+      (s, d) => {
+        val H = 16; val B = 4
+        val cand = md5BandCandidates(s, md5SigTable(s, d, H), H, B)
+          .withColumn("hit", lit(1L))
+        val toks = docsWithDups(s, d).select(col("doc_id"),
+          expr("array_distinct(filter(split(text, ' +'), x -> x != ''))").as("ts"))
+        val a = toks.where(col("doc_id") < 100000L)
+          .select(col("doc_id").as("a"), col("ts").as("ta"))
+        val b = toks.where(col("doc_id") >= 100000L)
+          .select((col("doc_id") - 100000L).as("a"), col("ts").as("tb"))
+        a.join(b, "a")
+          .withColumn("jaccard", round(
+            size(array_intersect(col("ta"), col("tb"))).cast("double") /
+              size(array_union(col("ta"), col("tb"))), 6))
+          .where(col("jaccard") >= 0.5)
+          .withColumn("b", col("a") + 100000L)
+          .join(cand, Seq("a", "b"), "left")
+          .withColumn("hit", coalesce(col("hit"), lit(0L)))
+          .withColumn("decile", expr("least(CAST(floor(jaccard * 10.0D) AS BIGINT), 9L)"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_truth"), sum("hit").as("n_found"))
+          .withColumn("recall_bp", expr("(n_found * 10000) div n_truth"))
+          .orderBy("decile")
+      },
+      Some(s"""WITH ${md5LshPairsSqlCtes},
+              |truth AS (SELECT ta.doc_id AS a, ta.doc_id + 100000 AS b,
+              |    round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
+              |          len(list_distinct(list_concat(ta.ts, tb.ts))), 6) AS jaccard
+              |  FROM toks ta JOIN toks tb ON tb.doc_id = ta.doc_id + 100000
+              |  WHERE ta.doc_id < 100000),
+              |tq AS (SELECT * FROM truth WHERE jaccard >= 0.5),
+              |hits AS (SELECT tq.jaccard,
+              |    CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END AS hit
+              |  FROM tq LEFT JOIN cand c ON tq.a = c.a AND tq.b = c.b)
+              |SELECT least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS decile,
+              |  count(*) AS n_truth, CAST(sum(hit) AS BIGINT) AS n_found,
+              |  (CAST(sum(hit) AS BIGINT) * 10000) // count(*) AS recall_bp
+              |FROM hits GROUP BY 1 ORDER BY decile""".stripMargin)
     )
   )
 }

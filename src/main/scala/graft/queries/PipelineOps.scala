@@ -349,6 +349,124 @@ object PipelineOps {
              |r AS (SELECT *, row_number() OVER (ORDER BY n DESC, trigram) AS rnk FROM tri)
              |SELECT CAST(rnk AS BIGINT) AS rnk, trigram, n FROM r WHERE rnk <= 10
              |ORDER BY rnk""".stripMargin)
+    ),
+
+    // Mutual information between event_type and a fixed-width value bucket
+    // — the feature-selection audit for a categorical pair (the
+    // information-theoretic sibling of stats_corr and stats_join_
+    // cardinality). MI = Σ (c_xy/N)·ln(c_xy·N / (c_x·c_y)); each ln goes
+    // through the house round(…, 9) + DECIMAL-weighted-sum pattern so the
+    // result is order-independent and bit-deterministic. Bucketing is
+    // map-side arithmetic (floor(value/25)), NOT a quantile window — no
+    // global sort anywhere; marginals ride as broadcast aggregates.
+    QueryDef(
+      "stats_mutual_information",
+      (s, d) => {
+        val ev = T.events(s, d)
+          .select(col("event_type"), expr("CAST(floor(value / 25.0D) AS BIGINT)").as("vb"))
+        val joint = ev.groupBy("event_type", "vb").agg(count(lit(1)).as("cxy"))
+        val mx = ev.groupBy("event_type").agg(count(lit(1)).as("cx"))
+        val my = ev.groupBy("vb").agg(count(lit(1)).as("cy"))
+        val n = ev.agg(count(lit(1)).as("n"))
+        joint
+          .join(broadcast(mx), "event_type")
+          .join(broadcast(my), "vb")
+          .crossJoin(broadcast(n))
+          .withColumn("term", expr(
+            "cxy * CAST(round(ln((CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE)) / " +
+              "(CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 9) AS DECIMAL(18,9))"))
+          .agg(first("n").cast("long").as("n_events"),
+            count(lit(1)).cast("long").as("n_cells"),
+            round(sum("term").cast("double") / first("n"), 6).as("mi_nats"))
+      },
+      Some("""WITH ev AS (SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS vb FROM events),
+             |joint AS (SELECT event_type, vb, count(*) AS cxy FROM ev GROUP BY 1, 2),
+             |mx AS (SELECT event_type, count(*) AS cx FROM ev GROUP BY 1),
+             |my AS (SELECT vb, count(*) AS cy FROM ev GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM ev)
+             |SELECT any_value(n.n) AS n_events, count(*) AS n_cells,
+             |  round(CAST(sum(cxy * CAST(round(ln((CAST(cxy AS DOUBLE) * CAST(n.n AS DOUBLE)) /
+             |    (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 9) AS DECIMAL(18,9))) AS DOUBLE)
+             |    / any_value(n.n), 6) AS mi_nats
+             |FROM joint JOIN mx USING (event_type) JOIN my USING (vb) CROSS JOIN n""".stripMargin)
+    ),
+
+    // Unpivot (melt): the wide per-type rollup re-expressed as long-form
+    // (event_type, metric, value) rows via stack() — the reshaping step
+    // every metrics-warehouse export needs. The rollup is tiny (|types|
+    // rows) so the unpivot is free; at scale the single shuffle is the
+    // rollup itself. Values are exact BIGINTs (counts and cents).
+    QueryDef(
+      "agg_unpivot_metrics",
+      (s, d) =>
+        T.events(s, d)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct("user_id").as("n_users"),
+            sum(expr("CAST(round(value * 100.0D, 0) AS BIGINT)")).as("value_cents"))
+          .selectExpr("event_type",
+            "stack(3, 'n_events', n_events, 'n_users', n_users, 'value_cents', value_cents) AS (metric, metric_value)")
+          .orderBy("event_type", "metric"),
+      Some("""WITH agg AS (SELECT event_type, count(*) AS n_events,
+             |    count(DISTINCT user_id) AS n_users,
+             |    CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS value_cents
+             |  FROM events GROUP BY 1)
+             |SELECT event_type, 'n_events' AS metric, n_events AS metric_value FROM agg
+             |UNION ALL SELECT event_type, 'n_users', n_users FROM agg
+             |UNION ALL SELECT event_type, 'value_cents', value_cents FROM agg
+             |ORDER BY event_type, metric""".stripMargin)
+    ),
+
+    // Raw-media ingestion through Spark's binaryFile source — the
+    // Spark-native way to land image/audio payloads at scale (each
+    // executor reads its own file split; no driver involvement). Stage a
+    // deterministic 1-in-7 subset of the media table as loose .bin files
+    // (executor-side foreachPartition write), read the directory back with
+    // format("binaryFile"), recover the media id from the file name, and
+    // roll up per mime type using the SOURCE's own length column — so the
+    // hash match proves path/metadata/content fidelity end-to-end. The
+    // oracle recomputes expected sizes from the documents table (the
+    // payload construction is the same deterministic wrap
+    // multimodal_metadata pins).
+    QueryDef(
+      "multimodal_binary_ingest",
+      (s, d) => {
+        val dirOut = java.nio.file.Files.createTempDirectory("graft_media")
+        dirOut.toFile.deleteOnExit()
+        val outPath = dirOut.toString
+        graft.operators.Multimodal.mediaTable(s, d)
+          .where(expr("media_id % 7 = 0"))
+          .select("media_id", "payload")
+          .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+            it.foreach { r =>
+              val id = r.getLong(0)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(outPath, s"media_$id.bin"),
+                r.getAs[Array[Byte]](1))
+            }
+          }
+        s.read.format("binaryFile").load(outPath)
+          .select(
+            expr("CAST(regexp_extract(path, 'media_([0-9]+)\\\\.bin$', 1) AS BIGINT)").as("media_id"),
+            col("length"))
+          .withColumn("mime_type",
+            when(pmod(col("media_id"), lit(3)) === 0, "image/png")
+              .when(pmod(col("media_id"), lit(3)) === 1, "audio/wav")
+              .otherwise("video/mp4"))
+          .groupBy("mime_type")
+          .agg(count(lit(1)).as("n_files"),
+            sum("length").as("total_bytes"),
+            max("length").as("max_bytes"))
+          .orderBy("mime_type")
+      },
+      Some("""SELECT CASE mod(doc_id, 3) WHEN 0 THEN 'image/png'
+             |  WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime_type,
+             |count(*) AS n_files,
+             |CAST(sum(octet_length(encode(text))
+             |  + CASE mod(doc_id, 3) WHEN 0 THEN 33 ELSE 0 END) AS BIGINT) AS total_bytes,
+             |CAST(max(octet_length(encode(text))
+             |  + CASE mod(doc_id, 3) WHEN 0 THEN 33 ELSE 0 END) AS BIGINT) AS max_bytes
+             |FROM documents WHERE doc_id % 7 = 0 GROUP BY 1 ORDER BY mime_type""".stripMargin)
     )
   )
 }
