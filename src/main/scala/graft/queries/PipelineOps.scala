@@ -467,6 +467,109 @@ object PipelineOps {
              |CAST(max(octet_length(encode(text))
              |  + CASE mod(doc_id, 3) WHEN 0 THEN 33 ELSE 0 END) AS BIGINT) AS max_bytes
              |FROM documents WHERE doc_id % 7 = 0 GROUP BY 1 ORDER BY mime_type""".stripMargin)
+    ),
+
+    // Zipf-law fit over the top-1000 token frequencies: least-squares
+    // slope/intercept/R² of ln(freq) against ln(rank) — the corpus-health
+    // number that flags synthetic or template-heavy corpora (natural text
+    // slopes ≈ −1). Cross-engine determinism: each ln is rounded to 9 dp;
+    // every regression sum (Σx, Σy, Σxy, Σx², Σy²) is a DECIMAL sum of
+    // 9-dp-rounded per-term products (order-independent); the closed-form
+    // solution is then a parenthesis-pinned chain of IEEE ops. Scale: the
+    // rank window runs over the vocab-bounded frequency table (same
+    // rationale as text_vocab_topk), everything else is O(1000).
+    QueryDef(
+      "text_zipf_fit",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val freq = T(s, d, "documents")
+          .select(explode(expr("filter(split(text, ' +'), x -> x != '')")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("f"))
+        val w = Window.orderBy(col("f").desc, col("tok"))
+        freq.withColumn("rnk", row_number().over(w).cast("long"))
+          .where(col("rnk") <= 1000)
+          .withColumn("x", expr("round(ln(CAST(rnk AS DOUBLE)), 9)"))
+          .withColumn("y", expr("round(ln(CAST(f AS DOUBLE)), 9)"))
+          .agg(count(lit(1)).cast("long").as("n_ranks"),
+            sum(expr("CAST(x AS DECIMAL(18,9))")).as("sx"),
+            sum(expr("CAST(y AS DECIMAL(18,9))")).as("sy"),
+            sum(expr("CAST(round(x * y, 9) AS DECIMAL(18,9))")).as("sxy"),
+            sum(expr("CAST(round(x * x, 9) AS DECIMAL(18,9))")).as("sxx"),
+            sum(expr("CAST(round(y * y, 9) AS DECIMAL(18,9))")).as("syy"))
+          .select(col("n_ranks"),
+            expr("""round(((CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) /
+                   ((CAST(n_ranks AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))), 6)""")
+              .as("slope"),
+            expr("""round((CAST(sy AS DOUBLE) - (((CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) /
+                   ((CAST(n_ranks AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))) * CAST(sx AS DOUBLE)) /
+                   CAST(n_ranks AS DOUBLE), 6)""").as("intercept"),
+            expr("""round((((CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) *
+                   ((CAST(n_ranks AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))) /
+                   (((CAST(n_ranks AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+                   ((CAST(n_ranks AS DOUBLE) * CAST(syy AS DOUBLE)) - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))), 6)""")
+              .as("r2"))
+      },
+      Some("""WITH freq AS (SELECT tok, count(*) AS f FROM (
+             |    SELECT unnest(list_filter(string_split_regex(text, ' +'), x -> x <> '')) AS tok
+             |    FROM documents) GROUP BY 1),
+             |rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rnk FROM freq),
+             |xy AS (SELECT round(ln(CAST(rnk AS DOUBLE)), 9) AS x,
+             |    round(ln(CAST(f AS DOUBLE)), 9) AS y FROM rk WHERE rnk <= 1000),
+             |s AS (SELECT count(*) AS n,
+             |    sum(CAST(x AS DECIMAL(18,9))) AS sx, sum(CAST(y AS DECIMAL(18,9))) AS sy,
+             |    sum(CAST(round(x * y, 9) AS DECIMAL(18,9))) AS sxy,
+             |    sum(CAST(round(x * x, 9) AS DECIMAL(18,9))) AS sxx,
+             |    sum(CAST(round(y * y, 9) AS DECIMAL(18,9))) AS syy
+             |  FROM xy)
+             |SELECT CAST(n AS BIGINT) AS n_ranks,
+             |  round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) /
+             |    ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))), 6) AS slope,
+             |  round((CAST(sy AS DOUBLE) - (((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) /
+             |    ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))) * CAST(sx AS DOUBLE)) /
+             |    CAST(n AS DOUBLE), 6) AS intercept,
+             |  round((((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) *
+             |    ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))) /
+             |    (((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+             |    ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)) - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))), 6) AS r2
+             |FROM s""".stripMargin)
+    ),
+
+    // Watermark-lateness audit: how out-of-order the event stream actually
+    // is, measured per user against the running max timestamp in arrival
+    // order (event_id) — the histogram an operator reads to pick a
+    // watermark delay before deploying the streaming twins. One window
+    // shuffle on user_id; the bucket rollup is O(5). All-integer µs.
+    QueryDef(
+      "events_lateness_audit",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        T.events(s, d)
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("late_us",
+            greatest(coalesce(max("us").over(w) - col("us"), lit(0L)), lit(0L)))
+          .withColumn("bucket",
+            when(col("late_us") === 0L, "a_ontime")
+              .when(col("late_us") < 60000000L, "b_lt_1m")
+              .when(col("late_us") < 600000000L, "c_lt_10m")
+              .when(col("late_us") < 3600000000L, "d_lt_1h")
+              .otherwise("e_ge_1h"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), max("late_us").as("max_late_us"))
+          .orderBy("bucket")
+      },
+      Some("""WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+             |    greatest(coalesce(max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - epoch_us(ts), 0), 0) AS late_us
+             |  FROM events),
+             |b AS (SELECT CASE WHEN late_us = 0 THEN 'a_ontime'
+             |    WHEN late_us < 60000000 THEN 'b_lt_1m'
+             |    WHEN late_us < 600000000 THEN 'c_lt_10m'
+             |    WHEN late_us < 3600000000 THEN 'd_lt_1h'
+             |    ELSE 'e_ge_1h' END AS bucket, late_us FROM l)
+             |SELECT bucket, count(*) AS n, CAST(max(late_us) AS BIGINT) AS max_late_us
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }
