@@ -28,6 +28,26 @@ object EventOps {
        |FROM x GROUP BY user_id, session_idx
        |ORDER BY user_id, session_idx""".stripMargin
 
+  /** Shared by events_scd2_dimension and its streaming twin. */
+  private val Scd2Oracle =
+    """WITH o AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events),
+      |c AS (SELECT user_id, event_id, event_type, tsu FROM o
+      |  WHERE prev_type IS NULL OR event_type <> prev_type),
+      |v AS (SELECT user_id, event_type, tsu,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY tsu, event_id) AS BIGINT) AS version,
+      |    lead(tsu) OVER (PARTITION BY user_id
+      |      ORDER BY tsu, event_id) AS valid_to_us
+      |  FROM c)
+      |SELECT user_id, version, event_type AS status,
+      |  tsu AS valid_from_us, valid_to_us,
+      |  valid_to_us IS NULL AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin
+
   /** Zero-filled (event_type, hour) series — see events_gapfill_hourly. */
   private def gapfillHourly(s: org.apache.spark.sql.SparkSession, d: String) = {
     val ev = T.events(s, d)
@@ -201,23 +221,18 @@ object EventOps {
             col("tsu").as("valid_from_us"), col("valid_to_us"), col("is_current"))
           .orderBy("user_id", "version")
       },
-      Some("""WITH o AS (
-             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu,
-             |         lag(event_type) OVER (PARTITION BY user_id
-             |           ORDER BY epoch_us(ts), event_id) AS prev_type
-             |  FROM events),
-             |c AS (SELECT user_id, event_id, event_type, tsu FROM o
-             |  WHERE prev_type IS NULL OR event_type <> prev_type),
-             |v AS (SELECT user_id, event_type, tsu,
-             |    CAST(row_number() OVER (PARTITION BY user_id
-             |      ORDER BY tsu, event_id) AS BIGINT) AS version,
-             |    lead(tsu) OVER (PARTITION BY user_id
-             |      ORDER BY tsu, event_id) AS valid_to_us
-             |  FROM c)
-             |SELECT user_id, version, event_type AS status,
-             |  tsu AS valid_from_us, valid_to_us,
-             |  valid_to_us IS NULL AS is_current
-             |FROM v ORDER BY user_id, version""".stripMargin)
+      Some(Scd2Oracle)
+    ),
+
+    // the SAME dimension build incrementally, as a per-key streaming state
+    // machine (flatMapGroupsWithState): each change point closes the open
+    // version the moment it arrives, the sentinel flushes the current one
+    // — proving SCD2 maintenance doesn't need a nightly rebuild. Checked
+    // against the identical DuckDB oracle as the batch window version.
+    QueryDef(
+      "events_scd2_dimension_stream",
+      (s, d) => graft.streaming.EventStream.scd2Dimension(s, d),
+      Some(Scd2Oracle)
     ),
 
     // The CONSUMING half of SCD2: every fact row looks up the dimension

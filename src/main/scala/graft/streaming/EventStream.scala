@@ -570,6 +570,148 @@ object EventStream {
     spark.table(sinkName).orderBy("user_id", "session_idx")
   }
 
+  final case class Scd2Ev(user_id: Long, event_id: Long, tsu: Long, event_type: String)
+  final case class Scd2State(nextVersion: Long, openType: String,
+      openFromUs: Long, hasOpen: Boolean)
+  final case class Scd2Out(user_id: Long, version: Long, status: String,
+      valid_from_us: Long, valid_to_us: Option[Long], is_current: Boolean)
+
+  /** Incremental SCD2 maintenance: the same change-point collapse the
+    * batch window query does, as an O(1)-per-user state machine — a
+    * version row is emitted the moment the NEXT change closes it, and the
+    * sentinel flushes the open (current) version. Within a batch events
+    * are sorted by (tsu, event_id); across batches correctness relies on
+    * event-time-ordered arrival (the staged file layout guarantees it
+    * here; a production deployment would bound disorder with a watermark
+    * and buffer inside the state, as the anomaly machine does).
+    */
+  private def scd2Fn(
+      user: Long, events: Iterator[Scd2Ev],
+      state: GroupState[Scd2State]): Iterator[Scd2Out] = {
+    val evs = events.toArray.sortBy(e => (e.tsu, e.event_id))
+    var st = state.getOption.getOrElse(Scd2State(1L, "", 0L, hasOpen = false))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Out]
+    evs.foreach { e =>
+      if (e.event_id < 0) { // sentinel: flush the current version
+        if (st.hasOpen) {
+          out += Scd2Out(user, st.nextVersion, st.openType, st.openFromUs,
+            None, is_current = true)
+          st = st.copy(hasOpen = false)
+        }
+      } else if (!st.hasOpen) {
+        st = Scd2State(st.nextVersion, e.event_type, e.tsu, hasOpen = true)
+      } else if (e.event_type != st.openType) {
+        out += Scd2Out(user, st.nextVersion, st.openType, st.openFromUs,
+          Some(e.tsu), is_current = false)
+        st = Scd2State(st.nextVersion + 1, e.event_type, e.tsu, hasOpen = true)
+      } // same type: continuation, SCD2 tracks changes only
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  def scd2Dimension(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val batch = graft.queries.T.events(spark, dir)
+    val srcDir = Files.createTempDirectory("graft_scd2_src")
+    srcDir.toFile.deleteOnExit()
+    val normalized = batch.select(col("user_id").cast("long"),
+      col("event_id").cast("long"), col("ts"), col("event_type"))
+    normalized.write.mode("overwrite").parquet(srcDir.resolve("00_events").toString)
+    val maxTs = batch.agg(max(expr("unix_micros(ts)"))).head().getLong(0)
+    normalized.select("user_id").distinct()
+      .select(col("user_id"), lit(-1L).as("event_id"),
+        expr(s"timestamp_micros(${maxTs + 1000000L}L)").as("ts"),
+        lit("~sentinel").as("event_type"))
+      .write.mode("overwrite").parquet(srcDir.resolve("zz_sentinel").toString)
+
+    val raw = spark.readStream
+      .schema(normalized.schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir.toString)
+    val evs = raw.select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("tsu"), col("event_type"))
+      .as[Scd2Ev]
+
+    val versions = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(scd2Fn)
+
+    val sinkName = s"graft_scd2_stream_${math.abs(dir.hashCode)}"
+    val q = versions.toDF().writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_scd2_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .select("user_id", "version", "status", "valid_from_us", "valid_to_us",
+        "is_current")
+      .orderBy("user_id", "version")
+  }
+
+  private val scd2SinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Spec hook: the SCD2 machine driven across FORCED multiple batches
+    * (maxFilesPerTrigger=1 over time-split files with pinned ascending
+    * mtimes, so arrival respects event time) — proves open-version state
+    * survives batch boundaries. Returns (result, batches-with-input).
+    */
+  private[streaming] def scd2MultiBatch(
+      spark: SparkSession, dir: String): (DataFrame, Long) = {
+    import spark.implicits._
+    val batch = graft.queries.T.events(spark, dir)
+      .withColumn("us", expr("unix_micros(ts)"))
+    val bounds = batch.agg(min("us"), max("us")).head()
+    val split = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val normalized = batch.select(col("user_id").cast("long"),
+      col("event_id").cast("long"), col("ts"), col("event_type"), col("us"))
+    val srcDir = Files.createTempDirectory("graft_scd2_mb")
+    srcDir.toFile.deleteOnExit()
+    val parts = Seq(
+      normalized.where(col("us") < split),
+      normalized.where(col("us") >= split),
+      normalized.select("user_id").distinct()
+        .select(col("user_id"), lit(-1L).as("event_id"),
+          expr(s"timestamp_micros(${bounds.getLong(1) + 1000000L}L)").as("ts"),
+          lit("~sentinel").as("event_type"), lit(Long.MaxValue).as("us")))
+    val base = System.currentTimeMillis() - (parts.length + 1) * 2000L
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val partDir = srcDir.resolve(f"$i%02d_part")
+      p.drop("us").coalesce(1).write.mode("overwrite").parquet(partDir.toString)
+      val t = java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)
+      val listing = Files.list(partDir)
+      try listing.forEach(pp => Files.setLastModifiedTime(pp, t))
+      finally listing.close()
+    }
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id LONG, event_id LONG, ts TIMESTAMP, event_type STRING"))
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+    val evs = raw.select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("tsu"), col("event_type"))
+      .as[Scd2Ev]
+    val out = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(scd2Fn)
+    val sinkName = s"graft_scd2_mb_${scd2SinkSeq.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_scd2_mb_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0).toLong
+    (spark.table(sinkName)
+      .select("user_id", "version", "status", "valid_from_us", "valid_to_us",
+        "is_current")
+      .orderBy("user_id", "version"), nBatches)
+  }
+
   /** Lambda-architecture unification: BATCH partial aggregates over the
     * base half of the event log merged with partials STREAMED over the
     * delta half — counts sum, DECIMAL sums sum, min/max fold — under the
