@@ -501,6 +501,57 @@ object GraphOps {
              |r AS (SELECT *, row_number() OVER (ORDER BY jaccard_bp DESC, u, v) AS rnk FROM sc)
              |SELECT CAST(rnk AS BIGINT) AS rnk, u, v, common, jaccard_bp
              |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin)
+    ),
+
+    // Degree assortativity of the part co-purchase graph: the Pearson
+    // correlation of endpoint degrees over the directed edge list —
+    // positive means hubs link to hubs (the topology number that predicts
+    // whether hub suppression is safe for the link-prediction pass above).
+    // Moments are DECIMAL-exact integer sums (scale-safe where BIGINT
+    // products would overflow at 1e12 edges); the closed form is the
+    // stats_corr shape: double arithmetic rounded to 9 dp both engines.
+    QueryDef("graph_assortativity",
+      (s, d) => {
+        val op = T(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val e = op.as("a").join(op.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        val deg = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+        adj
+          .join(deg.select(col("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("u").as("v"), col("deg").as("dv")), "v")
+          .agg(count(lit(1)).as("n"),
+            sum(col("du").cast("decimal(38,0)")).as("sx"),
+            sum(col("dv").cast("decimal(38,0)")).as("sy"),
+            sum((col("du") * col("dv")).cast("decimal(38,0)")).as("sxy"),
+            sum((col("du") * col("du")).cast("decimal(38,0)")).as("sxx"),
+            sum((col("dv") * col("dv")).cast("decimal(38,0)")).as("syy"))
+          .select(col("n").cast("long").as("n_edges"),
+            round((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+              (sqrt(col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")) *
+               sqrt(col("n") * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))), 9)
+              .as("assortativity"))
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+             |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+             |adj AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+             |deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY 1),
+             |ed AS (SELECT du.deg AS du, dv.deg AS dv FROM adj
+             |  JOIN deg du ON adj.u = du.u JOIN deg dv ON adj.v = dv.u),
+             |m AS (SELECT count(*) AS n,
+             |    sum(CAST(du AS DECIMAL(38,0))) AS sx, sum(CAST(dv AS DECIMAL(38,0))) AS sy,
+             |    sum(CAST(du * dv AS DECIMAL(38,0))) AS sxy,
+             |    sum(CAST(du * du AS DECIMAL(38,0))) AS sxx,
+             |    sum(CAST(dv * dv AS DECIMAL(38,0))) AS syy
+             |  FROM ed)
+             |SELECT CAST(n AS BIGINT) AS n_edges,
+             |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |  (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             |   sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS assortativity
+             |FROM m""".stripMargin)
     )
   )
 

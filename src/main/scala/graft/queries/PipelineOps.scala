@@ -570,6 +570,76 @@ object PipelineOps {
              |    ELSE 'e_ge_1h' END AS bucket, late_us FROM l)
              |SELECT bucket, count(*) AS n, CAST(max(late_us) AS BIGINT) AS max_late_us
              |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // DAU / trailing-28-day MAU stickiness per day — the growth metric
+    // every product dashboard leads with. The distinct (user, day) table
+    // is the only shuffle; MAU per day comes from a BOUNDED fan-out join
+    // (each user-day feeds at most 28 spine days — 28× the distinct
+    // table, not the event log), and stickiness is integer basis points.
+    QueryDef(
+      "events_dau_mau_stickiness",
+      (s, d) => {
+        val ud = T.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+        val spine = ud.select("day").distinct()
+        val mau = spine.as("sp").join(ud.as("a"),
+            datediff(col("sp.day"), col("a.day")).between(0, 27))
+          .groupBy(col("sp.day").as("day"))
+          .agg(countDistinct(col("a.user_id")).as("mau"))
+        dau.join(mau, "day")
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("dau"), col("mau"),
+            expr("(dau * 10000) div mau").as("stickiness_bp"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+             |spine AS (SELECT DISTINCT day FROM ud),
+             |mau AS (SELECT sp.day, count(DISTINCT a.user_id) AS mau
+             |  FROM spine sp JOIN ud a ON datediff('day', a.day, sp.day) BETWEEN 0 AND 27
+             |  GROUP BY 1)
+             |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+             |  (dau.dau * 10000) // mau.mau AS stickiness_bp
+             |FROM dau JOIN mau ON dau.day = mau.day ORDER BY day""".stripMargin)
+    ),
+
+    // Benford first-digit audit over order totals — the forensic DQ check
+    // for fabricated or truncated monetary data. Expected shares are the
+    // canonical log10(1+1/d) values pinned as INTEGER basis-point
+    // literals (identical in both engines by construction); observed
+    // shares and deviations are integer bp. Pure map + one rollup.
+    QueryDef(
+      "stats_benford_first_digit",
+      (s, d) => {
+        val exp = "CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761 WHEN 3 THEN 1249 " +
+          "WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669 WHEN 7 THEN 580 " +
+          "WHEN 8 THEN 512 ELSE 458 END"
+        T(s, d, "orders")
+          .select(expr(
+            "CAST(substring(CAST(CAST(round(o_totalprice * 100.0D, 0) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+            .as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(T(s, d, "orders").agg(count(lit(1)).as("total"))))
+          .withColumn("obs_bp", expr("(n * 10000) div total"))
+          .withColumn("exp_bp", expr(exp).cast("long"))
+          .withColumn("dev_bp", expr("abs(obs_bp - exp_bp)"))
+          .select("digit", "n", "obs_bp", "exp_bp", "dev_bp")
+          .orderBy("digit")
+      },
+      Some("""WITH dg AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+             |  FROM orders),
+             |c AS (SELECT digit, count(*) AS n FROM dg GROUP BY 1),
+             |t AS (SELECT count(*) AS total FROM orders)
+             |SELECT digit, n, (n * 10000) // total AS obs_bp,
+             |  CAST(CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761 WHEN 3 THEN 1249
+             |    WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669 WHEN 7 THEN 580
+             |    WHEN 8 THEN 512 ELSE 458 END AS BIGINT) AS exp_bp,
+             |  abs((n * 10000) // total - CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761
+             |    WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669
+             |    WHEN 7 THEN 580 WHEN 8 THEN 512 ELSE 458 END) AS dev_bp
+             |FROM c, t ORDER BY digit""".stripMargin)
     )
   )
 }
