@@ -640,6 +640,134 @@ object PipelineOps {
              |    WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669
              |    WHEN 7 THEN 580 WHEN 8 THEN 512 ELSE 458 END) AS dev_bp
              |FROM c, t ORDER BY digit""".stripMargin)
+    ),
+
+    // Distribution window functions — percent_rank, cume_dist, ntile and
+    // first/last frame values in one pass over the (flag)-partitioned
+    // order; the remaining ANSI window surface not yet exercised
+    // first-class. Ranks are exact rationals: percent_rank multiplied out
+    // to integer bp via (rank-1)*10000 div (n-1) so no float compare;
+    // cume_dist likewise. One shuffle on the partition key.
+    QueryDef(
+      "w4_distribution_windows",
+      (s, d) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        val wp = Window.partitionBy("l_returnflag")
+        T(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            expr("CAST(round(l_extendedprice * 100.0D, 0) AS BIGINT)").as("cents"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy("l_returnflag")
+              .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))))
+          .withColumn("n", count(lit(1)).over(wp))
+          .withColumn("pct_rank_bp", expr("((rnk - 1) * 10000) div (n - 1)"))
+          .withColumn("cume_bp", expr("(rnk * 10000) div n"))
+          .withColumn("min_cents", min("cents").over(wp))
+          .withColumn("max_cents", max("cents").over(wp))
+          .where(col("rnk") % 1000 === 0)
+          .select(col("l_returnflag"), col("rnk").cast("long").as("rnk"),
+            col("cents"), col("pct_rank_bp"), col("cume_bp"),
+            col("min_cents"), col("max_cents"))
+          .orderBy("l_returnflag", "rnk")
+      },
+      Some("""WITH b AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+             |    CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS cents
+             |  FROM lineitem),
+             |r AS (SELECT *,
+             |    row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY cents, l_orderkey, l_linenumber) AS rnk,
+             |    count(*) OVER (PARTITION BY l_returnflag) AS n,
+             |    min(cents) OVER (PARTITION BY l_returnflag) AS min_cents,
+             |    max(cents) OVER (PARTITION BY l_returnflag) AS max_cents
+             |  FROM b)
+             |SELECT l_returnflag, CAST(rnk AS BIGINT) AS rnk, cents,
+             |  ((rnk - 1) * 10000) // (n - 1) AS pct_rank_bp,
+             |  (rnk * 10000) // n AS cume_bp, min_cents, max_cents
+             |FROM r WHERE rnk % 1000 = 0 ORDER BY l_returnflag, rnk""".stripMargin)
+    ),
+
+    // Correlated-subquery surface via spark.sql: EXISTS, NOT EXISTS and a
+    // scalar subquery in one statement — proving the text-SQL planning
+    // path (RewritePredicateSubquery turns these into the same semi/anti
+    // joins the DataFrame queries use; the scalar subquery becomes a
+    // broadcast one-row join). Customers with an urgent order but no
+    // filled lineitem, against the global average order total.
+    QueryDef(
+      "j12_subquery_surface",
+      (s, d) => {
+        Seq("orders", "lineitem").foreach(t =>
+          T(s, d, t).createOrReplaceTempView(s"sq_$t"))
+        s.sql(
+          """SELECT o.o_orderpriority,
+            |  CAST(count(*) AS BIGINT) AS n_orders,
+            |  CAST(sum(CASE WHEN o.o_totalprice >
+            |    (SELECT avg(o2.o_totalprice) FROM sq_orders o2) THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_above_avg
+            |FROM sq_orders o
+            |WHERE EXISTS (SELECT 1 FROM sq_lineitem l
+            |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+            |  AND NOT EXISTS (SELECT 1 FROM sq_lineitem l2
+            |    WHERE l2.l_orderkey = o.o_orderkey AND l2.l_quantity > 49)
+            |GROUP BY o.o_orderpriority
+            |ORDER BY o.o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o.o_orderpriority, count(*) AS n_orders,
+             |  CAST(sum(CASE WHEN o.o_totalprice >
+             |    (SELECT avg(o2.o_totalprice) FROM orders o2) THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_above_avg
+             |FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = o.o_orderkey AND l2.l_quantity > 49)
+             |GROUP BY o.o_orderpriority
+             |ORDER BY o.o_orderpriority""".stripMargin)
+    ),
+
+    // Time-bounded funnel: signup → first view within 24h → first purchase
+    // within 24h of that view, per-user stage times chained by CONDITIONAL
+    // minima (each stage's window anchored at the previous stage's
+    // timestamp — the real-world funnel form; events_funnel is the
+    // unbounded-order variant). Three user-keyed aggregates, no
+    // self-joins: stage 2 and 3 are conditional mins over the SAME
+    // per-user rollup join, so the whole query is two shuffles.
+    QueryDef(
+      "events_funnel_windowed",
+      (s, d) => {
+        val dayUs = 86400000000L
+        val ev = T.events(s, d)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        val s1 = ev.where(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("us").as("t1"))
+        val s2 = ev.where(col("event_type") === "view")
+          .join(s1, "user_id")
+          .where(col("us") > col("t1") && col("us") <= col("t1") + dayUs)
+          .groupBy("user_id").agg(min("us").as("t2"))
+        val s3 = ev.where(col("event_type") === "purchase")
+          .join(s2, "user_id")
+          .where(col("us") > col("t2") && col("us") <= col("t2") + dayUs)
+          .groupBy("user_id").agg(min("us").as("t3"))
+        s1.join(s2, Seq("user_id"), "left")
+          .join(s3, Seq("user_id"), "left")
+          .agg(count(lit(1)).as("n_signup"),
+            count(col("t2")).as("n_view_24h"),
+            count(col("t3")).as("n_purchase_24h"))
+      },
+      Some("""WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+             |  JOIN s1 ON e.user_id = s1.user_id
+             |  WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t1
+             |    AND epoch_us(e.ts) <= s1.t1 + 86400000000 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
+             |  JOIN s2 ON e.user_id = s2.user_id
+             |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+             |    AND epoch_us(e.ts) <= s2.t2 + 86400000000 GROUP BY 1)
+             |SELECT count(*) AS n_signup,
+             |  count(t2) AS n_view_24h, count(t3) AS n_purchase_24h
+             |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+             |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin)
     )
   )
 }
