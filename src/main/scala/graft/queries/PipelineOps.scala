@@ -768,6 +768,130 @@ object PipelineOps {
              |  count(t2) AS n_view_24h, count(t3) AS n_purchase_24h
              |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
              |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin)
+    ),
+
+    // Lag-1 autocorrelation of the hourly event series per type — the
+    // time-series self-similarity number that separates bursty feeds from
+    // steady ones (and validates anomaly-detector assumptions). The lag
+    // pairs come from one window over the HOURLY AGGREGATE (720 rows),
+    // never raw events; Pearson moments are exact integer DECIMAL sums and
+    // the closed form is the stats_corr shape rounded to 9 dp.
+    QueryDef(
+      "stats_autocorrelation",
+      (s, d) => {
+        val hourly = T.events(s, d)
+          .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000L").as("eh"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("eh")
+        hourly
+          .withColumn("prev", lag("n", 1).over(w))
+          .where(col("prev").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("np"),
+            sum(col("n").cast("decimal(38,0)")).as("sx"),
+            sum(col("prev").cast("decimal(38,0)")).as("sy"),
+            sum((col("n") * col("prev")).cast("decimal(38,0)")).as("sxy"),
+            sum((col("n") * col("n")).cast("decimal(38,0)")).as("sxx"),
+            sum((col("prev") * col("prev")).cast("decimal(38,0)")).as("syy"))
+          .select(col("event_type"), col("np").cast("long").as("n_pairs"),
+            round((col("np") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+              (sqrt(col("np") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")) *
+               sqrt(col("np") * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))), 9)
+              .as("acf1"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hourly AS (SELECT event_type, epoch_us(ts) // 3600000000 AS eh,
+             |    count(*) AS n FROM events GROUP BY 1, 2),
+             |lagd AS (SELECT event_type, n,
+             |    lag(n) OVER (PARTITION BY event_type ORDER BY eh) AS prev FROM hourly),
+             |m AS (SELECT event_type, count(*) AS np,
+             |    sum(CAST(n AS DECIMAL(38,0))) AS sx, sum(CAST(prev AS DECIMAL(38,0))) AS sy,
+             |    sum(CAST(n * prev AS DECIMAL(38,0))) AS sxy,
+             |    sum(CAST(n * n AS DECIMAL(38,0))) AS sxx,
+             |    sum(CAST(prev * prev AS DECIMAL(38,0))) AS syy
+             |  FROM lagd WHERE prev IS NOT NULL GROUP BY 1)
+             |SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+             |  round((np * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |  (sqrt(np * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             |   sqrt(np * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS acf1
+             |FROM m ORDER BY event_type""".stripMargin)
+    ),
+
+    // 3-sigma outlier census per event type: mean/std from exact
+    // integer-cent DECIMAL moments, the gate |x−μ| > 3σ evaluated in
+    // doubles both engines compute identically (single divisions, one
+    // sqrt — all correctly-rounded IEEE ops on identical operands). The
+    // feature-cleaning pass before training on the value column. Two
+    // aggregates: moments, then a broadcast-join gate + rollup.
+    QueryDef(
+      "events_value_outliers",
+      (s, d) => {
+        val ev = T.events(s, d).select(col("event_type"),
+          expr("CAST(round(value * 100.0D, 0) AS BIGINT)").as("cents"))
+        val m = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents").cast("decimal(38,0)")).as("sx"),
+            sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("sxx"))
+          .select(col("event_type"), col("n"),
+            (col("sx").cast("double") / col("n")).as("mean"),
+            sqrt((col("sxx").cast("double") - (col("sx").cast("double") * col("sx").cast("double")) / col("n")) / col("n"))
+              .as("std"))
+        ev.join(broadcast(m), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(abs(col("cents") - col("mean")) > lit(3.0) * col("std"), 1L)
+              .otherwise(0L)).as("n_outliers"),
+            max(when(abs(col("cents") - col("mean")) > lit(3.0) * col("std"),
+              col("cents"))).as("max_outlier_cents"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type,
+             |    CAST(round(value * 100.0, 0) AS BIGINT) AS cents FROM events),
+             |m AS (SELECT event_type, count(*) AS n,
+             |    CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS mean,
+             |    sqrt((CAST(sum(CAST(cents * cents AS DECIMAL(38,0))) AS DOUBLE) -
+             |      (CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) *
+             |       CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)) / count(*)) / count(*)) AS std
+             |  FROM ev GROUP BY 1)
+             |SELECT ev.event_type, count(*) AS n_events,
+             |  CAST(sum(CASE WHEN abs(ev.cents - m.mean) > 3.0 * m.std THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_outliers,
+             |  max(CASE WHEN abs(ev.cents - m.mean) > 3.0 * m.std THEN ev.cents END)
+             |    AS max_outlier_cents
+             |FROM ev JOIN m ON ev.event_type = m.event_type
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Hour-of-day seasonality profile: each type's peak activity hour
+    // (deterministic tie-break on the earlier hour) plus how concentrated
+    // the profile is (peak share in integer bp) — the shape a capacity
+    // planner or a time-based sampler reads. Rollup is |types|·24 rows.
+    QueryDef(
+      "events_seasonality_peak",
+      (s, d) => {
+        val prof = T.events(s, d)
+          .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("n").desc, col("hod"))
+        prof
+          .withColumn("rnk", row_number().over(w))
+          .withColumn("total", sum("n").over(Window.partitionBy("event_type")))
+          .where(col("rnk") === 1)
+          .select(col("event_type"), col("hod").as("peak_hour"),
+            col("n").as("peak_n"), col("total"),
+            expr("(n * 10000) div total").as("peak_share_bp"))
+          .orderBy("event_type")
+      },
+      Some("""WITH prof AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+             |    count(*) AS n FROM events GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             |      ORDER BY n DESC, hod) AS rnk,
+             |    sum(n) OVER (PARTITION BY event_type) AS total FROM prof)
+             |SELECT event_type, hod AS peak_hour, n AS peak_n,
+             |  CAST(total AS BIGINT) AS total,
+             |  (n * 10000) // CAST(total AS BIGINT) AS peak_share_bp
+             |FROM r WHERE rnk = 1 ORDER BY event_type""".stripMargin)
     )
   )
 }
