@@ -892,6 +892,117 @@ object PipelineOps {
              |  CAST(total AS BIGINT) AS total,
              |  (n * 10000) // CAST(total AS BIGINT) AS peak_share_bp
              |FROM r WHERE rnk = 1 ORDER BY event_type""".stripMargin)
+    ),
+
+    // Embedding drift report: per label, the L2 distance between the
+    // centroids of the even- and odd-id halves of the corpus — the
+    // monitoring number a feature-store owner tracks between snapshots
+    // (a large shift means the upstream encoder or data mix moved).
+    // Cross-engine exactness: coordinates quantize to 1e-6 int64s
+    // (the pca_covariance trick), per-dim mean differences are squared
+    // in doubles, rounded to 6 dp and DECIMAL-summed (order-independent),
+    // and one sqrt closes it. Scale: one shuffle to (label, half, dim)
+    // sums; everything after is |labels|·d rows.
+    QueryDef(
+      "embedding_drift_report",
+      (s, d) => {
+        val e = T(s, d, "embeddings").select(col("vec_id"), col("label"),
+          expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(round(x * 1000000.0D, 0) AS BIGINT))")
+            .as("x6"))
+          .withColumn("half", pmod(col("vec_id"), lit(2)).cast("long"))
+        val dims = e.select(col("label"), col("half"),
+            posexplode(col("x6")).as(Seq("d0", "x")))
+          .groupBy("label", "half", "d0")
+          .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        val a = dims.where(col("half") === 0)
+          .select(col("label"), col("d0"), col("s").as("s0"), col("n").as("n0"))
+        val b = dims.where(col("half") === 1)
+          .select(col("label"), col("d0"), col("s").as("s1"), col("n").as("n1"))
+        a.join(b, Seq("label", "d0"))
+          .withColumn("term", expr(
+            """CAST(round((CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1) *
+              |(CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1), 6) AS DECIMAL(38,6))"""
+              .stripMargin.replace("\n", " ")))
+          .groupBy("label")
+          .agg(first("n0").cast("long").as("n_even"),
+            first("n1").cast("long").as("n_odd"),
+            round(sqrt(sum("term").cast("double")) / lit(1000000.0), 9)
+              .as("centroid_shift"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, vec_id % 2 AS half,
+             |    list_transform(CAST(embedding AS DOUBLE[]),
+             |      x -> CAST(round(x * 1000000.0, 0) AS BIGINT)) AS x6 FROM embeddings),
+             |dims AS (SELECT label, half, i - 1 AS d0, CAST(sum(x6[i]) AS BIGINT) AS s,
+             |    count(*) AS n
+             |  FROM e, (SELECT unnest(range(1, 65)) AS i) t GROUP BY 1, 2, 3),
+             |a AS (SELECT label, d0, s AS s0, n AS n0 FROM dims WHERE half = 0),
+             |b AS (SELECT label, d0, s AS s1, n AS n1 FROM dims WHERE half = 1),
+             |j AS (SELECT a.label, a.d0, s0, n0, s1, n1,
+             |    CAST(round((CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1) *
+             |      (CAST(s0 AS DOUBLE) / n0 - CAST(s1 AS DOUBLE) / n1), 6) AS DECIMAL(38,6)) AS term
+             |  FROM a JOIN b ON a.label = b.label AND a.d0 = b.d0)
+             |SELECT label, CAST(any_value(n0) AS BIGINT) AS n_even,
+             |  CAST(any_value(n1) AS BIGINT) AS n_odd,
+             |  round(sqrt(CAST(sum(term) AS DOUBLE)) / 1000000.0, 9) AS centroid_shift
+             |FROM j GROUP BY label ORDER BY label""".stripMargin)
+    ),
+
+    // Gini coefficient of per-user activity: how concentrated the event
+    // volume is across users — the inequality number behind "1% of users
+    // produce 60% of traffic" and the input to skew-aware capacity
+    // planning. All-integer: G·10000 = (2·Σ(i·xᵢ) − (n+1)·Σx)·10000 div
+    // (n·Σx) over the ascending-sorted per-user counts (PK tiebreak). The
+    // rank window runs over the per-user ROLLUP (the reduced-frame
+    // rationale of customer_rfm_segments).
+    QueryDef(
+      "stats_gini_activity",
+      (s, d) => {
+        val per = T.events(s, d).groupBy("user_id").agg(count(lit(1)).as("x"))
+        val w = Window.orderBy(col("x"), col("user_id"))
+        per.withColumn("i", row_number().over(w).cast("long"))
+          .agg(count(lit(1)).as("n_users"),
+            sum("x").as("total_events"),
+            sum(col("i") * col("x")).as("s_ix"))
+          .select(col("n_users").cast("long").as("n_users"),
+            col("total_events").cast("long").as("total_events"),
+            expr("((2 * s_ix - (n_users + 1) * total_events) * 10000) div (n_users * total_events)")
+              .as("gini_bp"))
+      },
+      Some("""WITH per AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+             |r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM per),
+             |m AS (SELECT count(*) AS n_users, CAST(sum(x) AS BIGINT) AS total_events,
+             |    CAST(sum(i * x) AS BIGINT) AS s_ix FROM r)
+             |SELECT n_users, total_events,
+             |  ((2 * s_ix - (n_users + 1) * total_events) * 10000) // (n_users * total_events)
+             |    AS gini_bp
+             |FROM m""".stripMargin)
+    ),
+
+    // Week-over-week volume change per event type in integer basis points
+    // — the KPI delta every ops review reads. One rollup shuffle; the lag
+    // window runs over the |types|·|weeks| aggregate.
+    QueryDef(
+      "events_wow_change",
+      (s, d) => {
+        val weekly = T.events(s, d)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 604800000000L").as("wk"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("wk")
+        weekly
+          .withColumn("prev", lag("n", 1).over(w))
+          .where(col("prev").isNotNull)
+          .select(col("event_type"), col("wk"), col("n"), col("prev"),
+            expr("((n - prev) * 10000) div prev").as("wow_bp"))
+          .orderBy("event_type", "wk")
+      },
+      Some("""WITH weekly AS (SELECT event_type, epoch_us(ts) // 604800000000 AS wk,
+             |    count(*) AS n FROM events GROUP BY 1, 2),
+             |l AS (SELECT event_type, wk, n,
+             |    lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev FROM weekly)
+             |SELECT event_type, wk, n, prev, ((n - prev) * 10000) // prev AS wow_bp
+             |FROM l WHERE prev IS NOT NULL ORDER BY event_type, wk""".stripMargin)
     )
   )
 }
