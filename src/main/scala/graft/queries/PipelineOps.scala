@@ -584,7 +584,7 @@ object PipelineOps {
           .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
         val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
         val spine = ud.select("day").distinct()
-        val mau = spine.as("sp").join(ud.as("a"),
+        val mau = broadcast(spine.as("sp")).join(ud.as("a"),
             datediff(col("sp.day"), col("a.day")).between(0, 27))
           .groupBy(col("sp.day").as("day"))
           .agg(countDistinct(col("a.user_id")).as("mau"))
@@ -1003,6 +1003,129 @@ object PipelineOps {
              |    lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev FROM weekly)
              |SELECT event_type, wk, n, prev, ((n - prev) * 10000) // prev AS wow_bp
              |FROM l WHERE prev IS NOT NULL ORDER BY event_type, wk""".stripMargin)
+    ),
+
+    // A/B-test readout: users split by id parity (the deterministic stand-
+    // in for assignment), conversion = a purchase within 24h of the user's
+    // first activity (an activation metric with real variance); reports per-variant
+    // conversion in integer bp, the lift, and the two-proportion z-score
+    // (pooled), computed as a parenthesis-pinned chain of IEEE ops on
+    // exact integer counts — the experimentation primitive every growth
+    // pipeline ships. Two shuffles: per-user conversion rollup, variant
+    // rollup.
+    QueryDef(
+      "events_abtest_lift",
+      (s, d) => {
+        val ev = T.events(s, d)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        val first = ev.groupBy("user_id").agg(min("us").as("t0"))
+        val conv = ev.join(first, "user_id")
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase" &&
+            col("us") <= col("t0") + 86400000000L, 1L).otherwise(0L)).as("converted"))
+          .withColumn("variant", pmod(col("user_id"), lit(2)).cast("long"))
+        val v = conv.groupBy("variant")
+          .agg(count(lit(1)).as("n"), sum("converted").as("c"))
+        val a = v.where(col("variant") === 0).select(col("n").as("n0"), col("c").as("c0"))
+        val b = v.where(col("variant") === 1).select(col("n").as("n1"), col("c").as("c1"))
+        a.crossJoin(broadcast(b))
+          .select(col("n0"), col("c0"), col("n1"), col("c1"),
+            expr("(c0 * 10000) div n0").as("conv0_bp"),
+            expr("(c1 * 10000) div n1").as("conv1_bp"),
+            expr("((c1 * n0 - c0 * n1) * 10000) div (c0 * n1)").as("lift_bp"),
+            expr("""round((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)) /
+                   |sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) *
+                   |(1.0D - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) *
+                   |(1.0D / CAST(n0 AS DOUBLE) + 1.0D / CAST(n1 AS DOUBLE))), 9)"""
+              .stripMargin.replace("\n", " ").replace("|", "")).as("z_score"))
+      },
+      Some("""WITH f AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events GROUP BY 1),
+             |conv AS (SELECT f.user_id,
+             |    max(CASE WHEN e.event_type = 'purchase'
+             |      AND epoch_us(e.ts) <= f.t0 + 86400000000 THEN 1 ELSE 0 END) AS converted
+             |  FROM f JOIN events e ON f.user_id = e.user_id GROUP BY 1),
+             |v AS (SELECT user_id % 2 AS variant, count(*) AS n,
+             |    CAST(sum(converted) AS BIGINT) AS c FROM conv GROUP BY 1),
+             |a AS (SELECT n AS n0, c AS c0 FROM v WHERE variant = 0),
+             |b AS (SELECT n AS n1, c AS c1 FROM v WHERE variant = 1)
+             |SELECT n0, c0, n1, c1,
+             |  (c0 * 10000) // n0 AS conv0_bp, (c1 * 10000) // n1 AS conv1_bp,
+             |  ((c1 * n0 - c0 * n1) * 10000) // (c0 * n1) AS lift_bp,
+             |  round((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)) /
+             |  sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) *
+             |  (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) *
+             |  (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 9) AS z_score
+             |FROM a, b""".stripMargin)
+    ),
+
+    // Jensen–Shannon divergence of each source's token distribution from
+    // the corpus — the bounded, symmetric mixture-quality number beside
+    // entropy (how far each source sits from the blend it feeds). Each
+    // side's Σ p·ln(p/m) uses the house round(ln, 9) DECIMAL-weighted
+    // pattern; probabilities are exact count ratios. Scale: (source, tok)
+    // and (tok) counts — two shuffles — then a token-keyed join; the
+    // per-source totals broadcast.
+    QueryDef(
+      "text_js_divergence",
+      (s, d) => {
+        val toks = T(s, d, "documents")
+          .select(col("source"), explode(expr(
+            "filter(split(text, ' +'), x -> x != '')")).as("tok"))
+        val st = toks.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+        val gt = st.groupBy("tok").agg(sum("cs").as("cg"))
+        val sn = st.groupBy("source").agg(sum("cs").as("ns"))
+        val n = toks.agg(count(lit(1)).as("ng"))
+        // p = cs/ns (source), q = cg/ng (corpus), m = (p+q)/2.
+        // KL(p‖m) term: cs-weighted ln(p/m); KL(q‖m) term restricted to
+        // the source's support plus the corpus remainder handled exactly:
+        // tokens absent from the source contribute q·ln(q/(q/2)) = q·ln 2.
+        val joined = st
+          .join(gt, "tok")
+          .join(broadcast(sn), "source")
+          .crossJoin(broadcast(n))
+          .withColumn("p", expr("CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE)"))
+          .withColumn("q", expr("CAST(cg AS DOUBLE) / CAST(ng AS DOUBLE)"))
+          .withColumn("m", expr("(p + q) / 2.0D"))
+          .withColumn("tp", expr(
+            "CAST(round(ln(p / m), 9) AS DECIMAL(18,9)) * cs"))
+          .withColumn("tq_sup", expr(
+            "CAST(round(ln(q / m), 9) AS DECIMAL(18,9)) * cg"))
+          .groupBy("source")
+          .agg(first("ns").as("ns"), first("ng").as("ng"),
+            sum("tp").as("sum_tp"),
+            sum("tq_sup").as("sum_tq_sup"),
+            sum("cg").as("cg_sup"))
+        joined
+          .select(col("source"), col("ns").cast("long").as("n_toks"),
+            expr("""round((CAST(sum_tp AS DOUBLE) / CAST(ns AS DOUBLE) +
+                   |(CAST(sum_tq_sup AS DOUBLE) + CAST(ng - cg_sup AS DOUBLE) *
+                   |CAST(round(ln(2.0D), 9) AS DOUBLE)) / CAST(ng AS DOUBLE)) / 2.0D, 6)"""
+              .stripMargin.replace("\n", " ").replace("|", "")).as("jsd_nats"))
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (SELECT source, unnest(list_filter(string_split_regex(text, ' +'),
+             |    x -> x <> '')) AS tok FROM documents),
+             |st AS (SELECT source, tok, count(*) AS cs FROM toks GROUP BY 1, 2),
+             |gt AS (SELECT tok, CAST(sum(cs) AS BIGINT) AS cg FROM st GROUP BY 1),
+             |sn AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM st GROUP BY 1),
+             |n AS (SELECT count(*) AS ng FROM toks),
+             |j AS (SELECT st.source, st.cs, gt.cg, sn.ns, n.ng,
+             |    CAST(st.cs AS DOUBLE) / CAST(sn.ns AS DOUBLE) AS p,
+             |    CAST(gt.cg AS DOUBLE) / CAST(n.ng AS DOUBLE) AS q
+             |  FROM st JOIN gt ON st.tok = gt.tok JOIN sn ON st.source = sn.source CROSS JOIN n),
+             |t AS (SELECT source, cs, cg, ns, ng,
+             |    CAST(round(ln(p / ((p + q) / 2.0)), 9) AS DECIMAL(18,9)) * cs AS tp,
+             |    CAST(round(ln(q / ((p + q) / 2.0)), 9) AS DECIMAL(18,9)) * cg AS tq_sup
+             |  FROM j),
+             |g AS (SELECT source, any_value(ns) AS ns, any_value(ng) AS ng,
+             |    sum(tp) AS sum_tp, sum(tq_sup) AS sum_tq_sup,
+             |    CAST(sum(cg) AS BIGINT) AS cg_sup
+             |  FROM t GROUP BY 1)
+             |SELECT source, CAST(ns AS BIGINT) AS n_toks,
+             |  round((CAST(sum_tp AS DOUBLE) / CAST(ns AS DOUBLE) +
+             |  (CAST(sum_tq_sup AS DOUBLE) + CAST(ng - cg_sup AS DOUBLE) *
+             |  CAST(round(ln(2.0), 9) AS DOUBLE)) / CAST(ng AS DOUBLE)) / 2.0, 6) AS jsd_nats
+             |FROM g ORDER BY source""".stripMargin)
     )
   )
 }

@@ -93,6 +93,40 @@ object TextOps {
              |FROM t ORDER BY doc_id""".stripMargin)
     ),
 
+    // Lang-ID QUALITY eval against the ground-truth lang column: the
+    // confusion matrix of the marker heuristic plus per-true-language
+    // recall in integer basis points — the honesty report (zh/de carry no
+    // markers, so their systematic misrouting is visible, not hidden).
+    // Same eval pattern as dedup_lsh_recall_eval / sim_ann_recall_eval.
+    QueryDef(
+      "text_lang_id_eval",
+      (s, d) => {
+        val pred = qs.find(_.name == "text_lang_id").get.fn(s, d)
+        val totals = pred.groupBy("lang").agg(count(lit(1)).as("lang_total"))
+        pred.groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
+          .join(broadcast(totals), "lang")
+          .select(col("lang"), col("lang_guess"), col("n"),
+            expr("(n * 10000) div lang_total").as("share_bp"),
+            when(col("lang") === col("lang_guess"), 1L).otherwise(0L).as("is_correct"))
+          .orderBy("lang", "lang_guess")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |  len(list_filter(string_split_regex(text, ' +'), t -> t IN ('the','and','of'))) AS en_hits,
+             |  len(list_filter(string_split_regex(text, ' +'), t -> t IN ('el','la','de'))) AS es_hits,
+             |  len(list_filter(string_split_regex(text, ' +'), t -> t IN ('le','la','et'))) AS fr_hits
+             |  FROM documents),
+             |p AS (SELECT doc_id, lang,
+             |  CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+             |       WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS lang_guess
+             |  FROM t),
+             |tot AS (SELECT lang, count(*) AS lang_total FROM p GROUP BY 1)
+             |SELECT p.lang, p.lang_guess, count(*) AS n,
+             |  (count(*) * 10000) // any_value(tot.lang_total) AS share_bp,
+             |  CAST(CASE WHEN p.lang = p.lang_guess THEN 1 ELSE 0 END AS BIGINT) AS is_correct
+             |FROM p JOIN tot ON p.lang = tot.lang
+             |GROUP BY p.lang, p.lang_guess ORDER BY p.lang, p.lang_guess""".stripMargin)
+    ),
+
     // Document fingerprinting: md5 content hash (identical hex in both engines).
     QueryDef(
       "text_fingerprint",
