@@ -1126,6 +1126,56 @@ object PipelineOps {
              |  (CAST(sum_tq_sup AS DOUBLE) + CAST(ng - cg_sup AS DOUBLE) *
              |  CAST(round(ln(2.0), 9) AS DOUBLE)) / CAST(ng AS DOUBLE)) / 2.0, 6) AS jsd_nats
              |FROM g ORDER BY source""".stripMargin)
+    ),
+
+    // CUSUM changepoint detection over the hourly series per type: the
+    // cumulative sum of deviations from the first-week baseline rate,
+    // ALL-INTEGER (deviation scaled by 168 so the baseline mean never
+    // becomes a float): S_t = Σ(168·n_h − B) over hours ≤ t, where B is
+    // the first week's total. The hour with max |S_t| (earliest tie) is
+    // the reported changepoint — the standard drift monitor a curation
+    // pipeline runs before trusting a new snapshot. Windows run over the
+    // hourly aggregate only.
+    QueryDef(
+      "stats_cusum_changepoint",
+      (s, d) => {
+        val hourly = T.events(s, d)
+          .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000L").as("eh"))
+          .agg(count(lit(1)).as("n"))
+        val base = hourly
+          .withColumn("h0", min("eh").over(Window.partitionBy("event_type")))
+          .where(col("eh") < col("h0") + 168L)
+          .groupBy("event_type").agg(sum("n").as("b"))
+        val w = Window.partitionBy("event_type").orderBy("eh")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cusum = hourly.join(broadcast(base), "event_type")
+          .withColumn("s", sum(col("n") * 168L - col("b")).over(w))
+        val wr = Window.partitionBy("event_type")
+          .orderBy(abs(col("s")).desc, col("eh"))
+        cusum
+          .withColumn("rnk", row_number().over(wr))
+          .where(col("rnk") === 1)
+          .select(col("event_type"), col("eh").as("changepoint_eh"),
+            col("s").as("cusum_scaled"),
+            when(col("s") > 0, "up").when(col("s") < 0, "down")
+              .otherwise("flat").as("direction"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hourly AS (SELECT event_type, epoch_us(ts) // 3600000000 AS eh,
+             |    count(*) AS n FROM events GROUP BY 1, 2),
+             |h0 AS (SELECT event_type, min(eh) AS h0 FROM hourly GROUP BY 1),
+             |base AS (SELECT hourly.event_type, CAST(sum(n) AS BIGINT) AS b
+             |  FROM hourly JOIN h0 ON hourly.event_type = h0.event_type
+             |  WHERE eh < h0 + 168 GROUP BY 1),
+             |cs AS (SELECT hourly.event_type, eh,
+             |    CAST(sum(n * 168 - b) OVER (PARTITION BY hourly.event_type ORDER BY eh
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+             |  FROM hourly JOIN base ON hourly.event_type = base.event_type),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             |      ORDER BY abs(s) DESC, eh) AS rnk FROM cs)
+             |SELECT event_type, eh AS changepoint_eh, s AS cusum_scaled,
+             |  CASE WHEN s > 0 THEN 'up' WHEN s < 0 THEN 'down' ELSE 'flat' END AS direction
+             |FROM r WHERE rnk = 1 ORDER BY event_type""".stripMargin)
     )
   )
 }

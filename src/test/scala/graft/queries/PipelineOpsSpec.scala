@@ -101,6 +101,50 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("abtest: variants partition the users; z sign matches the lift sign") {
+    val r = q("events_abtest_lift").head()
+    val users = graft.queries.T.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("n0") + r.getAs[Long]("n1") == users)
+    val z = r.getAs[Double]("z_score"); val lift = r.getAs[Long]("lift_bp")
+    assert(z.sign == lift.toDouble.sign || lift == 0L)
+  }
+
+  test("jsd: bounded by [0, ln 2] for every source") {
+    val bad = q("text_js_divergence")
+      .where(col("jsd_nats") < 0.0 || col("jsd_nats") > math.log(2.0) + 1e-6)
+      .count()
+    assert(bad == 0, "JSD outside [0, ln 2]")
+  }
+
+  test("gini: in [0, 10000) basis points") {
+    val g = q("stats_gini_activity").head().getAs[Long]("gini_bp")
+    assert(g >= 0L && g < 10000L, s"gini_bp $g out of range")
+  }
+
+  test("drift report: halves partition the corpus per label") {
+    val df = q("embedding_drift_report").cache()
+    val total = df.agg(sum(col("n_even") + col("n_odd"))).head().getLong(0)
+    assert(total == T(spark, dir, "embeddings").count())
+    assert(df.where(col("centroid_shift") < 0.0).count() == 0)
+    df.unpersist()
+  }
+
+  test("cusum: changepoint hour exists in the series; direction matches sign") {
+    val df = q("stats_cusum_changepoint").cache()
+    assert(df.count() == 5)
+    val bad = df.where(
+      (col("cusum_scaled") > 0 && col("direction") =!= "up") ||
+      (col("cusum_scaled") < 0 && col("direction") =!= "down")).count()
+    assert(bad == 0)
+    df.unpersist()
+  }
+
+  test("lateness audit: bucket counts conserve the event count") {
+    val n = q("events_lateness_audit").agg(sum("n")).head().getLong(0)
+    assert(n == graft.queries.T.events(spark, dir).count())
+  }
+
   test("trigrams: counts conserve against the raw sequence length") {
     val df = q("events_sequence_trigrams")
     assert(df.count() <= 10)
