@@ -849,6 +849,98 @@ object SimilarityQ {
              |  CAST(count(*) * 10 AS BIGINT) AS recall_pct
              |FROM btop b JOIN itop i ON b.qid = i.qid AND b.nid = i.nid
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // The recall-vs-nprobe CURVE in one pass: the md5-pinned IVF evaluated
+    // at nprobe ∈ {1, 2, 4} simultaneously (the probe table fans out by a
+    // 3-row literal and filters ark <= np), per-query recall@10 against
+    // brute-force ground truth — the tradeoff sheet an ANN operator reads
+    // before picking the knob. Candidates stay (cluster)-bucketed; the
+    // sweep multiplies only the probe side, never the corpus.
+    QueryDef(
+      "sim_ann_probe_sweep",
+      (s, d) => {
+        import s.implicits._
+        val e = T(s, d, "embeddings").select(col("vec_id"),
+          expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> round(x, 6))").as("ve"))
+        val seeds = e
+          .withColumn("h", md5(col("vec_id").cast("string")))
+          .orderBy("h", "vec_id").limit(8)
+          .select("ve").as[Seq[Double]].collect()
+          .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toSeq.toDF("cand", "cv")
+        val d2 = expr(
+          """aggregate(zip_with(ve, cv,
+            |  (x, y) -> CAST(round((x - y) * (x - y), 12) AS DECIMAL(28,12))),
+            |  CAST(0 AS DECIMAL(38,12)), (a, t) -> CAST(a + t AS DECIMAL(38,12)))""".stripMargin)
+        val assigned = e.crossJoin(broadcast(seeds))
+          .withColumn("d2", d2)
+          .withColumn("ark", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("d2"), col("cand"))))
+        val corpus = assigned.where(col("ark") === 1)
+          .select(col("vec_id").as("nid"), col("cand").as("cluster"), col("ve").as("nv"))
+        val sweep = assigned.where(col("vec_id") < 5 && col("ark") <= 4)
+          .select(col("vec_id").as("qid"), col("cand").as("cluster"),
+            col("ark"), col("ve").as("qv"))
+          .withColumn("np", explode(array(lit(1L), lit(2L), lit(4L))))
+          .where(col("ark") <= col("np"))
+        graft.engine.Expressions.register(s)
+        val w = Window.partitionBy("np", "qid").orderBy(col("score").desc, col("nid"))
+        val top = sweep.join(corpus, "cluster")
+          .withColumn("score", round(expr("vec_cosine_native(qv, nv)"), 6))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 10)
+          .select("np", "qid", "nid")
+        val brute = qs.find(_.name == "sim_cosine_topk_bruteforce").get.fn(s, d)
+          .select(col("qid"), col("nid"))
+        top.join(brute, Seq("qid", "nid"), "left_semi")
+          .groupBy("np", "qid")
+          .agg(count(lit(1)).cast("long").as("hits"))
+          .withColumn("recall_pct", (col("hits") * 10L).cast("long"))
+          .orderBy("np", "qid")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id,
+             |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS ve
+             |  FROM embeddings),
+             |sd AS (
+             |  SELECT CAST(rk - 1 AS BIGINT) AS cand, ve AS cv FROM (
+             |    SELECT ve, row_number() OVER (
+             |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk FROM e)
+             |  WHERE rk <= 8),
+             |asg AS (
+             |  SELECT e.vec_id, s.cand, e.ve,
+             |    list_sum(list_transform(range(1, len(e.ve) + 1),
+             |      i -> CAST(round((e.ve[i] - s.cv[i]) * (e.ve[i] - s.cv[i]), 12)
+             |           AS DECIMAL(28,12)))) AS d2
+             |  FROM e CROSS JOIN sd s),
+             |rk AS (
+             |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS ark
+             |  FROM asg),
+             |corpus AS (SELECT vec_id AS nid, cand AS cluster, ve AS nv FROM rk WHERE ark = 1),
+             |nps AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (2), (4)) t(np)),
+             |sweep AS (SELECT np, vec_id AS qid, cand AS cluster, ve AS qv
+             |  FROM rk CROSS JOIN nps WHERE vec_id < 5 AND ark <= np),
+             |sc AS (SELECT w.np, w.qid, c.nid,
+             |    round(list_dot_product(w.qv, c.nv) /
+             |      (sqrt(list_dot_product(w.qv, w.qv)) * sqrt(list_dot_product(c.nv, c.nv))), 6) AS score
+             |  FROM sweep w JOIN corpus c USING (cluster)),
+             |r AS (SELECT np, qid, nid,
+             |    row_number() OVER (PARTITION BY np, qid ORDER BY score DESC, nid) AS rn FROM sc),
+             |stop AS (SELECT np, qid, nid FROM r WHERE rn <= 10),
+             |be AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bve FROM embeddings),
+             |bq AS (SELECT vec_id AS qid, bve AS bqe FROM be WHERE vec_id < 5),
+             |bsc AS (SELECT q.qid, e2.vec_id AS nid,
+             |    round(list_dot_product(e2.bve, q.bqe) /
+             |      (sqrt(list_dot_product(e2.bve, e2.bve)) * sqrt(list_dot_product(q.bqe, q.bqe))), 6) AS score
+             |  FROM be e2 CROSS JOIN bq q),
+             |br AS (SELECT qid, nid,
+             |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn FROM bsc),
+             |btop AS (SELECT qid, nid FROM br WHERE rn <= 10)
+             |SELECT s.np AS np, s.qid AS qid, CAST(count(*) AS BIGINT) AS hits,
+             |  CAST(count(*) * 10 AS BIGINT) AS recall_pct
+             |FROM stop s JOIN btop b ON s.qid = b.qid AND s.nid = b.nid
+             |GROUP BY 1, 2 ORDER BY np, qid""".stripMargin)
     )
   )
 }
