@@ -492,6 +492,43 @@ object EventOps {
               |SELECT event_type, eh, n,
               |  ls[(len(ls) + 1) // 2] + ls[len(ls) // 2 + 1] AS med2
               |FROM r ORDER BY event_type, eh""".stripMargin)
+    ),
+
+    // Session-shape report off the sessionize output: sessions bucketed by
+    // length, with exact duration sums — the distribution a product team
+    // reads and the one a streaming-state capacity plan needs (how much
+    // state does a typical key hold?). Reuses the registered sessionize
+    // query; everything downstream is a rollup over the SESSION table
+    // (orders of magnitude below events).
+    QueryDef(
+      "events_session_stats",
+      (s, d) => {
+        val sess = qs.find(_.name == "events_sessionize").get.fn(s, d)
+        sess
+          .withColumn("len_bucket",
+            when(col("n_events") === 1, "a_1")
+              .when(col("n_events") <= 4, "b_2_4")
+              .when(col("n_events") <= 9, "c_5_9")
+              .otherwise("d_10_plus"))
+          .withColumn("dur_us", col("end_us") - col("start_us"))
+          .groupBy("len_bucket")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum("n_events").as("n_events_total"),
+            sum("dur_us").as("dur_us_total"),
+            max("dur_us").as("dur_us_max"))
+          .orderBy("len_bucket")
+      },
+      Some(s"""WITH sess AS (SELECT * FROM (${SessionizeOracle})),
+              |b AS (SELECT CASE WHEN n_events = 1 THEN 'a_1'
+              |    WHEN n_events <= 4 THEN 'b_2_4'
+              |    WHEN n_events <= 9 THEN 'c_5_9'
+              |    ELSE 'd_10_plus' END AS len_bucket,
+              |    n_events, end_us - start_us AS dur_us FROM sess)
+              |SELECT len_bucket, count(*) AS n_sessions,
+              |  CAST(sum(n_events) AS BIGINT) AS n_events_total,
+              |  CAST(sum(dur_us) AS BIGINT) AS dur_us_total,
+              |  CAST(max(dur_us) AS BIGINT) AS dur_us_max
+              |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -240,6 +240,55 @@ object LayoutOps {
              |SELECT part_key, n_rows, est_bytes,
              |  (cum_before * 8) // total AS file_id
              |FROM c ORDER BY part_key""".stripMargin)
+    ),
+
+    // Clustering-depth metric: model each orderkey-range "file" (1000 keys
+    // per file — the ingest order) by its o_totalprice min/max zone map,
+    // then measure how many files' ranges overlap at the worst point via
+    // the +1/−1 endpoint sweep. Depth ≈ 1 means a point predicate on the
+    // column prunes to one file; depth ≈ n_files means the column is
+    // unclustered and a sort/z-order rewrite pays off — this is the number
+    // a table-maintenance service uses to SCHEDULE layout_zorder/compaction
+    // work. One aggregate to zone maps (n_files rows), sweep over 2·n_files
+    // endpoints.
+    QueryDef(
+      "layout_clustering_depth",
+      (s, d) => {
+        val zones = T(s, d, "orders")
+          .groupBy(expr("o_orderkey div 1000L").as("f"))
+          .agg(min(expr("CAST(round(o_totalprice * 100.0D, 0) AS BIGINT)")).as("lo"),
+            max(expr("CAST(round(o_totalprice * 100.0D, 0) AS BIGINT)")).as("hi"))
+        val pts = zones.select(col("lo").as("t"), lit(1L).as("delta"))
+          .unionAll(zones.select(col("hi").as("t"), lit(-1L).as("delta")))
+        val w = Window.orderBy(col("t"), col("delta").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sweep = pts.withColumn("running", sum("delta").over(w))
+        val peak = sweep.agg(max("running").as("max_depth"))
+        val nf = zones.agg(count(lit(1)).as("n_files"))
+        sweep.crossJoin(broadcast(peak))
+          .where(col("running") === col("max_depth"))
+          .agg(min("t").as("worst_point_cents"))
+          .crossJoin(broadcast(peak))
+          .crossJoin(broadcast(nf))
+          .select(col("n_files").cast("long").as("n_files"),
+            col("max_depth").cast("long").as("max_depth"),
+            col("worst_point_cents"))
+      },
+      Some("""WITH zones AS (SELECT o_orderkey // 1000 AS f,
+             |    min(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS lo,
+             |    max(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS hi
+             |  FROM orders GROUP BY 1),
+             |pts AS (SELECT lo AS t, CAST(1 AS BIGINT) AS delta FROM zones
+             |  UNION ALL SELECT hi AS t, CAST(-1 AS BIGINT) AS delta FROM zones),
+             |sweep AS (SELECT t, delta, CAST(sum(delta) OVER (ORDER BY t, delta DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+             |  FROM pts),
+             |pk AS (SELECT max(running) AS max_depth FROM sweep),
+             |nf AS (SELECT count(*) AS n_files FROM zones)
+             |SELECT CAST(nf.n_files AS BIGINT) AS n_files,
+             |  CAST(pk.max_depth AS BIGINT) AS max_depth,
+             |  (SELECT min(t) FROM sweep, pk WHERE running = pk.max_depth) AS worst_point_cents
+             |FROM nf, pk""".stripMargin)
     )
   )
 }
