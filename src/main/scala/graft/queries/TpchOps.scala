@@ -128,6 +128,42 @@ object TpchOps {
               |  AND l_returnflag = 'R'
               |GROUP BY 1, 2, 3
               |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin)
+    ),
+
+    // Dynamic partition pruning: the fact table is staged PARTITIONED BY
+    // priority, the dim side carries a non-partition predicate (urgent-ish
+    // priorities by name), and the join key is the partition column — so
+    // the partitions to read are only known at RUNTIME, from the dim
+    // scan's result. Spark plans a DPP subquery that prunes the fact scan
+    // to 2 of 5 directories (PlanShapeSpec pins `dynamicpruning` in the
+    // plan); at 100 TB this is the difference between scanning the whole
+    // table and scanning the two partitions the dim actually selects. The
+    // oracle recomputes from the source table.
+    QueryDef(
+      "j13_dpp_partitioned_join",
+      (s, d) => {
+        val dirOut = java.nio.file.Files.createTempDirectory("graft_dpp")
+        dirOut.toFile.deleteOnExit()
+        T(s, d, "orders")
+          .withColumn("cents", expr("CAST(round(o_totalprice * 100.0D, 0) AS BIGINT)"))
+          .select("o_orderkey", "cents", "o_orderpriority")
+          .write.mode("overwrite").partitionBy("o_orderpriority")
+          .parquet(dirOut.toString)
+        val fact = s.read.parquet(dirOut.toString)
+        val dim = T(s, d, "orders")
+          .select("o_orderpriority").distinct()
+          .where(col("o_orderpriority").startsWith("1") ||
+            col("o_orderpriority").startsWith("2"))
+        fact.join(broadcast(dim), "o_orderpriority")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM orders
+             |WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -60,6 +60,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p.take(4000))
   }
 
+  test("dpp join plans a dynamic partition-pruning subquery on the fact scan") {
+    val p = planOf("j13_dpp_partitioned_join")
+    assert(p.contains("dynamicpruning") ||
+      p.contains("SubqueryBroadcast") || p.contains("DynamicPruning"),
+      p.take(4000))
+  }
+
   test("repetition filter aggregates map-side before the (doc, gram) shuffle") {
     val p = planOf("text_repetition_filter")
     // partial + final HashAggregate pairs for both n-gram orders
