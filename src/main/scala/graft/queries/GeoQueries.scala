@@ -617,6 +617,60 @@ object GeoQueries {
       Some("""SELECT c_custkey AS geo_id, c_name AS name, c_acctbal AS balance,
              |  ((c_custkey * 13 + 49) % 35000) / 100.0 - 175 + 0.005 AS lon,
              |  ((c_custkey * 31 + 51) % 14000) / 100.0 - 70 + 0.005 AS lat
-             |FROM customer ORDER BY geo_id""".stripMargin))
+             |FROM customer ORDER BY geo_id""".stripMargin)),
+
+    // Radius-bounded spatial kNN join: for a deterministic query sample,
+    // the 5 nearest OTHER points within 0.5° (planar degrees — the same
+    // planar-measure family as F8/F9). The candidate join buckets the
+    // corpus on a 0.5° grid and expands each query to its 3×3 cell
+    // neighborhood — PROVABLY complete for the radius (any point within
+    // 0.5° lies in an adjacent cell), so the distributed grid join returns
+    // exactly the brute-force answer the oracle computes. Scale shape: the
+    // corpus shuffles once on the cell key; candidates are bounded by
+    // local density, never |corpus|·|queries|.
+    QueryDef(
+      "geo_knn_radius_join",
+      (s, d) => {
+        val pts = pointsDf(s, d)
+          .select(col("point_id"), col("latitude").as("lat"), col("longitude").as("lon"))
+        val withCell = pts
+          .withColumn("cx", expr("CAST(floor(lon * 2.0D) AS BIGINT)"))
+          .withColumn("cy", expr("CAST(floor(lat * 2.0D) AS BIGINT)"))
+        val queries = withCell.where(expr("point_id % 500 = 0"))
+          .select(col("point_id").as("qid"), col("lat").as("qlat"),
+            col("lon").as("qlon"), col("cx"), col("cy"))
+          .withColumn("dxy", explode(expr(
+            "flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> named_struct('dx', dx, 'dy', dy))))")))
+          .select(col("qid"), col("qlat"), col("qlon"),
+            (col("cx") + col("dxy.dx")).as("cx"), (col("cy") + col("dxy.dy")).as("cy"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("d2"), col("nid"))
+        withCell.join(queries, Seq("cx", "cy"))
+          .where(col("point_id") =!= col("qid"))
+          .withColumnRenamed("point_id", "nid")
+          .withColumn("d2", expr(
+            "((lon - qlon) * (lon - qlon)) + ((lat - qlat) * (lat - qlat))"))
+          .where(col("d2") <= 0.25)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= 5)
+          .select(col("qid"), col("nid"), round(col("d2"), 9).as("d2"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH pts AS (SELECT o_orderkey AS point_id,
+             |    ((o_orderkey * 31 + o_custkey * 17) % 14000) / 100.0 - 70 + 0.005 AS lat,
+             |    ((o_orderkey * 13 + o_custkey * 7) % 35000) / 100.0 - 175 + 0.005 AS lon
+             |  FROM orders),
+             |q AS (SELECT point_id AS qid, lat AS qlat, lon AS qlon FROM pts
+             |  WHERE point_id % 500 = 0),
+             |sc AS (SELECT q.qid, p.point_id AS nid,
+             |    ((p.lon - q.qlon) * (p.lon - q.qlon)) + ((p.lat - q.qlat) * (p.lat - q.qlat)) AS d2
+             |  FROM pts p CROSS JOIN q WHERE p.point_id <> q.qid),
+             |f AS (SELECT * FROM sc WHERE d2 <= 0.25),
+             |r AS (SELECT qid, nid, d2,
+             |    CAST(row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS BIGINT) AS rn
+             |  FROM f)
+             |SELECT qid, nid, round(d2, 9) AS d2, rn FROM r WHERE rn <= 5
+             |ORDER BY qid, rn""".stripMargin)
+    )
   )
 }
