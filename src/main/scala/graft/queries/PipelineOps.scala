@@ -1176,6 +1176,67 @@ object PipelineOps {
              |SELECT event_type, eh AS changepoint_eh, s AS cusum_scaled,
              |  CASE WHEN s > 0 THEN 'up' WHEN s < 0 THEN 'down' ELSE 'flat' END AS direction
              |FROM r WHERE rnk = 1 ORDER BY event_type""".stripMargin)
+    ),
+
+    // Perceptual hash (aHash) of the PNG fixtures THROUGH THE REAL CODEC:
+    // Spark encodes each image (zlib deflate, paeth filters), decodes it
+    // back, nearest-neighbor-resizes to 8×8, grays, and sets a bit per
+    // above-mean pixel — while the oracle recomputes the identical hash
+    // from the closed-form pixel function in pure integer SQL. A hash
+    // match therefore proves the ENTIRE encode→inflate→unfilter→resize
+    // pipeline bit-exact, not just the metadata path. The hash is split
+    // hi/lo 32-bit halves so no sign bit is ever set. Pure map stage.
+    QueryDef(
+      "multimodal_phash",
+      (s, d) => {
+        val f = udf((id: Long) => {
+          val png = graft.operators.PngCodec.encode(id)
+          val (w, h, rgb) = graft.operators.PngCodec.decode(png)
+          val small = graft.operators.PngCodec.resizeNearest(rgb, w, h, 8, 8)
+          val gray = Array.tabulate(64)(k =>
+            ((small(k * 3) & 0xff) + (small(k * 3 + 1) & 0xff) +
+              (small(k * 3 + 2) & 0xff)) / 3)
+          val mean = gray.sum / 64
+          var hi = 0L; var lo = 0L; var n = 0L
+          var k = 0
+          while (k < 64) {
+            if (gray(k) > mean) {
+              n += 1
+              if (k < 32) hi |= (1L << k) else lo |= (1L << (k - 32))
+            }
+            k += 1
+          }
+          (w, h, hi, lo, n)
+        })
+        T(s, d, "documents")
+          .where(expr("doc_id % 3 = 0"))
+          .select(col("doc_id").as("media_id"), f(col("doc_id")).as("r"))
+          .select(col("media_id"), col("r._1").cast("long").as("w"),
+            col("r._2").cast("long").as("h"), col("r._3").as("phash_lo32"),
+            col("r._4").as("phash_hi32"), col("r._5").as("n_bits"))
+          .orderBy("media_id")
+      },
+      Some("""WITH ids AS (SELECT doc_id AS media_id,
+             |    16 + doc_id % 16 AS w, 16 + (doc_id // 16) % 16 AS h
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |g AS (SELECT media_id, w, h, i, j,
+             |    ((3 * ((j * w) // 8) + 5 * ((i * h) // 8) + media_id) % 256
+             |     + (3 * ((j * w) // 8) + 5 * ((i * h) // 8) + 7 + media_id) % 256
+             |     + (3 * ((j * w) // 8) + 5 * ((i * h) // 8) + 14 + media_id) % 256) // 3 AS gray
+             |  FROM ids, (SELECT unnest(range(0, 8)) AS i) a,
+             |    (SELECT unnest(range(0, 8)) AS j) b),
+             |m AS (SELECT media_id, CAST(sum(gray) AS BIGINT) // 64 AS mean FROM g GROUP BY 1),
+             |bits AS (SELECT g.media_id, g.w, g.h, g.i, g.j,
+             |    CASE WHEN gray > mean THEN 1 ELSE 0 END AS b
+             |  FROM g JOIN m ON g.media_id = m.media_id)
+             |SELECT media_id, CAST(any_value(w) AS BIGINT) AS w,
+             |  CAST(any_value(h) AS BIGINT) AS h,
+             |  CAST(sum(CASE WHEN i * 8 + j < 32
+             |    THEN b * (CAST(1 AS BIGINT) << (i * 8 + j)) ELSE 0 END) AS BIGINT) AS phash_lo32,
+             |  CAST(sum(CASE WHEN i * 8 + j >= 32
+             |    THEN b * (CAST(1 AS BIGINT) << (i * 8 + j - 32)) ELSE 0 END) AS BIGINT) AS phash_hi32,
+             |  CAST(sum(b) AS BIGINT) AS n_bits
+             |FROM bits GROUP BY media_id ORDER BY media_id""".stripMargin)
     )
   )
 }
