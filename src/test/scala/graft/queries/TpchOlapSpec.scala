@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the TPC-H completion batch (Q1..Q22
+  * adaptations) and the multi-level grouping surface — properties that
+  * hold for ANY data, complementing the DuckDB value-compare at one SF.
+  */
+class TpchOlapSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  private def q(name: String) =
+    graft.SparkEntry.registry.find(_.name == name).get.fn(spark, dir)
+
+  test("q1: integer averages are consistent with their sums and counts") {
+    q("tpch_q1_pricing_summary").collect().foreach { r =>
+      val n = r.getAs[Long]("count_order")
+      assert(n > 0)
+      assert(r.getAs[Long]("avg_qty_milli") == r.getAs[Long]("sum_qty") * 1000L / n)
+      assert(r.getAs[Long]("avg_price_cents") == r.getAs[Long]("sum_base_cents") / n)
+      assert(r.getAs[Long]("sum_disc_cents") <= r.getAs[Long]("sum_base_cents"))
+    }
+  }
+
+  test("q13: the distribution histogram accounts for every customer exactly once") {
+    val total = q("tpch_q13_customer_distribution")
+      .agg(sum("custdist")).collect().head.getLong(0)
+    val nCust = spark.read.parquet(s"$dir/customer.parquet").count()
+    assert(total == nCust, s"histogram covers $total of $nCust customers")
+  }
+
+  test("q15: every kept supplier shares the one maximal revenue") {
+    val rows = q("tpch_q15_top_supplier").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("total_cents")).distinct.length == 1)
+  }
+
+  test("q21: a supplier's waits never exceed its late multi-supplier lines") {
+    // numwait counts late lines that are also order-latest — re-deriving
+    // the upper bound (late lines in multi-supplier F-orders) must
+    // dominate it for every supplier
+    val waits = q("tpch_q21_waiting_orders").collect()
+      .map(r => r.getAs[String]("s_name") -> r.getAs[Long]("numwait")).toMap
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .where(col("o_orderstatus") === "F")
+    val nsupp = l.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct("l_suppkey").as("ns"))
+    val upper = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .join(nsupp, col("l_orderkey") === col("ok"))
+      .where(col("ns") >= 2)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n_late"))
+      .join(spark.read.parquet(s"$dir/supplier.parquet"),
+        col("l_suppkey") === col("s_suppkey"))
+      .collect().map(r => r.getAs[String]("s_name") -> r.getAs[Long]("n_late")).toMap
+    waits.foreach { case (name, w) =>
+      assert(w <= upper.getOrElse(name, 0L), s"$name waits=$w upper=${upper.get(name)}")
+    }
+  }
+
+  test("rollup: the grand total row equals the full table, levels are nested") {
+    val rows = q("agg_rollup_year_priority").collect()
+    val nOrders = spark.read.parquet(s"$dir/orders.parquet").count()
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length == 1 && grand.head.getAs[Long]("n") == nOrders)
+    // each year subtotal equals the sum of its leaves
+    val leaves = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+    val subs = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) == "ALL")
+    subs.foreach { sr =>
+      val y = sr.getString(0)
+      val leafN = leaves.filter(_.getString(0) == y).map(_.getAs[Long]("n")).sum
+      assert(sr.getAs[Long]("n") == leafN, s"year $y subtotal")
+    }
+  }
+
+  test("cube: all four grouping levels agree on the grand total") {
+    val rows = q("agg_cube_segment_status").collect()
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+      .head.getAs[Long]("n")
+    val bySeg = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) == "ALL")
+      .map(_.getAs[Long]("n")).sum
+    val byStatus = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) != "ALL")
+      .map(_.getAs[Long]("n")).sum
+    val leaves = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+      .map(_.getAs[Long]("n")).sum
+    assert(bySeg == grand && byStatus == grand && leaves == grand)
+  }
+
+  test("spearman suffstats: doubled rank sums satisfy n(n+1) exactly") {
+    // sum of average ranks over a permutation with ties is always
+    // n(n+1)/2, so the doubled-rank sums must equal n(n+1) — for both
+    // variables, in every group
+    q("stats_spearman_suffstats").collect().foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("sum_rx2") == n * (n + 1))
+      assert(r.getAs[Long]("sum_ry2") == n * (n + 1))
+    }
+  }
+
+  test("q17: qualifying lines are a strict subset with below-average quantity") {
+    val nl = q("tpch_q17_small_quantity").collect().head.getAs[Long]("n_lines")
+    assert(nl >= 0)
+    val all = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/part.parquet")
+        .where(col("p_brand") === "Brand#2" && col("p_type") === "ECONOMY"),
+        col("l_partkey") === col("p_partkey"), "left_semi").count()
+    assert(nl < all || all == 0, s"threshold kept $nl of $all lines")
+  }
+}
