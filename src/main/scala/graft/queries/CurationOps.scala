@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators from the published LLM-data playbooks —
+  * rule-based quality gating (the Gopher/MassiveText heuristics),
+  * deterministic per-language rebalancing, curriculum difficulty
+  * ordering, and link-analysis authority scoring (HITS) as a quality
+  * prior. All map-side or single-shuffle; every score is integer-exact
+  * (milli/basis-point scaling, floor division) so DuckDB hash-matches
+  * bit-for-bit.
+  */
+object CurationOps {
+
+  val qs: Seq[QueryDef] = Seq(
+
+    // Gopher-style rule filter: word count bounds, mean word length
+    // bounds, minimum stopword evidence. Entirely map-side (no shuffle
+    // but the final ordering) — at 100 TB this runs as a pure scan.
+    // Scores are exact integers: mean word length in milli-chars is
+    // (total chars * 1000) DIV n_words.
+    QueryDef(
+      "text_gopher_rules",
+      (s, d) => {
+        T(s, d, "documents")
+          .withColumn("words", split(trim(col("text")), "\\s+"))
+          .withColumn("n_words", size(col("words")).cast("long"))
+          .withColumn("char_sum", length(regexp_replace(col("text"), "\\s+", "")).cast("long"))
+          .withColumn("mean_wl_milli", expr("char_sum * 1000L DIV n_words"))
+          .withColumn("stop_hits",
+            expr("CAST(size(filter(words, w -> w IN ('the','a','of','to','and','in'))) AS BIGINT)"))
+          .withColumn("keep", expr(
+            """CAST(n_words BETWEEN 10 AND 100000
+              |  AND mean_wl_milli BETWEEN 2000 AND 10000
+              |  AND stop_hits >= 2 AS INT)""".stripMargin))
+          .select("doc_id", "n_words", "mean_wl_milli", "stop_hits", "keep")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+             |  CAST(length(regexp_replace(text, '\s+', '', 'g')) * 1000
+             |       // len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS mean_wl_milli,
+             |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |       w -> w IN ('the','a','of','to','and','in'))) AS BIGINT) AS stop_hits,
+             |  CAST(len(string_split_regex(trim(text), '\s+')) BETWEEN 10 AND 100000
+             |    AND length(regexp_replace(text, '\s+', '', 'g')) * 1000
+             |        // len(string_split_regex(trim(text), '\s+')) BETWEEN 2000 AND 10000
+             |    AND len(list_filter(string_split_regex(trim(text), '\s+'),
+             |        w -> w IN ('the','a','of','to','and','in'))) >= 2 AS INT) AS keep
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Deterministic language rebalancing: downsample every language to
+    // the smallest language's size, in expectation, using an md5-derived
+    // uniform per doc — keep iff u * cnt_lang < min_cnt * 10000 (integer
+    // cross-multiply; no doubles). The per-language counts ride as a
+    // broadcast (|langs| rows); the keep decision is map-side, so the
+    // whole rebalance is one small-dim join over a scan — the only shape
+    // that works when the corpus is 100 TB and the language table is KB.
+    QueryDef(
+      "corpus_lang_rebalance",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        val minCnt = counts.agg(min("cnt").as("min_cnt"))
+        docs.join(broadcast(counts), Seq("lang"))
+          .crossJoin(broadcast(minCnt))
+          .withColumn("u", expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 10000"))
+          .where(col("u") * col("cnt") < col("min_cnt") * 10000)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("kept"), max("cnt").as("orig"))
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+             |m AS (SELECT min(cnt) AS min_cnt FROM c)
+             |SELECT lang, count(*) AS kept, CAST(max(cnt) AS BIGINT) AS orig
+             |FROM documents JOIN c USING (lang), m
+             |WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10000)
+             |      * cnt < min_cnt * 10000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Curriculum ordering: rank documents easy→hard inside each language
+    // by an integer difficulty score (mean word length in milli-chars
+    // plus type-token ratio in basis points). Partitioned rank — no
+    // global sort; at scale each language sorts independently.
+    QueryDef(
+      "text_curriculum_order",
+      (s, d) => {
+        val scored = T(s, d, "documents")
+          .withColumn("words", split(trim(col("text")), "\\s+"))
+          .withColumn("n_words", size(col("words")).cast("long"))
+          .withColumn("mean_wl_milli",
+            expr("length(regexp_replace(text, '\\\\s+', '')) * 1000L DIV n_words"))
+          .withColumn("ttr_bp",
+            expr("CAST(size(array_distinct(words)) AS BIGINT) * 10000L DIV n_words"))
+          .withColumn("difficulty", col("mean_wl_milli") + col("ttr_bp"))
+        scored.withColumn("rank_in_lang",
+            rank().over(Window.partitionBy("lang")
+              .orderBy(col("difficulty"), col("doc_id"))).cast("long"))
+          .select("lang", "doc_id", "difficulty", "rank_in_lang")
+          .orderBy("lang", "rank_in_lang")
+      },
+      Some("""SELECT lang, doc_id, difficulty,
+             |  CAST(rank() OVER (PARTITION BY lang ORDER BY difficulty, doc_id) AS BIGINT)
+             |    AS rank_in_lang
+             |FROM (
+             |  SELECT lang, doc_id,
+             |    length(regexp_replace(text, '\s+', '', 'g')) * 1000
+             |      // len(string_split_regex(trim(text), '\s+'))
+             |    + len(list_distinct(string_split_regex(trim(text), '\s+'))) * 10000
+             |      // len(string_split_regex(trim(text), '\s+')) AS difficulty
+             |  FROM documents)
+             |ORDER BY lang, rank_in_lang""".stripMargin)
+    ),
+
+    // HITS (hubs & authorities) over the customer→supplier order graph,
+    // two unrolled half-iterations in exact integer arithmetic (no
+    // normalization): auth1 = in-degree, hub1 = Σ auth1 over a
+    // customer's suppliers, auth2 = Σ hub1 over a supplier's customers.
+    // Each half-step is one keyed join + aggregation — the same
+    // shuffle-per-iteration shape as the PageRank operator, and the
+    // standard link-quality prior for corpus weighting.
+    QueryDef(
+      "graph_hits_unrolled",
+      (s, d) => {
+        val e = T(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+          .join(T(s, d, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+          .distinct()
+        val a1 = e.groupBy("sup").agg(count(lit(1)).as("auth1"))
+        val h1 = e.join(a1, Seq("sup"))
+          .groupBy("c").agg(sum("auth1").as("hub1"))
+        val a2 = e.join(h1, Seq("c"))
+          .groupBy("sup").agg(sum("hub1").as("auth2"))
+        a1.join(a2, Seq("sup"))
+          .select(col("sup").as("s_suppkey"), col("auth1"), col("auth2"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+             |           FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+             |a1 AS (SELECT sup, count(*) AS auth1 FROM e GROUP BY 1),
+             |h1 AS (SELECT c, CAST(sum(auth1) AS BIGINT) AS hub1
+             |       FROM e JOIN a1 USING (sup) GROUP BY 1),
+             |a2 AS (SELECT sup, CAST(sum(hub1) AS BIGINT) AS auth2
+             |       FROM e JOIN h1 USING (c) GROUP BY 1)
+             |SELECT sup AS s_suppkey, auth1, auth2
+             |FROM a1 JOIN a2 USING (sup) ORDER BY 1""".stripMargin)
+    )
+  )
+}

@@ -114,6 +114,43 @@ class TpchOlapSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("gopher rules: keep flag is exactly the conjunction of its rule columns") {
+    val bad = q("text_gopher_rules").where(
+      col("keep") =!= (col("n_words").between(10, 100000) &&
+        col("mean_wl_milli").between(2000, 10000) &&
+        col("stop_hits") >= 2).cast("int")).count()
+    assert(bad == 0)
+  }
+
+  test("lang rebalance: every language keeps a subset, none more than its size") {
+    val rows = q("corpus_lang_rebalance").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("kept") <= r.getAs[Long]("orig"))
+      assert(r.getAs[Long]("kept") > 0)
+    }
+  }
+
+  test("curriculum: ranks are a dense 1..n permutation within each language") {
+    val byLang = q("text_curriculum_order").groupBy("lang")
+      .agg(count(lit(1)).as("n"), max("rank_in_lang").as("mx"),
+        min("rank_in_lang").as("mn"), countDistinct("rank_in_lang").as("dr"))
+      .collect()
+    byLang.foreach { r =>
+      assert(r.getAs[Long]("mn") == 1 && r.getAs[Long]("mx") == r.getAs[Long]("n") &&
+        r.getAs[Long]("dr") == r.getAs[Long]("n"), r.toString)
+    }
+  }
+
+  test("hits: total first-pass authority equals the edge count") {
+    val total = q("graph_hits_unrolled").agg(sum("auth1")).collect().head.getLong(0)
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct().count()
+    assert(total == edges)
+  }
+
   test("q17: qualifying lines are a strict subset with below-average quantity") {
     val nl = q("tpch_q17_small_quantity").collect().head.getAs[Long]("n_lines")
     assert(nl >= 0)
