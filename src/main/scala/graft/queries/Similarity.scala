@@ -941,6 +941,79 @@ object SimilarityQ {
              |  CAST(count(*) * 10 AS BIGINT) AS recall_pct
              |FROM stop s JOIN btop b ON s.qid = b.qid AND s.nid = b.nid
              |GROUP BY 1, 2 ORDER BY np, qid""".stripMargin)
+    ),
+
+    // Matryoshka truncation search: brute-force cosine top-10 using only
+    // the FIRST 16 of 64 dimensions — the dimension-reduction serving
+    // trick from Matryoshka representation learning (truncate, search
+    // cheap, optionally rerank full). Same codegen'd kernel over a
+    // sliced array; 4× less arithmetic and memory traffic per candidate.
+    QueryDef(
+      "sim_cosine_topk_prefix16",
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+          .select(col("vec_id"),
+            expr("slice(CAST(embedding AS ARRAY<DOUBLE>), 1, 16)").as("ve"))
+        val q = e.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("ve").as("qe"))
+        graft.engine.Expressions.register(s)
+        val scored = e.crossJoin(broadcast(q))
+          .withColumn("score", round(expr("vec_cosine_native(ve, qe)"), 6))
+        val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+        scored.withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= 10)
+          .select(col("qid"), col("vec_id").as("nid"), col("score"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:16] AS ve FROM embeddings),
+             |q AS (SELECT vec_id AS qid, ve AS qe FROM e WHERE vec_id < 5),
+             |sc AS (SELECT q.qid, e.vec_id AS nid,
+             |  round(list_dot_product(e.ve, q.qe) /
+             |        (sqrt(list_dot_product(e.ve, e.ve)) * sqrt(list_dot_product(q.qe, q.qe))), 6) AS score
+             |  FROM e CROSS JOIN q),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn FROM sc)
+             |SELECT qid, nid, score, rn FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)
+    ),
+
+    // Matryoshka recall: how much of the true full-dimension top-10 the
+    // 16-dim prefix search retains, per query — the quantified loss of
+    // the truncation. Both sides are registered oracled queries; the
+    // eval is a tiny integer semi-join.
+    QueryDef(
+      "sim_matryoshka_recall",
+      (s, d) => {
+        val brute = qs.find(_.name == "sim_cosine_topk_bruteforce").get.fn(s, d)
+          .select(col("qid"), col("nid"))
+        val pre = qs.find(_.name == "sim_cosine_topk_prefix16").get.fn(s, d)
+          .select(col("qid"), col("nid"))
+        brute.join(pre, Seq("qid", "nid"), "left_semi")
+          .groupBy("qid")
+          .agg(count(lit(1)).cast("long").as("hits"))
+          .withColumn("recall_pct", (col("hits") * 10L).cast("long"))
+          .orderBy("qid")
+      },
+      Some("""WITH fe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+             |fq AS (SELECT vec_id AS qid, ve AS qe FROM fe WHERE vec_id < 5),
+             |fsc AS (SELECT q.qid, e.vec_id AS nid,
+             |    round(list_dot_product(e.ve, q.qe) /
+             |      (sqrt(list_dot_product(e.ve, e.ve)) * sqrt(list_dot_product(q.qe, q.qe))), 6) AS score
+             |  FROM fe e CROSS JOIN fq q),
+             |fr AS (SELECT qid, nid,
+             |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn FROM fsc),
+             |ftop AS (SELECT qid, nid FROM fr WHERE rn <= 10),
+             |pe AS (SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:16] AS ve FROM embeddings),
+             |pq AS (SELECT vec_id AS qid, ve AS qe FROM pe WHERE vec_id < 5),
+             |psc AS (SELECT q.qid, e.vec_id AS nid,
+             |    round(list_dot_product(e.ve, q.qe) /
+             |      (sqrt(list_dot_product(e.ve, e.ve)) * sqrt(list_dot_product(q.qe, q.qe))), 6) AS score
+             |  FROM pe e CROSS JOIN pq q),
+             |pr AS (SELECT qid, nid,
+             |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn FROM psc),
+             |ptop AS (SELECT qid, nid FROM pr WHERE rn <= 10)
+             |SELECT f.qid AS qid, CAST(count(*) AS BIGINT) AS hits,
+             |  CAST(count(*) * 10 AS BIGINT) AS recall_pct
+             |FROM ftop f JOIN ptop p ON f.qid = p.qid AND f.nid = p.nid
+             |GROUP BY 1 ORDER BY qid""".stripMargin)
     )
   )
 }

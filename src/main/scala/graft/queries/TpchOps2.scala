@@ -502,37 +502,43 @@ object TpchOps2 {
 
     // Q21: suppliers who kept multi-supplier orders waiting. Adaptation:
     // a line is "late" if shipped > 60 days after the order date; the
-    // NOT-EXISTS ("no other supplier shipped later") is rewritten as two
-    // keyed aggregations — per-(order,supplier) max ship date, then the
-    // per-order top-2 distinct maxima — so the check is a comparison
-    // against the other-suppliers' max, never a self-join per line pair.
+    // NOT-EXISTS ("no other supplier shipped later") is rewritten as ONE
+    // fact scan: tag late lines at the orders join, aggregate
+    // per-(order,supplier) carrying the (≤lines-per-order) late-ship
+    // list, then derive each supplier's "other suppliers' max" with
+    // chained window functions over a single order-keyed partitioning —
+    // 3 shuffles and one lineitem pass total, vs the naive per-line-pair
+    // self-join. A late line qualifies iff its ship date is >= that
+    // other-max (only the order's strictly-latest supplier can qualify).
     QueryDef(
       "tpch_q21_waiting_orders",
       (s, d) => {
+        import org.apache.spark.sql.expressions.Window
         val o = T(s, d, "orders").where(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate")
-        val l = T(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-        val perSupp = l.groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-          .agg(max("l_shipdate").as("smax"))
-        val perOrd = perSupp.groupBy("ok")
-          .agg(max("smax").as("max1"), count(lit(1)).as("nsupp"))
-        val top2 = perSupp.join(perOrd, Seq("ok"))
-          .groupBy(col("ok").as("ok2"))
-          .agg(sum(when(col("smax") === col("max1"), 1L).otherwise(0L)).as("cnt1"),
-            max(when(col("smax") < col("max1"), col("smax"))).as("max2"))
-        val ctx = perSupp.join(perOrd, Seq("ok")).join(top2, col("ok") === col("ok2"))
+        val joined = T(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("late",
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        val perSupp = joined.groupBy("l_orderkey", "l_suppkey")
+          .agg(max("l_shipdate").as("smax"),
+            collect_list(when(col("late"), col("l_shipdate"))).as("late_ships"))
+        val w = Window.partitionBy("l_orderkey")
+        val ctx = perSupp
+          .withColumn("max1", max("smax").over(w))
+          .withColumn("nsupp", count(lit(1)).over(w))
+          .withColumn("cnt1",
+            sum(when(col("smax") === col("max1"), 1L).otherwise(0L)).over(w))
+          .withColumn("max2", max(when(col("smax") < col("max1"), col("smax"))).over(w))
           .withColumn("other_max",
             when(col("smax") === col("max1") && col("cnt1") === 1, col("max2"))
               .otherwise(col("max1")))
-          .select("ok", "sk", "nsupp", "other_max")
-        val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-          .select("l_orderkey", "l_suppkey", "l_shipdate")
-        val waits = late.join(ctx,
-            col("l_orderkey") === col("ok") && col("l_suppkey") === col("sk"))
-          .where(col("nsupp") >= 2 && col("l_shipdate") >= col("other_max"))
+        val waits = ctx.where(col("nsupp") >= 2)
+          .withColumn("nw",
+            expr("CAST(size(filter(late_ships, x -> x >= other_max)) AS BIGINT)"))
+          .where(col("nw") > 0)
         val supp = T(s, d, "supplier").select("s_suppkey", "s_name")
-        waits.groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+        waits.groupBy("l_suppkey").agg(sum("nw").as("numwait"))
           .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
           .select(col("s_name"), col("numwait"))
           .orderBy(col("numwait").desc, col("s_name"))
