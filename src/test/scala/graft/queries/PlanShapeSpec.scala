@@ -134,6 +134,43 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q21 plans one window pass: no second lineitem scan, bounded exchanges") {
+    val p = planOf("tpch_q21_waiting_orders")
+    // the whole NOT-EXISTS derivation rides chained window functions over
+    // ONE order-keyed partitioning — a regression to the self-join form
+    // would double the fact scans and roughly double the exchanges
+    assert("FileScan parquet".r.findAllIn(p).size <= 3,
+      s"expected ≤3 scans (lineitem, orders, supplier):\n${p.take(3000)}")
+    assert("Exchange".r.findAllIn(p).size <= 6, p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
+
+  test("rollup/cube/grouping-sets each plan ONE Expand and one agg exchange") {
+    for (q <- Seq("agg_rollup_year_priority", "agg_cube_segment_status",
+        "agg_grouping_sets_mixed")) {
+      val p = planOf(q)
+      assert("Expand".r.findAllIn(p).size == 1,
+        s"$q: all grouping levels must come from a single Expand pass:\n${p.take(3000)}")
+      // SHUFFLE exchanges: one for the hash aggregate + one for the output
+      // sort (a dim BroadcastExchange is not a shuffle and doesn't count)
+      assert("Exchange (hash|range)partitioning".r.findAllIn(p).size <= 2,
+        s"$q:\n${p.take(3000)}")
+    }
+  }
+
+  test("q15's scalar max joins as a broadcast, never a shuffle") {
+    val p = planOf("tpch_q15_top_supplier")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("lang rebalance keeps the keep-decision map-side (broadcast dims only)") {
+    val p = planOf("corpus_lang_rebalance")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
   test("no registered batch query plans a CartesianProduct") {
     // excluded: streaming twins (building the frame RUNS the stream),
     // k-means/BPE training and resolve pipelines (eager jobs at build
