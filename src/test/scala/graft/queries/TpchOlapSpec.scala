@@ -151,6 +151,35 @@ class TpchOlapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total == edges)
   }
 
+  test("k-anonymity: group sizes partition the customer table exactly") {
+    val total = q("privacy_k_anonymity").agg(sum("n")).collect().head.getLong(0)
+    assert(total == spark.read.parquet(s"$dir/customer.parquet").count())
+  }
+
+  test("generalization ladder: coarser bands merge groups monotonically") {
+    // band widths nest (100 | 1000 | 5000), so each coarse group is a
+    // union of fine groups: group count can only fall, the smallest
+    // group and the k-violation count can only improve
+    val rows = q("privacy_generalization_ladder").orderBy("width").collect()
+    assert(rows.map(_.getAs[Long]("width")).toSeq == Seq(100L, 1000L, 5000L))
+    rows.sliding(2).foreach { case Array(fine, coarse) =>
+      assert(coarse.getAs[Long]("n_groups") <= fine.getAs[Long]("n_groups"))
+      assert(coarse.getAs[Long]("min_size") >= fine.getAs[Long]("min_size"))
+      assert(coarse.getAs[Long]("n_below_k") <= fine.getAs[Long]("n_below_k"))
+      case _ =>
+    }
+  }
+
+  test("l-diversity: members with orders never exceed the group's k count") {
+    val k = q("privacy_k_anonymity")
+      .select(col("c_mktsegment"), col("n_name"), col("bal_band"), col("n"))
+    val l = q("privacy_l_diversity")
+      .select(col("c_mktsegment"), col("n_name"), col("bal_band"), col("n_members"))
+    val bad = l.join(k, Seq("c_mktsegment", "n_name", "bal_band"))
+      .where(col("n_members") > col("n")).count()
+    assert(bad == 0)
+  }
+
   test("q17: qualifying lines are a strict subset with below-average quantity") {
     val nl = q("tpch_q17_small_quantity").collect().head.getAs[Long]("n_lines")
     assert(nl >= 0)
