@@ -116,6 +116,58 @@ object CurationOps {
              |ORDER BY lang, rank_in_lang""".stripMargin)
     ),
 
+    // Inverted-index build: materialize per-token posting lists (the
+    // batch index-construction step of a corpus search/retrieval layer).
+    // One shuffle on the token key; each posting list is emitted as its
+    // document frequency plus an md5 over the ascending doc-id list, so
+    // the oracle proves the DISTRIBUTED build produced exactly the right
+    // postings without dumping them. At 100 TB the posting lists for
+    // frequent tokens are the skew risk — df is computed in the same
+    // pass, so a production run would route df-above-threshold tokens to
+    // a chunked encoding.
+    QueryDef(
+      "text_inverted_index",
+      (s, d) => {
+        T(s, d, "documents")
+          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .distinct()
+          .groupBy("tok")
+          .agg(count(lit(1)).as("df"),
+            md5(concat_ws(",", sort_array(collect_list(col("doc_id"))))).as("postings_md5"))
+          .orderBy(col("df").desc, col("tok"))
+      },
+      Some("""SELECT tok, count(*) AS df,
+             |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS postings_md5
+             |FROM (SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+             |      FROM documents)
+             |GROUP BY 1 ORDER BY df DESC, tok""".stripMargin)
+    ),
+
+    // Pseudonymization audit: deterministic tokenization of a direct
+    // identifier (customer name → md5 token) must be a BIJECTION on the
+    // release — collisions would merge identities, non-determinism would
+    // break joins. Map-side token derivation, one rollup comparing
+    // distinct names vs distinct tokens per segment.
+    QueryDef(
+      "privacy_pseudonymize_audit",
+      (s, d) => {
+        T(s, d, "customer")
+          .withColumn("token", md5(col("c_name")))
+          .groupBy("c_mktsegment")
+          .agg(countDistinct("c_name").as("n_names"),
+            countDistinct("token").as("n_tokens"),
+            count(lit(1)).as("n_rows"))
+          .withColumn("collisions", col("n_names") - col("n_tokens"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+             |  count(DISTINCT c_name) AS n_names,
+             |  count(DISTINCT md5(c_name)) AS n_tokens,
+             |  count(*) AS n_rows,
+             |  CAST(count(DISTINCT c_name) - count(DISTINCT md5(c_name)) AS BIGINT) AS collisions
+             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // HITS (hubs & authorities) over the customer→supplier order graph,
     // two unrolled half-iterations in exact integer arithmetic (no
     // normalization): auth1 = in-degree, hub1 = Σ auth1 over a
