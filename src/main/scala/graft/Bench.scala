@@ -14,6 +14,26 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = Sessions.local()
+    // Per-stage shuffle/spill accumulation: the artifact carries each
+    // query's data-movement profile next to its wall time, so a
+    // regression is attributable (slower AND more shuffle = plan change;
+    // slower at same shuffle = host). Listener events drain async — the
+    // per-query snapshot sleeps briefly after the reps before reading.
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong()
+    val shufRead = new java.util.concurrent.atomic.AtomicLong()
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) {
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            spillDisk.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
     val defs = SparkEntry.registry.filter(_.headline)
     // warm the JVM/codegen once on the smallest SF so measured times are
     // steady-state query time, not first-call classloading
@@ -30,6 +50,8 @@ object Bench {
       // semantics are unchanged.
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      Thread.sleep(150) // drain async listener events from the warm rep
+      val (w0, r0, s0) = (shufWrite.get(), shufRead.get(), spillDisk.get())
       val times = (1 to reps).flatMap { rep =>
         val misses0 = graft.geo.H3Geo.memoMisses.get()
         val t0 = System.nanoTime()
@@ -49,29 +71,38 @@ object Bench {
             None
         }
       }
-      (q.name, times.minOption, times.size, times)
+      Thread.sleep(150)
+      val perRep = if (times.nonEmpty) times.size else 1
+      val ioMb = Seq(shufWrite.get() - w0, shufRead.get() - r0, spillDisk.get() - s0)
+        .map(b => b / perRep / 1048576.0)
+      (q.name, times.minOption, times.size, times, ioMb)
     }
     val qs = results.map {
-      case (k, Some(v), _, _) => "\"" + k + "\":" + v
-      case (k, None, _, _)    => "\"" + k + "\":null"
+      case (k, Some(v), _, _, _) => "\"" + k + "\":" + v
+      case (k, None, _, _, _)    => "\"" + k + "\":null"
     }.mkString("{", ",", "}")
     val statuses = results.map {
-      case (k, Some(_), n, _) => "\"" + k + "\":\"ok(" + n + "/" + reps + ")\""
-      case (k, None, _, _)    => "\"" + k + "\":\"failed\""
+      case (k, Some(_), n, _, _) => "\"" + k + "\":\"ok(" + n + "/" + reps + ")\""
+      case (k, None, _, _, _)    => "\"" + k + "\":\"failed\""
     }.mkString("{", ",", "}")
     // Per-rep times land IN the artifact (not just the stderr tail) so a
     // min-of-N that disagrees with warm-rep behavior is self-evident: a
     // host-load spike shows as one outlier rep, a real regression as all
     // reps high.
-    val repsJson = results.map { case (k, _, _, ts) =>
+    val repsJson = results.map { case (k, _, _, ts, _) =>
       "\"" + k + "\":[" + ts.map(t => f"$t%.4f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // Per-query data movement (avg MB/rep): shuffle write, shuffle read,
+    // disk spill — attributes any slowdown to plan change vs host noise.
+    val ioJson = results.map { case (k, _, _, _, io) =>
+      "\"" + k + "\":[" + io.map(v => f"$v%.1f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val sc = spark.sparkContext
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$statuses,""" +
-      s""""reps_sec":$repsJson,""" +
+      s""""reps_sec":$repsJson,"io_mb_wrs":$ioJson,""" +
       s""""master":"${sc.master}","parallelism":${sc.defaultParallelism},""" +
       s""""heap_gb":${f"$heapGb%.1f"},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
