@@ -143,6 +143,105 @@ object CurationOps {
              |GROUP BY 1 ORDER BY df DESC, tok""".stripMargin)
     ),
 
+    // Winnowing fingerprints (the MOSS plagiarism-detection selection,
+    // Schleimer et al. 2003): hash every 4-gram, slide a 5-gram window,
+    // keep each window's MINIMUM hash — guarantees any shared run of ≥ 8
+    // words produces a shared fingerprint, while storing ~1/5 of the
+    // hashes. Position-free robust variant (distinct window minima per
+    // doc); emitted as count + md5 over the ascending fingerprint list.
+    // One shuffle on doc_id for the window pass, one aggregate.
+    QueryDef(
+      "text_winnow_fingerprints",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val grams = T(s, d, "documents")
+          .withColumn("ws", split(trim(col("text")), "\\s+"))
+          .where(size(col("ws")) >= 8)
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(1, size(ws) - 3), i -> concat_ws(' ', slice(ws, i, 4)))"))
+            .as(Seq("pos", "gram")))
+          .withColumn("h",
+            expr("CAST(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)"))
+        val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-4, 0)
+        grams.withColumn("wmin", min("h").over(w))
+          .where(col("pos") >= 4) // full windows only (pos is 0-based)
+          .select("doc_id", "wmin").distinct()
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fp"),
+            md5(concat_ws(",", sort_array(collect_list(col("wmin"))))).as("fp_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, i - 1 AS pos,
+             |    CAST(('0x' || substr(md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3])), 1, 15))
+             |         AS BIGINT) AS h
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+             |       LATERAL (SELECT unnest(range(1, len(ws) - 2)) AS i)
+             |  WHERE len(ws) >= 8),
+             |m AS (SELECT doc_id, pos,
+             |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+             |                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS wmin
+             |  FROM g),
+             |fp AS (SELECT DISTINCT doc_id, wmin FROM m WHERE pos >= 4)
+             |SELECT doc_id, count(*) AS n_fp,
+             |  md5(string_agg(CAST(wmin AS VARCHAR), ',' ORDER BY wmin)) AS fp_md5
+             |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Shared-fingerprint pair histogram: how many document pairs share
+    // 2, 3, … winnow fingerprints — the similarity signal the MOSS
+    // report ranks by. Hub fingerprints (appearing in > 10 docs) are
+    // dropped before pairing, the standard common-idiom suppression that
+    // also bounds the per-bucket join fan-out at scale.
+    QueryDef(
+      "dedup_winnow_pair_histogram",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val grams = T(s, d, "documents")
+          .withColumn("ws", split(trim(col("text")), "\\s+"))
+          .where(size(col("ws")) >= 8)
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(1, size(ws) - 3), i -> concat_ws(' ', slice(ws, i, 4)))"))
+            .as(Seq("pos", "gram")))
+          .withColumn("h",
+            expr("CAST(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)"))
+        val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-4, 0)
+        val fp = grams.withColumn("wmin", min("h").over(w))
+          .where(col("pos") >= 4)
+          .select("doc_id", "wmin").distinct()
+        val rare = fp.groupBy("wmin").agg(count(lit(1)).as("df"))
+          .where(col("df") <= 10).select("wmin")
+        val kept = fp.join(rare, Seq("wmin"), "left_semi")
+        val shared = kept.as("a").join(kept.as("b"),
+            col("a.wmin") === col("b.wmin") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("shared"))
+          .where(col("shared") >= 2)
+        shared.groupBy("shared").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("shared")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, i - 1 AS pos,
+             |    CAST(('0x' || substr(md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3])), 1, 15))
+             |         AS BIGINT) AS h
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+             |       LATERAL (SELECT unnest(range(1, len(ws) - 2)) AS i)
+             |  WHERE len(ws) >= 8),
+             |m AS (SELECT doc_id, pos,
+             |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+             |                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS wmin
+             |  FROM g),
+             |fp AS (SELECT DISTINCT doc_id, wmin FROM m WHERE pos >= 4),
+             |rare AS (SELECT wmin FROM fp GROUP BY 1 HAVING count(*) <= 10),
+             |kept AS (SELECT fp.doc_id, fp.wmin FROM fp JOIN rare USING (wmin)),
+             |pairs AS (
+             |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+             |  FROM kept a JOIN kept b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT shared, count(*) AS n_pairs FROM pairs
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // Pseudonymization audit: deterministic tokenization of a direct
     // identifier (customer name → md5 token) must be a BIJECTION on the
     // release — collisions would merge identities, non-determinism would
