@@ -143,6 +143,71 @@ object CurationOps {
              |GROUP BY 1 ORDER BY df DESC, tok""".stripMargin)
     ),
 
+    // Dunning log-likelihood-ratio collocations (the robust alternative
+    // to PMI for sparse counts — LLR doesn't explode on hapax pairs).
+    // The 2×2 contingency table lives entirely in bigram space (k11 =
+    // pair count, margins = left/right occurrence counts, N = total
+    // bigrams), every ln term is rounded to 9 dp and DECIMAL-scaled
+    // WITHIN its row, so the score is order-independent and bit-equal in
+    // DuckDB. Margins are vocabulary-sized broadcasts; one shuffle for
+    // the bigram count.
+    QueryDef(
+      "text_llr_collocations",
+      (s, d) => {
+        val bi = T(s, d, "documents")
+          .withColumn("ws", split(trim(col("text")), "\\s+"))
+          .where(size(col("ws")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS l, ws[i] AS r))"))
+            .as("b"))
+          .select(col("b.l").as("l"), col("b.r").as("r"))
+        val cb = bi.groupBy("l", "r").agg(count(lit(1)).as("k11"))
+        val cl = bi.groupBy("l").agg(count(lit(1)).as("cl"))
+        val cr = bi.groupBy("r").agg(count(lit(1)).as("cr"))
+        val n = bi.agg(count(lit(1)).as("ng"))
+        // the multiplier must be a NARROW decimal: DECIMAL(18,9) × BIGINT
+        // needs precision 39 > 38, so Spark would silently drop the scale
+        // to 8 and truncate every term; ×DECIMAL(10,0) fits at scale 9
+        val t = "CAST(round(ln(CAST(%s AS DOUBLE) * ng / (CAST(%s AS DOUBLE) * %s)), 9) AS DECIMAL(18,9)) * CAST(%s AS DECIMAL(10,0))"
+        def term(k: String, row: String, colm: String) =
+          s"CASE WHEN $k > 0 THEN ${t.format(k, row, colm, k)} ELSE CAST(0 AS DECIMAL(18,9)) END"
+        cb.join(broadcast(cl), "l").join(broadcast(cr), "r")
+          .crossJoin(broadcast(n))
+          .withColumn("k12", col("cl") - col("k11"))
+          .withColumn("k21", col("cr") - col("k11"))
+          .withColumn("k22", col("ng") - col("cl") - col("cr") + col("k11"))
+          .withColumn("llr_nats", expr(
+            s"""round(CAST(2 * (${term("k11", "cl", "cr")} + ${term("k12", "cl", "(ng - cr)")} +
+               |${term("k21", "(ng - cl)", "cr")} + ${term("k22", "(ng - cl)", "(ng - cr)")})
+               |AS DOUBLE), 6)""".stripMargin.replace("\n", " ").replace("|", "")))
+          .select(col("l"), col("r"), col("k11"), col("llr_nats"))
+          .orderBy(col("llr_nats").desc, col("l"), col("r"))
+          .limit(20)
+      },
+      Some("""WITH bi AS (
+             |  SELECT ws[i] AS l, ws[i+1] AS r
+             |  FROM (SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
+             |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+             |  WHERE len(ws) >= 2),
+             |cb AS (SELECT l, r, count(*) AS k11 FROM bi GROUP BY 1, 2),
+             |cl AS (SELECT l, count(*) AS cl FROM bi GROUP BY 1),
+             |cr AS (SELECT r, count(*) AS cr FROM bi GROUP BY 1),
+             |n AS (SELECT count(*) AS ng FROM bi),
+             |j AS (SELECT cb.l, cb.r, k11, cl.cl, cr.cr, n.ng,
+             |    cl.cl - k11 AS k12, cr.cr - k11 AS k21,
+             |    n.ng - cl.cl - cr.cr + k11 AS k22
+             |  FROM cb JOIN cl ON cb.l = cl.l JOIN cr ON cb.r = cr.r CROSS JOIN n)
+             |SELECT l, r, k11,
+             |  round(CAST(2 * (
+             |    CASE WHEN k11 > 0 THEN CAST(round(ln(CAST(k11 AS DOUBLE) * ng / (CAST(cl AS DOUBLE) * cr)), 9) AS DECIMAL(18,9)) * k11 ELSE CAST(0 AS DECIMAL(18,9)) END +
+             |    CASE WHEN k12 > 0 THEN CAST(round(ln(CAST(k12 AS DOUBLE) * ng / (CAST(cl AS DOUBLE) * (ng - cr))), 9) AS DECIMAL(18,9)) * k12 ELSE CAST(0 AS DECIMAL(18,9)) END +
+             |    CASE WHEN k21 > 0 THEN CAST(round(ln(CAST(k21 AS DOUBLE) * ng / (CAST(ng - cl AS DOUBLE) * cr)), 9) AS DECIMAL(18,9)) * k21 ELSE CAST(0 AS DECIMAL(18,9)) END +
+             |    CASE WHEN k22 > 0 THEN CAST(round(ln(CAST(k22 AS DOUBLE) * ng / (CAST(ng - cl AS DOUBLE) * (ng - cr))), 9) AS DECIMAL(18,9)) * k22 ELSE CAST(0 AS DECIMAL(18,9)) END
+             |  ) AS DOUBLE), 6) AS llr_nats
+             |FROM j
+             |ORDER BY llr_nats DESC, l, r LIMIT 20""".stripMargin)
+    ),
+
     // Winnowing fingerprints (the MOSS plagiarism-detection selection,
     // Schleimer et al. 2003): hash every 4-gram, slide a 5-gram window,
     // keep each window's MINIMUM hash — guarantees any shared run of ≥ 8
