@@ -242,6 +242,54 @@ object Multimodal {
         wrap(col("doc_id"), encode(col("text"), "UTF-8")).as("payload"))
   }
 
+  final case class AudioFeatures(media_id: Long, n_samples: Long,
+      sum_abs: Long, max_abs: Long, sum_sq: Long, reversals: Long)
+
+  /** Partition-batched REAL PCM feature extraction: parse the WAV header,
+    * decode the interleaved sample stream (8-bit unsigned-centered or
+    * 16-bit signed little-endian per the fmt chunk), and compute exact
+    * integer signal features — total |sample| mass, peak, energy (Σs²),
+    * and direction reversals (sign changes of the first difference, the
+    * integer stand-in for dominant-frequency content). All map-side; a
+    * non-PCM payload degrades to an all-zero row (quarantine policy).
+    */
+  def extractPcmFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        decodeWavMeta(r.payload) match {
+          case None => AudioFeatures(r.media_id, 0L, 0L, 0L, 0L, 0L)
+          case Some(m) =>
+            val body = r.payload.drop(WavHeaderLen)
+            val samples: Array[Int] =
+              if (m.bitsPerSample == 8) body.map(b => (b & 0xff) - 128)
+              else {
+                val n = body.length / 2
+                Array.tabulate(n) { j =>
+                  val v = (body(2 * j) & 0xff) | ((body(2 * j + 1) & 0xff) << 8)
+                  if (v >= 32768) v - 65536 else v
+                }
+              }
+            var sumAbs = 0L; var maxAbs = 0L; var sumSq = 0L; var rev = 0L
+            var i = 0
+            var prevDeltaNeg = false; var havePrev = false
+            while (i < samples.length) {
+              val s = samples(i).toLong
+              val a = math.abs(s)
+              sumAbs += a; if (a > maxAbs) maxAbs = a; sumSq += s * s
+              if (i > 0) {
+                val dNeg = samples(i) - samples(i - 1) < 0
+                if (havePrev && dNeg != prevDeltaNeg) rev += 1
+                prevDeltaNeg = dNeg; havePrev = true
+              }
+              i += 1
+            }
+            AudioFeatures(r.media_id, samples.length.toLong, sumAbs, maxAbs, sumSq, rev)
+        }
+      }
+    }.toDF()
+  }
+
   /** Partition-batched REAL audio metadata extraction: parse each WAV
     * header (decodeWavMeta), derive sample count and duration from the
     * parsed fields. Rows that are not canonical PCM WAV surface as

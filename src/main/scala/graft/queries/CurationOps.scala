@@ -143,6 +143,52 @@ object CurationOps {
              |GROUP BY 1 ORDER BY df DESC, tok""".stripMargin)
     ),
 
+    // REAL PCM feature extraction: each synthetic WAV's sample stream is
+    // decoded per its parsed fmt chunk (8-bit unsigned-centered or 16-bit
+    // signed LE) and reduced to exact integer signal features — |sample|
+    // mass, peak, energy, and first-difference sign reversals. The oracle
+    // re-derives every sample from the source text bytes with integer
+    // SQL, so the Spark-side codec path (header parse + byte decode) is
+    // proven sample-exact, not just header-exact. Map-side per file.
+    QueryDef(
+      "multimodal_pcm_features",
+      (s, d) => {
+        import graft.operators.Multimodal
+        Multimodal.extractPcmFeatures(s, Multimodal.audioTable(s, d))
+          .orderBy("media_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id AS media_id, text,
+             |    octet_length(encode(text)) AS tlen,
+             |    CASE WHEN mod(doc_id // 2, 2) = 0 THEN 8 ELSE 16 END AS bits
+             |  FROM documents WHERE mod(doc_id, 3) = 1),
+             |s8 AS (SELECT media_id, i AS idx,
+             |    ascii(substr(text, CAST(i AS INT), 1)) - 128 AS s
+             |  FROM base, LATERAL (SELECT unnest(range(1, tlen + 1)) AS i)
+             |  WHERE bits = 8),
+             |s16 AS (SELECT media_id, j AS idx,
+             |    ascii(substr(text, CAST(2 * j + 1 AS INT), 1))
+             |      + 256 * ascii(substr(text, CAST(2 * j + 2 AS INT), 1)) AS s
+             |  FROM base, LATERAL (SELECT unnest(range(0, tlen // 2)) AS j)
+             |  WHERE bits = 16),
+             |samp AS (SELECT * FROM s8 UNION ALL SELECT * FROM s16),
+             |d AS (SELECT media_id, idx, s,
+             |    s - lag(s) OVER (PARTITION BY media_id ORDER BY idx) AS dlt
+             |  FROM samp),
+             |dd AS (SELECT media_id, s,
+             |    CASE WHEN dlt IS NULL THEN NULL ELSE CAST(dlt < 0 AS INT) END AS dneg,
+             |    lag(CASE WHEN dlt IS NULL THEN NULL ELSE CAST(dlt < 0 AS INT) END)
+             |      OVER (PARTITION BY media_id ORDER BY idx) AS pneg
+             |  FROM d)
+             |SELECT media_id, count(*) AS n_samples,
+             |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+             |  CAST(max(abs(s)) AS BIGINT) AS max_abs,
+             |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
+             |  CAST(sum(CASE WHEN dneg IS NOT NULL AND pneg IS NOT NULL
+             |                AND dneg <> pneg THEN 1 ELSE 0 END) AS BIGINT) AS reversals
+             |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // Dunning log-likelihood-ratio collocations (the robust alternative
     // to PMI for sparse counts — LLR doesn't explode on hapax pairs).
     // The 2×2 contingency table lives entirely in bigram space (k11 =
