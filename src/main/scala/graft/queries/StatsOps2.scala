@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Second statistics batch: argmin/argmax aggregate surface, the
+  * day-of-week × hour activity heatmap, and a deterministic Poisson
+  * bootstrap — the resampling scheme that actually distributes (per-row
+  * independent weights, no global multinomial draw), with every weight
+  * derived from md5 so DuckDB reproduces the resamples bit-for-bit.
+  */
+object StatsOps2 {
+
+  val qs: Seq[QueryDef] = Seq(
+
+    // min_by / max_by (argmin/argmax aggregates): per priority, which
+    // order carries the extreme total price. Ties are broken by the
+    // value column only — o_totalprice ties on the same priority would
+    // be nondeterministic, so the aggregated value is (cents, orderkey)
+    // packed into one struct-ordered surrogate: cents * 10^7 + orderkey
+    // stays within BIGINT (max ~6e12) and makes the argmin unique.
+    QueryDef(
+      "agg_min_by_argmin",
+      (s, d) => {
+        T(s, d, "orders")
+          .withColumn("packed", expr(
+            "CAST(round(o_totalprice * 100.0D, 0) AS BIGINT) * 10000000L + o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            min_by(col("o_orderkey"), col("packed")).as("cheapest_order"),
+            max_by(col("o_orderkey"), col("packed")).as("priciest_order"),
+            min(expr("packed DIV 10000000L")).as("min_cents"),
+            max(expr("packed DIV 10000000L")).as("max_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  arg_min(o_orderkey, CAST(round(o_totalprice * 100.0, 0) AS BIGINT) * 10000000 + o_orderkey) AS cheapest_order,
+             |  arg_max(o_orderkey, CAST(round(o_totalprice * 100.0, 0) AS BIGINT) * 10000000 + o_orderkey) AS priciest_order,
+             |  CAST(min((CAST(round(o_totalprice * 100.0, 0) AS BIGINT) * 10000000 + o_orderkey) // 10000000) AS BIGINT) AS min_cents,
+             |  CAST(max((CAST(round(o_totalprice * 100.0, 0) AS BIGINT) * 10000000 + o_orderkey) // 10000000) AS BIGINT) AS max_cents
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Day-of-week × hour activity heatmap over events — the operational
+    // rollup behind load forecasting. ISO day numbering pinned on both
+    // sides via date_format/strftime; one |7×24|-bounded aggregation.
+    QueryDef(
+      "events_dow_hour_heatmap",
+      (s, d) => {
+        T.events(s, d)
+          .groupBy((expr("weekday(ts)") + 1).cast("long").as("iso_dow"),
+            hour(col("ts")).cast("long").as("hh"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(value * 1000000.0D, 0) AS BIGINT)")).as("sum_value_micro"))
+          .orderBy("iso_dow", "hh")
+      },
+      Some("""SELECT CAST(isodow(ts) AS BIGINT) AS iso_dow,
+             |  CAST(hour(ts) AS BIGINT) AS hh, count(*) AS n,
+             |  CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_micro
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // Deterministic Poisson bootstrap of the mean order value, B = 100
+    // resamples: every (row, b) weight is Poisson(1) via inverse-CDF on
+    // an md5-derived uniform — the per-row-independent scheme that scales
+    // (a true multinomial bootstrap needs a global draw; Poisson weights
+    // need only the row and the resample id). The output is each
+    // resample's exact integer sufficient statistics plus its
+    // milli-cent mean, so the 5th/95th percentile CI is a client-side
+    // sort of 100 rows. One map-side ×100 fan-out, one shuffle on b.
+    QueryDef(
+      "stats_bootstrap_poisson",
+      (s, d) => {
+        val o = T(s, d, "orders").select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100.0D, 0) AS BIGINT)").as("cents"))
+        val b = s.range(0, 100).select(col("id").as("b"))
+        // Poisson(1) inverse CDF at 1e-9 resolution (cumulative:
+        // 0.367879441, 0.735758882, 0.919698603, 0.981011843,
+        // 0.996340153, 0.999405815, else 6)
+        val w = """CASE WHEN u < 367879441L THEN 0L WHEN u < 735758882L THEN 1L
+                  |WHEN u < 919698603L THEN 2L WHEN u < 981011843L THEN 3L
+                  |WHEN u < 996340153L THEN 4L WHEN u < 999405815L THEN 5L
+                  |ELSE 6L END""".stripMargin.replace("\n", " ")
+        o.crossJoin(broadcast(b))
+          .withColumn("u", expr(
+            "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), ':', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000000000L"))
+          .withColumn("w", expr(w))
+          .groupBy("b")
+          .agg(sum("w").as("n_eff"), sum(expr("w * cents")).as("sum_cents"))
+          .withColumn("mean_millicents", expr("sum_cents * 1000L DIV n_eff"))
+          .orderBy("b")
+      },
+      Some("""SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+             |  CAST(sum(w * cents) AS BIGINT) AS sum_cents,
+             |  CAST(sum(w * cents) * 1000 // sum(w) AS BIGINT) AS mean_millicents
+             |FROM (
+             |  SELECT b, cents,
+             |    CASE WHEN u < 367879441 THEN 0 WHEN u < 735758882 THEN 1
+             |         WHEN u < 919698603 THEN 2 WHEN u < 981011843 THEN 3
+             |         WHEN u < 996340153 THEN 4 WHEN u < 999405815 THEN 5
+             |         ELSE 6 END AS w
+             |  FROM (
+             |    SELECT o_orderkey, CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents,
+             |      b.b,
+             |      CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)), 1, 8)) AS BIGINT)
+             |        % 1000000000 AS u
+             |    FROM orders CROSS JOIN (SELECT unnest(range(0, 100)) AS b) b))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    )
+  )
+}
