@@ -143,6 +143,57 @@ object CurationOps {
              |GROUP BY 1 ORDER BY df DESC, tok""".stripMargin)
     ),
 
+    // Deterministic random-walk corpus (the DeepWalk/node2vec training-
+    // data generator): one length-4 walk per customer over the bipartite
+    // customer↔supplier order graph, each step's next-hop chosen by an
+    // md5-derived index into the node's SORTED neighbor list — so the
+    // walk corpus is a pure function of the graph and DuckDB re-derives
+    // it exactly. Each step is one keyed join against the adjacency
+    // table; at 100 TB the per-node neighbor lists would be capped
+    // (top-K by weight) before the collect, bounding both state and the
+    // hub-join fan-out.
+    QueryDef(
+      "graph_walk_corpus",
+      (s, d) => {
+        val e = T(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+          .join(T(s, d, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+          .distinct()
+        val adjC = e.groupBy("c").agg(sort_array(collect_list(col("sup"))).as("ns"))
+        val adjS = e.groupBy("sup").agg(sort_array(collect_list(col("c"))).as("nc"))
+        def u(step: Int) =
+          s"CAST(conv(substring(md5(concat(CAST(c0 AS STRING), ':$step')), 1, 8), 16, 10) AS BIGINT)"
+        val w1 = adjC.select(col("c").as("c0"), col("ns"))
+          .withColumn("s1", expr(s"element_at(ns, CAST(${u(1)} % size(ns) AS INT) + 1)"))
+          .select("c0", "s1")
+        val w2 = w1.join(adjS, col("s1") === col("sup"))
+          .withColumn("c2", expr(s"element_at(nc, CAST(${u(2)} % size(nc) AS INT) + 1)"))
+          .select("c0", "s1", "c2")
+        val w3 = w2.join(adjC, col("c2") === col("c"))
+          .withColumn("s2", expr(s"element_at(ns, CAST(${u(3)} % size(ns) AS INT) + 1)"))
+          .select("c0", "s1", "c2", "s2")
+        w3.orderBy("c0")
+      },
+      Some("""WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+             |           FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+             |adjc AS (SELECT c, list_sort(list(sup)) AS ns FROM e GROUP BY 1),
+             |adjs AS (SELECT sup, list_sort(list(c)) AS nc FROM e GROUP BY 1),
+             |w1 AS (SELECT c AS c0, ns,
+             |    ns[CAST(CAST(('0x' || substr(md5(CAST(c AS VARCHAR) || ':1'), 1, 8)) AS BIGINT)
+             |       % len(ns) AS INT) + 1] AS s1
+             |  FROM adjc),
+             |w2 AS (SELECT c0, s1,
+             |    nc[CAST(CAST(('0x' || substr(md5(CAST(c0 AS VARCHAR) || ':2'), 1, 8)) AS BIGINT)
+             |       % len(nc) AS INT) + 1] AS c2
+             |  FROM w1 JOIN adjs ON s1 = sup),
+             |w3 AS (SELECT c0, s1, c2,
+             |    ns[CAST(CAST(('0x' || substr(md5(CAST(c0 AS VARCHAR) || ':3'), 1, 8)) AS BIGINT)
+             |       % len(ns) AS INT) + 1] AS s2
+             |  FROM w2 JOIN adjc ON c2 = c)
+             |SELECT c0, s1, c2, s2 FROM w3 ORDER BY c0""".stripMargin)
+    ),
+
     // REAL PCM feature extraction: each synthetic WAV's sample stream is
     // decoded per its parsed fmt chunk (8-bit unsigned-centered or 16-bit
     // signed LE) and reduced to exact integer signal features — |sample|
