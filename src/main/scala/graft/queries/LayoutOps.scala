@@ -242,6 +242,65 @@ object LayoutOps {
              |FROM c ORDER BY part_key""".stripMargin)
     ),
 
+    // Compaction EXECUTION (the planner's twin): stage the table as
+    // genuinely fragmented parquet (per-month dirs, ≤200 rows/file →
+    // hundreds of small files), apply the same next-fit bin assignment,
+    // and rewrite with repartition(file_id) + partitionBy(file_id) so
+    // each bin lands in exactly ONE output file. The result is read BACK
+    // from the compacted layout and audited per bin: row count, exact
+    // cent sum, and the distinct physical file count via
+    // input_file_name() — so "compaction preserved every row and
+    // actually produced one file per bin" is the oracled claim, not an
+    // assumption. The oracle recomputes bins + sums from the source
+    // table; n_files = 1 is part of the compared output.
+    QueryDef(
+      "layout_compaction_execute",
+      (s, d) => {
+        val monthly = T(s, d, "orders")
+          .withColumn("part_key", date_format(col("o_orderdate"), "yyyy-MM"))
+          .withColumn("cents", expr("CAST(round(o_totalprice * 100.0D, 0) AS BIGINT)"))
+          .select("o_orderkey", "part_key", "cents")
+        val fragDir = java.nio.file.Files.createTempDirectory("graft_frag")
+        fragDir.toFile.deleteOnExit()
+        monthly.write.mode("overwrite").option("maxRecordsPerFile", 200)
+          .partitionBy("part_key").parquet(fragDir.toString)
+        val frag = s.read.parquet(fragDir.toString)
+        // next-fit plan (same math as layout_compaction_plan)
+        val parts = frag.groupBy("part_key").agg(sum(lit(40L) + lit(8L)).as("est_bytes"))
+        val w = Window.orderBy("part_key")
+        val plan = parts
+          .withColumn("cum_before",
+            coalesce(sum("est_bytes").over(w) - col("est_bytes"), lit(0L)))
+          .withColumn("total", sum("est_bytes").over(Window.partitionBy(lit(1))))
+          .select(col("part_key"), expr("(cum_before * 8) div total").as("file_id"))
+        val outDir = java.nio.file.Files.createTempDirectory("graft_compacted")
+        outDir.toFile.deleteOnExit()
+        frag.join(broadcast(plan), Seq("part_key"))
+          .repartition(col("file_id"))
+          .write.mode("overwrite").partitionBy("file_id").parquet(outDir.toString)
+        s.read.parquet(outDir.toString)
+          .withColumn("fname", input_file_name()) // materialize at scan
+          .groupBy("file_id")
+          .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"),
+            countDistinct(col("fname")).as("n_files"))
+          .withColumn("file_id", col("file_id").cast("long"))
+          .orderBy("file_id")
+      },
+      Some("""WITH p AS (SELECT strftime(o_orderdate, '%Y-%m') AS part_key,
+             |    count(*) AS n_rows,
+             |    CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |    CAST(count(*) * 48 AS BIGINT) AS est_bytes
+             |  FROM orders GROUP BY 1),
+             |c AS (SELECT part_key, n_rows, sum_cents, est_bytes,
+             |    CAST(sum(est_bytes) OVER (ORDER BY part_key) - est_bytes AS BIGINT) AS cum_before,
+             |    CAST(sum(est_bytes) OVER () AS BIGINT) AS total FROM p)
+             |SELECT (cum_before * 8) // total AS file_id,
+             |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+             |  CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
+             |  CAST(1 AS BIGINT) AS n_files
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // Clustering-depth metric: model each orderkey-range "file" (1000 keys
     // per file — the ingest order) by its o_totalprice min/max zone map,
     // then measure how many files' ranges overlap at the worst point via
