@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Second statistics batch: argmin/argmax aggregate surface, the
@@ -57,6 +58,82 @@ object StatsOps2 {
              |  CAST(hour(ts) AS BIGINT) AS hh, count(*) AS n,
              |  CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_micro
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // Two-sample Kolmogorov–Smirnov statistic between the value
+    // distributions of two event types, as EXACT integers: D = max over
+    // the merged support of |F1 − F2| is cross-multiplied to
+    // max |cumA·n2 − cumB·n1| over (n1·n2) — no ECDF doubles ever cross
+    // the compare. One aggregation to the distinct-value support (the
+    // frame the single ordered window then runs over is |support|-sized,
+    // the same reduced-frame trick as the Gini), ECDFs as running sums.
+    QueryDef(
+      "stats_ks_two_sample",
+      (s, d) => {
+        val ev = T.events(s, d).where(col("event_type").isin("view", "click"))
+          .select(col("event_type").as("t"),
+            expr("CAST(round(value * 1000000.0D, 0) AS BIGINT)").as("v"))
+        val sup = ev.groupBy("v").agg(
+          sum(when(col("t") === "view", 1L).otherwise(0L)).as("na"),
+          sum(when(col("t") === "click", 1L).otherwise(0L)).as("nb"))
+        val tot = sup.agg(sum("na").as("n1"), sum("nb").as("n2"))
+        val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        sup.withColumn("cumA", sum("na").over(w))
+          .withColumn("cumB", sum("nb").over(w))
+          .crossJoin(broadcast(tot))
+          .select(expr("abs(cumA * n2 - cumB * n1)").as("dnum"),
+            col("n1"), col("n2"))
+          .groupBy("n1", "n2")
+          .agg(max("dnum").as("ks_num"))
+          .withColumn("ks_den", expr("n1 * n2"))
+          .select("n1", "n2", "ks_num", "ks_den")
+      },
+      Some("""WITH ev AS (SELECT event_type AS t,
+             |    CAST(round(value * 1000000.0, 0) AS BIGINT) AS v
+             |  FROM events WHERE event_type IN ('view', 'click')),
+             |sup AS (SELECT v,
+             |    CAST(sum(CASE WHEN t = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             |    CAST(sum(CASE WHEN t = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+             |  FROM ev GROUP BY 1),
+             |tot AS (SELECT CAST(sum(na) AS BIGINT) AS n1, CAST(sum(nb) AS BIGINT) AS n2 FROM sup),
+             |c AS (SELECT v, sum(na) OVER (ORDER BY v) AS cumA,
+             |             sum(nb) OVER (ORDER BY v) AS cumB FROM sup)
+             |SELECT n1, n2,
+             |  CAST(max(abs(cumA * n2 - cumB * n1)) AS BIGINT) AS ks_num,
+             |  CAST(n1 * n2 AS BIGINT) AS ks_den
+             |FROM c CROSS JOIN tot GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // Time-decay attribution: each purchase credits the user's preceding
+    // clicks within 48h by 2^(−hours_elapsed) — exact dyadic weights
+    // scaled by 2^48 so every credit is an integer (no float decay).
+    // One interval join per (user) key bounded by the 48h window, then a
+    // per-click rollup.
+    QueryDef(
+      "events_attrib_time_decay",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val buys = ev.where(col("event_type") === "purchase")
+          .select(col("user_id").as("bu"), col("ts").as("bts"), col("event_id").as("bid"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("cid"))
+        buys.join(clicks, col("bu") === col("cu") &&
+            col("cts") <= col("bts") &&
+            col("cts") > col("bts") - expr("INTERVAL 48 HOURS"))
+          .withColumn("hrs", expr("CAST((unix_micros(bts) - unix_micros(cts)) DIV 3600000000L AS INT)"))
+          .withColumn("credit", expr("CAST(shiftleft(1L, 48 - hrs) AS BIGINT)"))
+          .groupBy(col("cu").as("user_id"), col("cid").as("click_id"))
+          .agg(count(lit(1)).as("n_purchases"), sum("credit").as("credit_2e48"))
+          .orderBy("user_id", "click_id")
+      },
+      Some("""SELECT c.user_id AS user_id, c.event_id AS click_id,
+             |  count(*) AS n_purchases,
+             |  CAST(sum(CAST(2 AS BIGINT) ** (48 - CAST((epoch_us(b.ts) - epoch_us(c.ts)) // 3600000000 AS INT))) AS BIGINT) AS credit_2e48
+             |FROM events b JOIN events c
+             |  ON b.user_id = c.user_id
+             | AND b.event_type = 'purchase' AND c.event_type = 'click'
+             | AND c.ts <= b.ts AND c.ts > b.ts - INTERVAL 48 HOUR
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
     // Deterministic Poisson bootstrap of the mean order value, B = 100
