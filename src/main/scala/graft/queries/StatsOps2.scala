@@ -60,6 +60,116 @@ object StatsOps2 {
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
+    // Mann–Whitney U between two event types' values, tie-corrected, in
+    // exact integers: combined average ranks doubled (2·minrank+ties−1),
+    // so R1 and therefore U1 = R1 − n1(n1+1)/2 are integral when doubled.
+    // Same reduced-support window pattern as the KS statistic.
+    QueryDef(
+      "stats_mann_whitney_u",
+      (s, d) => {
+        val ev = T.events(s, d).where(col("event_type").isin("view", "click"))
+          .select(col("event_type").as("t"),
+            expr("CAST(round(value * 1000000.0D, 0) AS BIGINT)").as("v"))
+        val rk = rank().over(Window.orderBy("v"))
+        val ct = count(lit(1)).over(Window.partitionBy("v"))
+        val ranked = ev.withColumn("r2", lit(2L) * rk + ct - 1L)
+        ranked.groupBy(lit(1).as("g"))
+          .agg(
+            sum(when(col("t") === "view", 1L).otherwise(0L)).as("n1"),
+            sum(when(col("t") === "click", 1L).otherwise(0L)).as("n2"),
+            sum(when(col("t") === "view", col("r2")).otherwise(0L)).as("r1_doubled"))
+          .withColumn("u1_doubled", expr("r1_doubled - n1 * (n1 + 1)"))
+          .withColumn("u2_doubled", expr("2 * n1 * n2 - u1_doubled"))
+          .drop("g")
+      },
+      Some("""WITH ev AS (SELECT event_type AS t,
+             |    CAST(round(value * 1000000.0, 0) AS BIGINT) AS v
+             |  FROM events WHERE event_type IN ('view', 'click')),
+             |r AS (SELECT t,
+             |    2 * rank() OVER (ORDER BY v) + count(*) OVER (PARTITION BY v) - 1 AS r2
+             |  FROM ev)
+             |SELECT
+             |  CAST(sum(CASE WHEN t = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |  CAST(sum(CASE WHEN t = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |  CAST(sum(CASE WHEN t = 'view' THEN r2 ELSE 0 END) AS BIGINT) AS r1_doubled,
+             |  CAST(sum(CASE WHEN t = 'view' THEN r2 ELSE 0 END)
+             |    - sum(CASE WHEN t = 'view' THEN 1 ELSE 0 END)
+             |      * (sum(CASE WHEN t = 'view' THEN 1 ELSE 0 END) + 1) AS BIGINT) AS u1_doubled,
+             |  CAST(2 * sum(CASE WHEN t = 'view' THEN 1 ELSE 0 END)
+             |      * sum(CASE WHEN t = 'click' THEN 1 ELSE 0 END)
+             |    - (sum(CASE WHEN t = 'view' THEN r2 ELSE 0 END)
+             |       - sum(CASE WHEN t = 'view' THEN 1 ELSE 0 END)
+             |         * (sum(CASE WHEN t = 'view' THEN 1 ELSE 0 END) + 1)) AS BIGINT) AS u2_doubled
+             |FROM r""".stripMargin)
+    ),
+
+    // Approximate-randomization test (the distributed stand-in for an
+    // exact permutation test): 99 md5-relabelings of the view/click
+    // split, each emitting exact integer sufficient statistics per side
+    // — the client finishes the p-value by comparing rational means.
+    // Relabeling is per-row independent (u·(n1+n2) < n1·1e9, integer
+    // cross-multiply), so the whole test is one ×100 map-side fan-out.
+    // b = 0 carries the TRUE labels.
+    QueryDef(
+      "stats_permutation_test",
+      (s, d) => {
+        val ev = T.events(s, d).where(col("event_type").isin("view", "click"))
+          .select(col("event_id"), col("event_type").as("t"),
+            expr("CAST(round(value * 1000000.0D, 0) AS BIGINT)").as("v"))
+        val tot = ev.agg(
+          sum(when(col("t") === "view", 1L).otherwise(0L)).as("n1t"),
+          count(lit(1)).as("nt"))
+        val b = s.range(0, 100).select(col("id").as("b"))
+        ev.crossJoin(broadcast(tot)).crossJoin(broadcast(b))
+          .withColumn("u", expr(
+            "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), '#', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000000000L"))
+          .withColumn("lbl", expr(
+            "CASE WHEN b = 0 THEN CAST(t = 'view' AS INT) " +
+              "WHEN u * nt < n1t * 1000000000L THEN 1 ELSE 0 END"))
+          .groupBy("b")
+          .agg(sum(when(col("lbl") === 1, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("lbl") === 1, col("v")).otherwise(0L)).as("sum_a_micro"),
+            sum(when(col("lbl") === 0, 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("lbl") === 0, col("v")).otherwise(0L)).as("sum_b_micro"))
+          .orderBy("b")
+      },
+      Some("""WITH ev AS (SELECT event_id, event_type AS t,
+             |    CAST(round(value * 1000000.0, 0) AS BIGINT) AS v
+             |  FROM events WHERE event_type IN ('view', 'click')),
+             |tot AS (SELECT CAST(sum(CASE WHEN t = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n1t,
+             |               count(*) AS nt FROM ev),
+             |lab AS (SELECT b.b, v,
+             |    CASE WHEN b.b = 0 THEN CAST(t = 'view' AS INT)
+             |         WHEN (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '#' || CAST(b.b AS VARCHAR)), 1, 8)) AS BIGINT)
+             |               % 1000000000) * nt < n1t * 1000000000 THEN 1 ELSE 0 END AS lbl
+             |  FROM ev CROSS JOIN tot CROSS JOIN (SELECT unnest(range(0, 100)) AS b) b)
+             |SELECT b, CAST(sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |  CAST(sum(CASE WHEN lbl = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_a_micro,
+             |  CAST(sum(CASE WHEN lbl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |  CAST(sum(CASE WHEN lbl = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b_micro
+             |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // count_if / bool_and / bool_or aggregate surface (booleans cast to
+    // INT for a stable cross-engine dtype).
+    QueryDef(
+      "agg_countif_bool",
+      (s, d) => {
+        T(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            expr("count_if(o_totalprice > 150000.0D)").as("n_big"),
+            expr("CAST(bool_or(o_orderstatus = 'F') AS INT)").as("any_f"),
+            expr("CAST(bool_and(o_totalprice > 0.0D) AS INT)").as("all_pos"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(count(*) FILTER (WHERE o_totalprice > 150000.0) AS BIGINT) AS n_big,
+             |  CAST(bool_or(o_orderstatus = 'F') AS INT) AS any_f,
+             |  CAST(bool_and(o_totalprice > 0.0) AS INT) AS all_pos
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // Two-sample Kolmogorov–Smirnov statistic between the value
     // distributions of two event types, as EXACT integers: D = max over
     // the merged support of |F1 − F2| is cross-multiplied to
