@@ -943,6 +943,40 @@ object SimilarityQ {
              |GROUP BY 1, 2 ORDER BY np, qid""".stripMargin)
     ),
 
+    // Hard-negative mining (contrastive training data): for each query
+    // vector, the top-5 most-similar vectors with a DIFFERENT label —
+    // the negatives that actually teach a contrastive model something.
+    // Same broadcast-query brute-force kernel; the label inequality is a
+    // post-score filter so the scan stays one pass.
+    QueryDef(
+      "sample_hard_negatives",
+      (s, d) => {
+        val e = T(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("ve"))
+        val q = e.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("ve").as("qe"))
+        graft.engine.Expressions.register(s)
+        val scored = e.crossJoin(broadcast(q))
+          .where(col("label") =!= col("qlabel"))
+          .withColumn("score", round(expr("vec_cosine_native(ve, qe)"), 6))
+        val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+        scored.withColumn("rn", row_number().over(w).cast("long"))
+          .where(col("rn") <= 5)
+          .select(col("qid"), col("vec_id").as("neg_id"), col("label").as("neg_label"),
+            col("score"), col("rn"))
+          .orderBy("qid", "rn")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+             |q AS (SELECT vec_id AS qid, label AS qlabel, ve AS qe FROM e WHERE vec_id < 5),
+             |sc AS (SELECT q.qid, e.vec_id AS neg_id, e.label AS neg_label,
+             |  round(list_dot_product(e.ve, q.qe) /
+             |        (sqrt(list_dot_product(e.ve, e.ve)) * sqrt(list_dot_product(q.qe, q.qe))), 6) AS score
+             |  FROM e CROSS JOIN q WHERE e.label <> q.qlabel),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, neg_id) AS rn FROM sc)
+             |SELECT qid, neg_id, neg_label, score, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)
+    ),
+
     // Matryoshka truncation search: brute-force cosine top-10 using only
     // the FIRST 16 of 64 dimensions — the dimension-reduction serving
     // trick from Matryoshka representation learning (truncate, search
