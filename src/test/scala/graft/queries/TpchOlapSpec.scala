@@ -180,6 +180,60 @@ class TpchOlapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0)
   }
 
+  test("walk corpus: every hop is a real edge of the order graph") {
+    val e = spark.read.parquet(s"$dir/lineitem.parquet")
+      .join(spark.read.parquet(s"$dir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup")).distinct().cache()
+    val w = q("graph_walk_corpus").cache()
+    val bad1 = w.join(e, w("c0") === e("c") && w("s1") === e("sup"), "left_anti").count()
+    val bad2 = w.join(e, w("c2") === e("c") && w("s1") === e("sup"), "left_anti").count()
+    val bad3 = w.join(e, w("c2") === e("c") && w("s2") === e("sup"), "left_anti").count()
+    assert(bad1 == 0 && bad2 == 0 && bad3 == 0, s"$bad1/$bad2/$bad3 phantom hops")
+  }
+
+  test("rake: no phrase contains a stopword, occurrences are positive") {
+    val stops = Set("the", "a", "of", "to", "and", "in")
+    q("text_rake_keyphrases").collect().foreach { r =>
+      val words = r.getAs[String]("phrase").split(" ")
+      assert(words.forall(w => !stops(w)), r.toString)
+      assert(r.getAs[Long]("n_occ") > 0 && r.getAs[Double]("score") > 0)
+    }
+  }
+
+  test("bootstrap: resample sizes concentrate around n and means around the truth") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val n = orders.count()
+    val trueMeanMilli = orders
+      .agg(sum(expr("CAST(round(o_totalprice * 100.0D, 0) AS BIGINT)")), count(lit(1)))
+      .collect().head match { case org.apache.spark.sql.Row(s: Long, c: Long) => s * 1000L / c }
+    val rows = q("stats_bootstrap_poisson").collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      val nEff = r.getAs[Long]("n_eff")
+      assert(math.abs(nEff - n) < n / 2, s"resample size $nEff vs $n")
+      val m = r.getAs[Long]("mean_millicents")
+      assert(math.abs(m - trueMeanMilli).toDouble / trueMeanMilli < 0.2,
+        s"bootstrap mean $m vs $trueMeanMilli")
+    }
+  }
+
+  test("permutation test: b=0 reproduces the true group split exactly") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val trueViews = ev.where(col("event_type") === "view").count()
+    val trueClicks = ev.where(col("event_type") === "click").count()
+    val b0 = q("stats_permutation_test").where(col("b") === 0).collect().head
+    assert(b0.getAs[Long]("n_a") == trueViews && b0.getAs[Long]("n_b") == trueClicks)
+  }
+
+  test("mann-whitney: U identities and bounds hold") {
+    val r = q("stats_mann_whitney_u").collect().head
+    val (n1, n2) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+    val (u1, u2) = (r.getAs[Long]("u1_doubled"), r.getAs[Long]("u2_doubled"))
+    assert(u1 + u2 == 2 * n1 * n2)
+    assert(u1 >= 0 && u1 <= 2 * n1 * n2)
+  }
+
   test("q17: qualifying lines are a strict subset with below-average quantity") {
     val nl = q("tpch_q17_small_quantity").collect().head.getAs[Long]("n_lines")
     assert(nl >= 0)
