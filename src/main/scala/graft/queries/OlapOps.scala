@@ -101,6 +101,37 @@ object OlapOps {
               |ORDER BY 1, 2""".stripMargin)
     ),
 
+    // LATERAL correlated join surface: for each nation, the top-2
+    // customers by balance from a correlated ORDER BY … LIMIT subquery —
+    // the SQL shape Spark rewrites through DecorrelateInnerQuery into
+    // the same ranked-window plan the DataFrame top-k uses. Ties made
+    // impossible by the (cents, custkey) packed ordering.
+    QueryDef(
+      "j14_lateral_topk",
+      (s, d) => {
+        T(s, d, "nation").createOrReplaceTempView("graft_lat_nation")
+        T(s, d, "customer").createOrReplaceTempView("graft_lat_customer")
+        s.sql("""SELECT n_name, c_custkey,
+                |  CAST(round(c_acctbal * 100.0D, 0) AS BIGINT) AS bal_cents
+                |FROM graft_lat_nation,
+                |LATERAL (SELECT c_custkey, c_acctbal FROM graft_lat_customer
+                |         WHERE c_nationkey = n_nationkey
+                |         ORDER BY CAST(round(c_acctbal * 100.0D, 0) AS BIGINT) DESC,
+                |                  c_custkey
+                |         LIMIT 2)
+                |ORDER BY n_name, bal_cents DESC, c_custkey""".stripMargin)
+      },
+      Some("""SELECT n_name, c_custkey,
+             |  CAST(round(c_acctbal * 100.0, 0) AS BIGINT) AS bal_cents
+             |FROM nation,
+             |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+             |         WHERE c_nationkey = n_nationkey
+             |         ORDER BY CAST(round(c_acctbal * 100.0, 0) AS BIGINT) DESC,
+             |                  c_custkey
+             |         LIMIT 2)
+             |ORDER BY n_name, bal_cents DESC, c_custkey""".stripMargin)
+    ),
+
     // Spearman rank correlation (quantity vs extended price, per return
     // flag) as integer sufficient statistics: average ranks with ties,
     // doubled so they stay integral (2*minrank + ties - 1), then the five

@@ -64,6 +64,64 @@ object TpchOps2 {
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
+    // Q2: minimum-cost supplier. Adaptation (no partsupp): for each
+    // ECONOMY part under size 25, the supplier who shipped it with the
+    // LOWEST account balance, restricted to EUROPE — the correlated-min
+    // shape, computed as a packed-integer argmin per part (cents·10⁷ +
+    // suppkey makes the minimum unique) instead of a correlated
+    // subquery per row. Top 20 by supplier balance desc.
+    QueryDef(
+      "tpch_q2_min_cost_supplier",
+      (s, d) => {
+        val europe = T(s, d, "region").where(col("r_name") === "EUROPE").select("r_regionkey")
+        val nat = T(s, d, "nation")
+          .join(broadcast(europe), col("n_regionkey") === col("r_regionkey"), "left_semi")
+          .select("n_nationkey", "n_name")
+        val supp = T(s, d, "supplier")
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"),
+            expr("CAST(round(s_acctbal * 100.0D, 0) AS BIGINT)").as("bal_cents"))
+        val p = T(s, d, "part")
+          .where(col("p_type") === "ECONOMY" && col("p_size") < 25)
+          .select("p_partkey", "p_brand", "p_size")
+        val shipped = T(s, d, "lineitem").select("l_partkey", "l_suppkey").distinct()
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+        val best = shipped
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("l_partkey")
+          .agg(min(expr("bal_cents * 10000000L + s_suppkey")).as("packed"))
+          .select(col("l_partkey").as("pk"),
+            expr("packed % 10000000L").as("best_suppkey"),
+            expr("packed DIV 10000000L").as("bal_cents"))
+        best.join(broadcast(p), col("pk") === col("p_partkey"))
+          .join(broadcast(supp.select(col("s_suppkey"), col("s_name"), col("n_name"))),
+            col("best_suppkey") === col("s_suppkey"))
+          .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+            col("bal_cents"))
+          .orderBy(col("bal_cents").desc, col("p_partkey"))
+          .limit(20)
+      },
+      Some("""WITH supp AS (
+             |  SELECT s_suppkey, s_name, n_name,
+             |    CAST(round(s_acctbal * 100.0, 0) AS BIGINT) AS bal_cents
+             |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  WHERE r_name = 'EUROPE'),
+             |p AS (SELECT p_partkey, p_brand FROM part
+             |      WHERE p_type = 'ECONOMY' AND p_size < 25),
+             |shipped AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+             |  WHERE l_partkey IN (SELECT p_partkey FROM p)),
+             |best AS (SELECT l_partkey AS pk,
+             |    CAST(min(bal_cents * 10000000 + s_suppkey) % 10000000 AS BIGINT) AS best_suppkey,
+             |    CAST(min(bal_cents * 10000000 + s_suppkey) // 10000000 AS BIGINT) AS bal_cents
+             |  FROM shipped JOIN supp ON l_suppkey = s_suppkey
+             |  GROUP BY 1)
+             |SELECT p_partkey, p_brand, s_name, n_name, best.bal_cents AS bal_cents
+             |FROM best JOIN p ON pk = p_partkey
+             |JOIN supp ON best_suppkey = s_suppkey
+             |ORDER BY best.bal_cents DESC, p_partkey LIMIT 20""".stripMargin)
+    ),
+
     // Q4: order-priority checking. Adaptation: "late line" means shipped
     // more than 60 days after the order date (no commit/receipt dates in
     // this schema). EXISTS becomes a left-semi join with a non-equi
@@ -243,6 +301,45 @@ object TpchOps2 {
               |WHERE p_name LIKE '%red%'
               |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin),
       headline = true
+    ),
+
+    // Q11: important stock. Adaptation (no partsupp): a part's "stock
+    // value" is Σ qty · retail-price cents over lines shipped by
+    // NATION_3's suppliers; keep parts whose value exceeds 1/10000 of
+    // the nation's total — the HAVING-share-of-total shape with the
+    // threshold integer cross-multiplied (value · 10000 > total).
+    QueryDef(
+      "tpch_q11_important_stock",
+      (s, d) => {
+        val supp3 = T(s, d, "supplier")
+          .join(broadcast(T(s, d, "nation").where(col("n_name") === "NATION_3")
+            .select("n_nationkey")), col("s_nationkey") === col("n_nationkey"), "left_semi")
+          .select("s_suppkey")
+        val p = T(s, d, "part").select("p_partkey", "p_retailprice")
+        val vals = T(s, d, "lineitem")
+          .join(broadcast(supp3), col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy("l_partkey")
+          .agg(sum(expr("CAST(round(p_retailprice * 100.0D * l_quantity, 0) AS BIGINT)"))
+            .as("value_cents"))
+        val tot = vals.agg(sum("value_cents").as("total_cents"))
+        vals.crossJoin(broadcast(tot))
+          .where(col("value_cents") * 10000 > col("total_cents"))
+          .select(col("l_partkey").as("p_partkey"), col("value_cents"))
+          .orderBy(col("value_cents").desc, col("p_partkey"))
+      },
+      Some("""WITH vals AS (
+             |  SELECT l_partkey AS p_partkey,
+             |    CAST(sum(CAST(round(p_retailprice * 100.0 * l_quantity, 0) AS BIGINT)) AS BIGINT) AS value_cents
+             |  FROM lineitem
+             |  JOIN part ON p_partkey = l_partkey
+             |  WHERE l_suppkey IN (
+             |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |    WHERE n_name = 'NATION_3')
+             |  GROUP BY 1)
+             |SELECT p_partkey, value_cents FROM vals
+             |WHERE value_cents * 10000 > (SELECT sum(value_cents) FROM vals)
+             |ORDER BY value_cents DESC, p_partkey""".stripMargin)
     ),
 
     // Q12: shipping-priority split. Adaptation: grouped by l_returnflag
