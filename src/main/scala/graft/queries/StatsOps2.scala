@@ -150,6 +150,49 @@ object StatsOps2 {
              |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
 
+    // Chi-squared independence test (market segment × order status):
+    // each cell's term is the exact-integer (O·N − ri·cj)² over the
+    // double ri·cj·N (all products < 2^63 so the numerator is exact; the
+    // one IEEE division per cell is deterministic), rounded 6 dp and
+    // DECIMAL-summed over the |5×3| cells. Completes the test-stat
+    // family next to KS / Mann–Whitney / randomization.
+    QueryDef(
+      "stats_chisq_independence",
+      (s, d) => {
+        val co = T(s, d, "orders")
+          .join(broadcast(T(s, d, "customer").select("c_custkey", "c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("seg"), col("o_orderstatus").as("st"))
+          .agg(count(lit(1)).as("o"))
+        val ri = co.groupBy("seg").agg(sum("o").as("rsum"))
+        val cj = co.groupBy("st").agg(sum("o").as("csum"))
+        val n = co.agg(sum("o").as("ntot"))
+        co.join(broadcast(ri), Seq("seg")).join(broadcast(cj), Seq("st"))
+          .crossJoin(broadcast(n))
+          .withColumn("term", expr(
+            """CAST(round(CAST((o * ntot - rsum * csum) * (o * ntot - rsum * csum) AS DOUBLE)
+              |/ (CAST(rsum AS DOUBLE) * csum * ntot), 6) AS DECIMAL(18,6))"""
+              .stripMargin.replace("\n", " ")))
+          .agg(count(lit(1)).as("n_cells"),
+            max("ntot").as("n_total"),
+            sum("term").cast("double").as("chi2"))
+          .withColumn("dof", expr("CAST(4 * 2 AS BIGINT)"))
+      },
+      Some("""WITH co AS (
+             |  SELECT c_mktsegment AS seg, o_orderstatus AS st, count(*) AS o
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2),
+             |ri AS (SELECT seg, CAST(sum(o) AS BIGINT) AS rsum FROM co GROUP BY 1),
+             |cj AS (SELECT st, CAST(sum(o) AS BIGINT) AS csum FROM co GROUP BY 1),
+             |n AS (SELECT CAST(sum(o) AS BIGINT) AS ntot FROM co)
+             |SELECT count(*) AS n_cells, CAST(max(ntot) AS BIGINT) AS n_total,
+             |  CAST(sum(CAST(round(
+             |    CAST((o * ntot - rsum * csum) * (o * ntot - rsum * csum) AS DOUBLE)
+             |    / (CAST(rsum AS DOUBLE) * csum * ntot), 6) AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
+             |  CAST(8 AS BIGINT) AS dof
+             |FROM co JOIN ri USING (seg) JOIN cj USING (st) CROSS JOIN n""".stripMargin)
+    ),
+
     // count_if / bool_and / bool_or aggregate surface (booleans cast to
     // INT for a stable cross-engine dtype).
     QueryDef(
