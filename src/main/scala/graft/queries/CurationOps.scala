@@ -13,6 +13,20 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
+  private lazy val GopherOracle =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+      |  CAST(length(regexp_replace(text, '\s+', '', 'g')) * 1000
+      |       // len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS mean_wl_milli,
+      |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |       w -> w IN ('the','a','of','to','and','in'))) AS BIGINT) AS stop_hits,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) BETWEEN 10 AND 100000
+      |    AND length(regexp_replace(text, '\s+', '', 'g')) * 1000
+      |        // len(string_split_regex(trim(text), '\s+')) BETWEEN 2000 AND 10000
+      |    AND len(list_filter(string_split_regex(trim(text), '\s+'),
+      |        w -> w IN ('the','a','of','to','and','in'))) >= 2 AS INT) AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val qs: Seq[QueryDef] = Seq(
 
     // Gopher-style rule filter: word count bounds, mean word length
@@ -37,18 +51,24 @@ object CurationOps {
           .select("doc_id", "n_words", "mean_wl_milli", "stop_hits", "keep")
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id,
-             |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
-             |  CAST(length(regexp_replace(text, '\s+', '', 'g')) * 1000
-             |       // len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS mean_wl_milli,
-             |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-             |       w -> w IN ('the','a','of','to','and','in'))) AS BIGINT) AS stop_hits,
-             |  CAST(len(string_split_regex(trim(text), '\s+')) BETWEEN 10 AND 100000
-             |    AND length(regexp_replace(text, '\s+', '', 'g')) * 1000
-             |        // len(string_split_regex(trim(text), '\s+')) BETWEEN 2000 AND 10000
-             |    AND len(list_filter(string_split_regex(trim(text), '\s+'),
-             |        w -> w IN ('the','a','of','to','and','in'))) >= 2 AS INT) AS keep
-             |FROM documents ORDER BY doc_id""".stripMargin)
+      Some(GopherOracle)
+    ),
+
+    // STREAMING twin of the Gopher gate: the same rule projection over a
+    // band-ordered file stream (map-only, no state) — the lambda-
+    // unification proof that the quality gate gives identical verdicts
+    // whether the corpus arrives as a batch or incrementally. Shares the
+    // batch oracle; narrow bands force ≥2 micro-batches.
+    QueryDef(
+      "text_gopher_rules_stream",
+      (s, d) => {
+        val (scored, nBatches) = graft.streaming.DocStream.gopherGate(
+          s, T(s, d, "documents").select("doc_id", "text"))
+        require(nBatches >= 2,
+          s"expected >=2 micro-batches from band staging, saw $nBatches")
+        scored.orderBy("doc_id")
+      },
+      Some(GopherOracle)
     ),
 
     // Deterministic language rebalancing: downsample every language to

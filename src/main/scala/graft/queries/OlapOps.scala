@@ -101,6 +101,65 @@ object OlapOps {
               |ORDER BY 1, 2""".stripMargin)
     ),
 
+    // Nested-JSON shredding round-trip: each order serialized to a
+    // nested document (scalar + struct + array of its sorted line
+    // numbers) with to_json, re-parsed with from_json against an
+    // explicit schema, and the extracted fields compared against a
+    // purely relational recompute — the semi-structured path (serialize
+    // → shred → extract) proven value-exact, not just parseable.
+    QueryDef(
+      "json_nested_roundtrip",
+      (s, d) => {
+        val lines = T(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(col("l_linenumber").cast("long"))).as("items"))
+        val js = T(s, d, "orders")
+          .join(lines, col("o_orderkey") === col("l_orderkey"))
+          .select(to_json(struct(
+            col("o_orderkey").as("k"),
+            struct(col("o_custkey").as("cust"), col("o_orderpriority").as("pri")).as("c"),
+            col("items"))).as("doc"))
+        val schema = "STRUCT<k: BIGINT, c: STRUCT<cust: BIGINT, pri: STRING>, items: ARRAY<BIGINT>>"
+        js.select(from_json(col("doc"), org.apache.spark.sql.types.DataType
+            .fromDDL(s"v $schema").asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fields.head.dataType).as("v"))
+          .select(col("v.k").as("k"), col("v.c.cust").as("cust"), col("v.c.pri").as("pri"),
+            expr("CAST(size(v.items) AS BIGINT)").as("n_items"),
+            expr("v.items[0]").as("first_item"))
+          .orderBy("k")
+      },
+      Some("""SELECT o_orderkey AS k, o_custkey AS cust, o_orderpriority AS pri,
+             |  count(*) AS n_items,
+             |  CAST(min(l_linenumber) AS BIGINT) AS first_item
+             |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |GROUP BY 1, 2, 3 ORDER BY k""".stripMargin)
+    ),
+
+    // MapType surface: per-user event-type→count maps built with
+    // map_from_entries, probed with element_at — the map-typed
+    // aggregation pattern, reduced to scalars so the oracle can compare.
+    QueryDef(
+      "agg_map_type_surface",
+      (s, d) => {
+        T.events(s, d)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .groupBy("user_id")
+          .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("n")))))
+            .as("m"))
+          .select(col("user_id"),
+            coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+            coalesce(element_at(col("m"), "view"), lit(0L)).as("views"),
+            expr("CAST(size(m) AS BIGINT)").as("n_types"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+             |  count(DISTINCT event_type) AS n_types
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
     // LATERAL correlated join surface: for each nation, the top-2
     // customers by balance from a correlated ORDER BY … LIMIT subquery —
     // the SQL shape Spark rewrites through DecorrelateInnerQuery into

@@ -50,11 +50,11 @@ object DocStream {
     * determinism), and open it as a one-file-per-trigger stream.
     */
   private def stageByBand(spark: SparkSession, typed: DataFrame,
-                          prefix: String): DataFrame = {
+                          prefix: String, width: Long = 100000L): DataFrame = {
     import spark.implicits._
     val srcDir = Files.createTempDirectory(prefix)
     srcDir.toFile.deleteOnExit()
-    val bands = typed.select(expr("doc_id div 100000").as("b"))
+    val bands = typed.select(expr(s"doc_id div ${width}L").as("b"))
       .distinct().orderBy("b").as[Long].collect()
     // The file-stream source orders files by modification time; bands
     // written back-to-back can land on the SAME mtime (filesystem
@@ -64,7 +64,7 @@ object DocStream {
     val mtimeBase = System.currentTimeMillis() - (bands.length + 1) * 2000L
     bands.zipWithIndex.foreach { case (b, idx) =>
       val bandDir = srcDir.resolve(f"$b%02d_band")
-      typed.where(expr(s"doc_id div 100000 = $b"))
+      typed.where(expr(s"doc_id div ${width}L = $b"))
         .coalesce(1).write.mode("overwrite").parquet(bandDir.toString)
       val t = java.nio.file.attribute.FileTime.fromMillis(mtimeBase + idx * 2000L)
       val listing = Files.list(bandDir)
@@ -95,6 +95,32 @@ object DocStream {
     q.awaitTermination()
     val nBatches = q.recentProgress.count(_.numInputRows > 0).toLong
     (spark.table(sinkName), nBatches)
+  }
+
+  /** Stateless streaming quality gate: the Gopher rule projection over a
+    * band-ordered document stream — map-only (no state, no watermark),
+    * the same rule columns per doc as the batch text_gopher_rules, so
+    * the two share one oracle. Narrow 200-id bands force ≥2
+    * micro-batches at every SF, proving the incremental path actually
+    * increments.
+    */
+  def gopherGate(spark: SparkSession, docs: DataFrame): (DataFrame, Long) = {
+    val typed = docs.select(col("doc_id").cast("long"), col("text"))
+    val raw = stageByBand(spark, typed, "graft_gopher_src", width = 200L)
+    val scored = raw
+      .withColumn("words", split(trim(col("text")), "\\s+"))
+      .withColumn("n_words", expr("CAST(size(words) AS BIGINT)"))
+      .withColumn("char_sum",
+        expr("CAST(length(regexp_replace(text, '\\\\s+', '')) AS BIGINT)"))
+      .withColumn("mean_wl_milli", expr("char_sum * 1000L DIV n_words"))
+      .withColumn("stop_hits",
+        expr("CAST(size(filter(words, w -> w IN ('the','a','of','to','and','in'))) AS BIGINT)"))
+      .withColumn("keep", expr(
+        """CAST(n_words BETWEEN 10 AND 100000
+          |  AND mean_wl_milli BETWEEN 2000 AND 10000
+          |  AND stop_hits >= 2 AS INT)""".stripMargin))
+      .select("doc_id", "n_words", "mean_wl_milli", "stop_hits", "keep")
+    runToMemory(spark, scored, "gopher")
   }
 
   /** Run the gate over `segs` (doc_id, seg_idx, seg, seg_h). Returns the
