@@ -943,6 +943,71 @@ object SimilarityQ {
              |GROUP BY 1, 2 ORDER BY np, qid""".stripMargin)
     ),
 
+    // Matryoshka truncate-then-RERANK: the full serving path — a cheap
+    // 16-dim shortlist of 50 candidates per query, exact full-dimension
+    // rerank of just those 50, top-10 kept. Per-query recall against the
+    // true full-dimension top-10 quantifies what the two-stage path
+    // recovers over raw truncation (sim_matryoshka_recall is the
+    // no-rerank baseline). The rerank join touches 50 rows per query.
+    QueryDef(
+      "sim_matryoshka_rerank_recall",
+      (s, d) => {
+        val full = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("vf"))
+        val pre = full.withColumn("vp", expr("slice(vf, 1, 16)"))
+        val q = pre.where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("vf").as("qf"), col("vp").as("qp"))
+        graft.engine.Expressions.register(s)
+        val wPre = Window.partitionBy("qid").orderBy(col("ps").desc, col("vec_id"))
+        val short50 = pre.crossJoin(broadcast(q))
+          .withColumn("ps", round(expr("vec_cosine_native(vp, qp)"), 6))
+          .withColumn("pr", row_number().over(wPre))
+          .where(col("pr") <= 50)
+        val wFull = Window.partitionBy("qid").orderBy(col("fs").desc, col("vec_id"))
+        val reranked = short50
+          .withColumn("fs", round(expr("vec_cosine_native(vf, qf)"), 6))
+          .withColumn("rr", row_number().over(wFull))
+          .where(col("rr") <= 10)
+          .select(col("qid"), col("vec_id").as("nid"))
+        val brute = qs.find(_.name == "sim_cosine_topk_bruteforce").get.fn(s, d)
+          .select(col("qid"), col("nid"))
+        brute.join(reranked, Seq("qid", "nid"), "left_semi")
+          .groupBy("qid")
+          .agg(count(lit(1)).cast("long").as("hits"))
+          .withColumn("recall_pct", (col("hits") * 10L).cast("long"))
+          .orderBy("qid")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vf,
+             |    (CAST(embedding AS DOUBLE[]))[1:16] AS vp FROM embeddings),
+             |q AS (SELECT vec_id AS qid, vf AS qf, vp AS qp FROM e WHERE vec_id < 5),
+             |psc AS (SELECT q.qid, e.vec_id AS nid, e.vf,
+             |    q.qf,
+             |    round(list_dot_product(e.vp, q.qp) /
+             |      (sqrt(list_dot_product(e.vp, e.vp)) * sqrt(list_dot_product(q.qp, q.qp))), 6) AS ps
+             |  FROM e CROSS JOIN q),
+             |sh AS (SELECT qid, nid, vf, qf FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ps DESC, nid) AS pr
+             |    FROM psc) WHERE pr <= 50),
+             |rr AS (SELECT qid, nid FROM (
+             |    SELECT qid, nid,
+             |      row_number() OVER (PARTITION BY qid ORDER BY
+             |        round(list_dot_product(vf, qf) /
+             |          (sqrt(list_dot_product(vf, vf)) * sqrt(list_dot_product(qf, qf))), 6) DESC,
+             |        nid) AS k
+             |    FROM sh) WHERE k <= 10),
+             |fsc AS (SELECT q.qid, e.vec_id AS nid,
+             |    round(list_dot_product(e.vf, q.qf) /
+             |      (sqrt(list_dot_product(e.vf, e.vf)) * sqrt(list_dot_product(q.qf, q.qf))), 6) AS score
+             |  FROM e CROSS JOIN q),
+             |btop AS (SELECT qid, nid FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+             |    FROM fsc) WHERE rn <= 10)
+             |SELECT b.qid AS qid, CAST(count(*) AS BIGINT) AS hits,
+             |  CAST(count(*) * 10 AS BIGINT) AS recall_pct
+             |FROM btop b JOIN rr ON b.qid = rr.qid AND b.nid = rr.nid
+             |GROUP BY 1 ORDER BY qid""".stripMargin)
+    ),
+
     // Hard-negative mining (contrastive training data): for each query
     // vector, the top-5 most-similar vectors with a DIFFERENT label —
     // the negatives that actually teach a contrastive model something.
