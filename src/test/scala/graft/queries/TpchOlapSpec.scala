@@ -234,6 +234,17 @@ class TpchOlapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(u1 >= 0 && u1 <= 2 * n1 * n2)
   }
 
+  test("matryoshka: reranking never loses recall vs raw truncation") {
+    val plain = q("sim_matryoshka_recall").collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("hits")).toMap
+    val rer = q("sim_matryoshka_rerank_recall").collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("hits")).toMap
+    rer.foreach { case (qid, h) =>
+      assert(h >= plain.getOrElse(qid, 0L), s"query $qid: rerank $h < plain ${plain.get(qid)}")
+      assert(h <= 10)
+    }
+  }
+
   test("q17: qualifying lines are a strict subset with below-average quantity") {
     val nl = q("tpch_q17_small_quantity").collect().head.getAs[Long]("n_lines")
     assert(nl >= 0)
