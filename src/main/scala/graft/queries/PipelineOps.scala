@@ -1178,6 +1178,49 @@ object PipelineOps {
              |FROM r WHERE rnk = 1 ORDER BY event_type""".stripMargin)
     ),
 
+    // Explicit RESIZE through the real codec: every image decoded and
+    // nearest-neighbor-resized to 4×4, with all 16 grayed output pixels
+    // emitted as rows — the oracle recomputes each one from the
+    // closed-form source-pixel function, so the resize itself (source
+    // index mapping + channel mix) is proven value-exact pixel by pixel,
+    // not just hash-exact. Pure map stage; at scale this is the thumbnail
+    // /feature-extraction pass of a multimodal ingest.
+    QueryDef(
+      "multimodal_resize_nn",
+      (s, d) => {
+        val f = udf((id: Long) => {
+          val png = graft.operators.PngCodec.encode(id)
+          val (w, h, rgb) = graft.operators.PngCodec.decode(png)
+          val small = graft.operators.PngCodec.resizeNearest(rgb, w, h, 4, 4)
+          (w, h, Array.tabulate(16)(k =>
+            ((small(k * 3) & 0xff) + (small(k * 3 + 1) & 0xff) +
+              (small(k * 3 + 2) & 0xff)) / 3))
+        })
+        T(s, d, "documents")
+          .where(expr("doc_id % 3 = 0"))
+          .select(col("doc_id").as("media_id"), f(col("doc_id")).as("r"))
+          .select(col("media_id"), col("r._1").cast("long").as("w"),
+            col("r._2").cast("long").as("h"),
+            posexplode(col("r._3")).as(Seq("k", "gray")))
+          .select(col("media_id"), col("w"), col("h"),
+            expr("CAST(k DIV 4 AS BIGINT)").as("i"),
+            expr("CAST(k % 4 AS BIGINT)").as("j"),
+            col("gray").cast("long").as("gray"))
+          .orderBy("media_id", "i", "j")
+      },
+      Some("""WITH ids AS (SELECT doc_id AS media_id,
+             |    16 + doc_id % 16 AS w, 16 + (doc_id // 16) % 16 AS h
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |g AS (SELECT media_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+             |    CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+             |    CAST(((3 * ((j * w) // 4) + 5 * ((i * h) // 4) + media_id) % 256
+             |     + (3 * ((j * w) // 4) + 5 * ((i * h) // 4) + 7 + media_id) % 256
+             |     + (3 * ((j * w) // 4) + 5 * ((i * h) // 4) + 14 + media_id) % 256) // 3 AS BIGINT) AS gray
+             |  FROM ids, (SELECT unnest(range(0, 4)) AS i) a,
+             |    (SELECT unnest(range(0, 4)) AS j) b)
+             |SELECT media_id, w, h, i, j, gray FROM g ORDER BY media_id, i, j""".stripMargin)
+    ),
+
     // Perceptual hash (aHash) of the PNG fixtures THROUGH THE REAL CODEC:
     // Spark encodes each image (zlib deflate, paeth filters), decodes it
     // back, nearest-neighbor-resizes to 8×8, grays, and sets a bit per
