@@ -631,8 +631,20 @@ object GeoQueries {
     QueryDef(
       "geo_knn_radius_join",
       (s, d) => {
-        val pts = pointsDf(s, d)
-          .select(col("point_id"), col("latitude").as("lat"), col("longitude").as("lon"))
+        // Pure-double coordinate chain, op-for-op the oracle's: latExpr/
+        // lonExpr divide by an un-suffixed 100.0 which Spark parses as
+        // DECIMAL, so reusing pointsDf made d2 decimal-exact while the
+        // DuckDB oracle rounds after EVERY double op — round(d2, 9) then
+        // disagreed in the last digit on some pairs (the r8 hash
+        // mismatch). Casting the decimal result at the end is not enough
+        // (one rounding vs per-op rounding); the chain itself must be
+        // double, per the D-suffix rule in geojson_source_roundtrip.
+        val pts = T(s, d, "orders").select(
+          col("o_orderkey").as("point_id"),
+          expr("cast(pmod(o_orderkey * 31 + o_custkey * 17, 14000) as double)" +
+            " / 100.0D - 70.0D + 0.005D").as("lat"),
+          expr("cast(pmod(o_orderkey * 13 + o_custkey * 7, 35000) as double)" +
+            " / 100.0D - 175.0D + 0.005D").as("lon"))
         val withCell = pts
           .withColumn("cx", expr("CAST(floor(lon * 2.0D) AS BIGINT)"))
           .withColumn("cy", expr("CAST(floor(lat * 2.0D) AS BIGINT)"))
