@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe replacements for global (un-partitioned) window functions.
+  *
+  * `row_number() OVER (ORDER BY …)` with no PARTITION BY plans a
+  * single-partition WindowExec — one task sorts the entire input, the
+  * classic 100-TB scale killer Spark itself warns about
+  * ("WindowExec: No Partition Defined"). These helpers compute the SAME
+  * values with bounded per-task work, generalizing the two-phase salted
+  * pattern of `text_length_bucket_batches`:
+  *
+  *   1. the caller supplies SALT expressions that are a deterministic,
+  *      ASC-monotone coarsening of the total order (see contract below);
+  *      the big frame shuffles ONCE on the salt into balanced groups;
+  *   2. a window partitioned by the salt ranks locally — every task
+  *      sorts only its salt group;
+  *   3. per-salt counts (≤ |salt space| rows — bounded by the salt
+  *      design, not the data) become cumulative offsets via a tiny
+  *      window and broadcast back; global rank = local rank + offset.
+  *
+  * The result is EXACTLY the global row_number/ntile — the salt group
+  * boundaries cancel out of the math — so DuckDB oracles written against
+  * the plain global window stay green.
+  *
+  * SALT CONTRACT (caller must guarantee; the math silently breaks
+  * otherwise): for any two rows a before b in the total order defined by
+  * `sortCols`, salts(a) <= salts(b) lexicographically (ASC). In
+  * practice: salt_0 is the leading sort column, optionally div-bucketed
+  * (negate first for a DESC leading column — `-(c div K)` stays monotone
+  * and equal-preserving); a second salt that sub-buckets a LATER sort
+  * column is only valid when salt_0 is the exact leading value (no
+  * coarsening), since coarsening would let later-column buckets
+  * interleave across the tie range. Pick bucket widths so the salt
+  * space stays ≲10⁵ groups (bounds the offset frame) while each group
+  * stays ≪ executor memory (bounds the local sort).
+  *
+  * An earlier design derived the salt from `spark_partition_id()` over a
+  * `repartitionByRange` — WRONG: the local-rank branch and the count
+  * branch each re-evaluate the nondeterministic partitioner (range
+  * sampling is seeded by the per-branch RDD id), so their pid
+  * assignments disagree whenever exchange reuse fails to unify the two
+  * subtrees (column pruning routinely makes them non-identical), and
+  * rank+offset silently stops being a permutation. Value-derived salts
+  * are deterministic by construction, so the branches can never
+  * disagree, reuse or not.
+  */
+object ScalableWindow {
+
+  /** Adds `outCol` = global 1-based row_number over the total order
+    * `sortCols` (callers must pass a TOTAL order — ties would make both
+    * the scalable and the single-window forms nondeterministic).
+    */
+  def withGlobalRowNumber(df: DataFrame, outCol: String)(
+      salts: Seq[Column], sortCols: Column*): DataFrame =
+    withGlobalCumSum(df, outCol, lit(1L))(salts, sortCols: _*)
+
+  /** Adds `outCol` = inclusive running sum of `value` (must be non-null)
+    * over the total order `sortCols` — `sum(value) OVER (ORDER BY …
+    * ROWS UNBOUNDED PRECEDING)` without the single-partition sort.
+    * row_number is the value ≡ 1 special case.
+    */
+  def withGlobalCumSum(df: DataFrame, outCol: String, value: Column)(
+      salts: Seq[Column], sortCols: Column*): DataFrame = {
+    val (local, offs, _, saltNames) = ranked(df, salts, sortCols, value)
+    local.join(broadcast(offs), saltNames)
+      .withColumn(outCol, col(LRK) + col(OFF))
+      .drop(saltNames: _*).drop(LRK, OFF)
+  }
+
+  /** Adds `outCol` = global ntile(n) (BIGINT) over the total order
+    * `sortCols`, matching SQL ntile exactly: with N rows, the first
+    * N mod n tiles get ceil(N/n) rows, the rest floor(N/n).
+    */
+  def withGlobalNtile(df: DataFrame, outCol: String, n: Int)(
+      salts: Seq[Column], sortCols: Column*): DataFrame = {
+    val (local, offs, counts, saltNames) = ranked(df, salts, sortCols, lit(1L))
+    val total = counts.agg(sum(CNT).cast("long").as(TOT))
+    // ntile arithmetic over rn = lrk + off: q = N div n, r = N mod n;
+    // tiles 1..r hold q+1 rows. CASE is lazy per-row, so the q=0
+    // (N < n) edge never divides by zero — the WHEN branch covers all rn.
+    val fid =
+      s"""CAST(CASE WHEN ($LRK + $OFF) <= ($TOT div $n + 1L) * ($TOT % $n)
+         |  THEN ($LRK + $OFF - 1L) div ($TOT div $n + 1L) + 1L
+         |  ELSE ($TOT % $n) +
+         |    (($LRK + $OFF) - 1L - ($TOT div $n + 1L) * ($TOT % $n)) div ($TOT div $n) + 1L
+         |END AS BIGINT)""".stripMargin
+    local.join(broadcast(offs), saltNames)
+      .crossJoin(broadcast(total))
+      .withColumn(outCol, expr(fid))
+      .drop(saltNames: _*).drop(LRK, OFF, TOT)
+  }
+
+  private val LRK = "__sw_lrk"
+  private val OFF = "__sw_off"
+  private val CNT = "__sw_cnt"
+  private val TOT = "__sw_tot"
+
+  /** Shared core: (locally cumsummed frame, per-salt offsets, per-salt
+    * totals, salt column names). `sum(value) ROWS UNBOUNDED PRECEDING`
+    * within the salt partition generalizes row_number (value ≡ 1). All
+    * branches derive the salt from row VALUES, so recomputation across
+    * plan branches is harmless.
+    */
+  private def ranked(df: DataFrame, salts: Seq[Column], sortCols: Seq[Column],
+      value: Column) = {
+    val saltNames = salts.indices.map(i => s"__sw_s$i")
+    val withSalt = saltNames.zip(salts).foldLeft(df) {
+      case (acc, (nm, c)) => acc.withColumn(nm, c)
+    }
+    val saltCols = saltNames.map(col)
+    val wLocal = Window.partitionBy(saltCols: _*).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = withSalt.withColumn(LRK, sum(value).over(wLocal).cast("long"))
+    val counts = withSalt.groupBy(saltCols: _*).agg(sum(value).cast("long").as(CNT))
+    // the offset window runs over ≤ |salt space| rows — bounded by the
+    // salt design, not the data, so its empty partitionBy is scale-safe
+    val wOff = Window.orderBy(saltCols: _*).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn(OFF, coalesce(sum(CNT).over(wOff), lit(0L)))
+      .select((saltNames :+ OFF).map(col): _*)
+    (local, offs, counts, saltNames)
+  }
+}

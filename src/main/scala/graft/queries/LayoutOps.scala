@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.ZOrder
+import graft.operators.{ScalableWindow, ZOrder}
 
 /** Data-layout operators: queries that characterize HOW rows should be
   * laid out on disk, not just what they compute. The flagship is z-order
@@ -45,9 +45,19 @@ object LayoutOps {
           .withColumn("xb", expr("((o_custkey - minc) * 64) div (maxc - minc + 1)"))
           .withColumn("yb", expr("((p2 - minp) * 64) div (maxp - minp + 1)"))
           .withColumn("zval", ZOrder.interleaveBits(Seq(col("xb"), col("yb")), 6))
-        val filed = b
-          .withColumn("fz", ntile(32).over(Window.orderBy(col("zval"), col("o_orderkey"))))
-          .withColumn("fl", ntile(32).over(Window.orderBy(col("xb"), col("yb"), col("o_orderkey"))))
+        // file assignment = global ntile, computed scale-safely (salted
+        // local rank + broadcast offsets, see ScalableWindow) instead of
+        // the single-partition WindowExec a bare Window.orderBy plans —
+        // the values are identical, so the ntile-based oracle stays
+        // green. Salts: zval div 64 (monotone 64-way split of the 12-bit
+        // z space); xb*64+yb is the exact lexicographic rank of (xb,yb),
+        // so its div 64 is a monotone split of the linear order.
+        val filed = ScalableWindow.withGlobalNtile(
+          ScalableWindow.withGlobalNtile(b, "fz", 32)(
+            Seq(expr("zval div 64L")), col("zval"), col("o_orderkey")),
+          "fl", 32)(
+          Seq(expr("(xb * 64L + yb) div 64L")),
+          col("xb"), col("yb"), col("o_orderkey"))
         def fileStats(fcol: String, layout: String) =
           filed.groupBy(col(fcol).as("fid"))
             .agg(min("xb").as("xmin"), max("xb").as("xmax"),
@@ -134,9 +144,12 @@ object LayoutOps {
             .withColumnRenamed("hx2", "hx").withColumnRenamed("hy2", "hy")
             .withColumnRenamed("hd2", "hd")
         }
-        val filed = cur
-          .withColumn("fh", ntile(32).over(Window.orderBy(col("hd"), col("o_orderkey"))))
-          .withColumn("fz", ntile(32).over(Window.orderBy(col("zval"), col("o_orderkey"))))
+        // scale-safe global ntile (see the z-order twin above); hd and
+        // zval are both 12-bit curve indices, div 64 = monotone 64-way salt
+        val filed = ScalableWindow.withGlobalNtile(
+          ScalableWindow.withGlobalNtile(cur, "fh", 32)(
+            Seq(expr("hd div 64L")), col("hd"), col("o_orderkey")),
+          "fz", 32)(Seq(expr("zval div 64L")), col("zval"), col("o_orderkey"))
         def fileStats(fcol: String, layout: String) =
           filed.groupBy(col(fcol).as("fid"))
             .agg(min("xb").as("xmin"), max("xb").as("xmax"),
@@ -319,9 +332,16 @@ object LayoutOps {
             max(expr("CAST(round(o_totalprice * 100.0D, 0) AS BIGINT)")).as("hi"))
         val pts = zones.select(col("lo").as("t"), lit(1L).as("delta"))
           .unionAll(zones.select(col("hi").as("t"), lit(-1L).as("delta")))
-        val w = Window.orderBy(col("t"), col("delta").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val sweep = pts.withColumn("running", sum("delta").over(w))
+        // the interval sweep's running sum is over 2·|zones| endpoint
+        // rows — a frame that GROWS with the data — so it runs through
+        // the salted two-phase cumsum (ScalableWindow), not a global
+        // window; t is cents in [~1e5, ~6e7], div 1e6 ≈ 60 salt groups.
+        // Within a (t, delta) tie the row order is arbitrary but the
+        // running values form the same multiset (each row adds an equal
+        // delta), so max(running) and its argmin-t are unchanged.
+        val sweep = graft.operators.ScalableWindow.withGlobalCumSum(
+          pts, "running", col("delta"))(
+          Seq(expr("t div 1000000L")), col("t"), col("delta").desc)
         val peak = sweep.agg(max("running").as("max_depth"))
         val nf = zones.agg(count(lit(1)).as("n_files"))
         sweep.crossJoin(broadcast(peak))

@@ -31,7 +31,8 @@ object PipelineOps {
       "customer_rfm_segments",
       (s, d) => {
         val o = T(s, d, "orders")
-        val mx = o.agg(max(to_date(col("o_orderdate"))).as("maxd"))
+        val mx = o.agg(max(to_date(col("o_orderdate"))).as("maxd"),
+          max("o_custkey").as("maxck"))
         val per = o.groupBy("o_custkey").agg(
             max(to_date(col("o_orderdate"))).as("lastd"),
             count(lit(1)).as("frequency"),
@@ -39,13 +40,32 @@ object PipelineOps {
               .as("monetary_cents"))
           .crossJoin(broadcast(mx))
           .withColumn("recency_days", datediff(col("maxd"), col("lastd")).cast("long"))
-        val wR = Window.orderBy(col("recency_days"), col("o_custkey"))
-        val wF = Window.orderBy(col("frequency").desc, col("o_custkey"))
-        val wM = Window.orderBy(col("monetary_cents").desc, col("o_custkey"))
-        per
-          .withColumn("r_q", ntile(4).over(wR).cast("long"))
-          .withColumn("f_q", ntile(4).over(wF).cast("long"))
-          .withColumn("m_q", ntile(4).over(wM).cast("long"))
+        // three global quartiles, each computed scale-safely (salted
+        // local rank + broadcast offsets — see ScalableWindow) instead
+        // of three single-partition WindowExecs over the O(|customers|)
+        // rollup; values identical to ntile(4), so the ntile-based
+        // oracle stays green. Salts per the monotonicity contract:
+        //   recency: the day value itself (≤ a few thousand groups,
+        //     each = customers last active that day);
+        //   frequency DESC: exact -frequency (ties are HUGE — most
+        //     customers share small counts) sub-salted by a custkey
+        //     range bucket, valid because the leading salt is exact;
+        //   monetary DESC: cents are near-unique, a 2048-way value
+        //     bucket alone balances.
+        val stats = per.agg(max("monetary_cents").as("maxm"))
+        val base = per.crossJoin(broadcast(stats))
+        val q1 = graft.operators.ScalableWindow.withGlobalNtile(
+          base, "r_q", 4)(
+          Seq(col("recency_days")), col("recency_days"), col("o_custkey"))
+        val q2 = graft.operators.ScalableWindow.withGlobalNtile(
+          q1, "f_q", 4)(
+          Seq(expr("-frequency"), expr("o_custkey div (maxck div 1024L + 1L)")),
+          col("frequency").desc, col("o_custkey"))
+        val q3 = graft.operators.ScalableWindow.withGlobalNtile(
+          q2, "m_q", 4)(
+          Seq(expr("-(monetary_cents div (maxm div 2048L + 1L))")),
+          col("monetary_cents").desc, col("o_custkey"))
+        q3
           .withColumn("segment", concat(lit("R"), col("r_q").cast("string"),
             lit("F"), col("f_q").cast("string"), lit("M"), col("m_q").cast("string")))
           .select("o_custkey", "recency_days", "frequency", "monetary_cents",

@@ -67,17 +67,30 @@ object StatsOps2 {
     QueryDef(
       "stats_mann_whitney_u",
       (s, d) => {
+        // Scale shape: the original form ran rank() OVER (ORDER BY v) on
+        // the raw event rows — a single-partition global sort of the
+        // fact. All the test needs per distinct value v is its tie count
+        // and the count of smaller rows, so: roll up to (v, cnt,
+        // view-cnt) — ONE shuffle, |distinct v| rows — then a salted
+        // two-phase running sum (ScalableWindow) gives the inclusive
+        // cumulative count cum(v). The doubled average rank of every row
+        // tied at v is r2 = 2·rank + cnt − 1 = 2·cum − cnt + 1 with
+        // rank = cum − cnt + 1, so the per-group sums reduce to closed
+        // forms over the rollup. The oracle keeps the textbook per-row
+        // window — same values by the algebra above.
         val ev = T.events(s, d).where(col("event_type").isin("view", "click"))
           .select(col("event_type").as("t"),
             expr("CAST(round(value * 1000000.0D, 0) AS BIGINT)").as("v"))
-        val rk = rank().over(Window.orderBy("v"))
-        val ct = count(lit(1)).over(Window.partitionBy("v"))
-        val ranked = ev.withColumn("r2", lit(2L) * rk + ct - 1L)
-        ranked.groupBy(lit(1).as("g"))
+        val pv = ev.groupBy("v").agg(
+          count(lit(1)).as("cnt"),
+          sum(when(col("t") === "view", 1L).otherwise(0L)).as("vc"))
+        val cum = graft.operators.ScalableWindow.withGlobalCumSum(
+          pv, "cum", col("cnt"))(Seq(expr("v div 1000000L")), col("v"))
+        cum.groupBy(lit(1).as("g"))
           .agg(
-            sum(when(col("t") === "view", 1L).otherwise(0L)).as("n1"),
-            sum(when(col("t") === "click", 1L).otherwise(0L)).as("n2"),
-            sum(when(col("t") === "view", col("r2")).otherwise(0L)).as("r1_doubled"))
+            sum("vc").cast("long").as("n1"),
+            sum(expr("cnt - vc")).cast("long").as("n2"),
+            sum(expr("vc * (2L * cum - cnt + 1L)")).cast("long").as("r1_doubled"))
           .withColumn("u1_doubled", expr("r1_doubled - n1 * (n1 + 1)"))
           .withColumn("u2_doubled", expr("2 * n1 * n2 - u1_doubled"))
           .drop("g")

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalableWindow must reproduce the plain global window EXACTLY — the
+  * salt-group boundaries cancel out of the rank/ntile math — including
+  * under nesting (two helpers chained on one frame), which is precisely
+  * the shape that silently broke the earlier spark_partition_id-based
+  * design (the rank branch and the count branch sampled different range
+  * boundaries, so rank+offset stopped being a permutation).
+  */
+class ScalableWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      // plan-shape assertions read executedPlan pre-execution; AQE would
+      // wrap it in an AdaptiveSparkPlanExec that collect() can't see into
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  private def frame(n: Int) = {
+    import spark.implicits._
+    // keys with heavy ties in v (salted coarsely) and a unique tiebreak
+    (1 to n).map(i => (i.toLong, (i * 7 % 13).toLong, (i * 31 % 997).toLong))
+      .toDF("id", "v", "w")
+  }
+
+  test("withGlobalRowNumber equals row_number() over a global order") {
+    val df = frame(500)
+    val ref = df.withColumn("r",
+      row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+    val got = ScalableWindow.withGlobalRowNumber(df, "r2")(
+      Seq(col("v")), col("v"), col("id"))
+    assert(ref.join(got, "id").where(col("r") =!= col("r2")).count() === 0)
+  }
+
+  test("descending order with a negated salt") {
+    val df = frame(500)
+    val ref = df.withColumn("r",
+      row_number().over(Window.orderBy(col("w").desc, col("id"))).cast("long"))
+    val got = ScalableWindow.withGlobalRowNumber(df, "r2")(
+      Seq(expr("-(w div 50L)")), col("w").desc, col("id"))
+    assert(ref.join(got, "id").where(col("r") =!= col("r2")).count() === 0)
+  }
+
+  test("exact-leading-salt plus tiebreak sub-salt stays a permutation") {
+    val df = frame(1000)
+    val ref = df.withColumn("r",
+      row_number().over(Window.orderBy(col("v").desc, col("id"))).cast("long"))
+    val got = ScalableWindow.withGlobalRowNumber(df, "r2")(
+      Seq(expr("-v"), expr("id div 64L")), col("v").desc, col("id"))
+    assert(ref.join(got, "id").where(col("r") =!= col("r2")).count() === 0)
+  }
+
+  test("ntile matches SQL ntile for uneven tile sizes and N < n") {
+    for (n <- Seq(4, 7, 32); rows <- Seq(10, 33, 500)) {
+      val df = frame(rows)
+      val ref = df.withColumn("t",
+        ntile(n).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      val got = ScalableWindow.withGlobalNtile(df, "t2", n)(
+        Seq(col("v")), col("v"), col("id"))
+      assert(ref.join(got, "id").where(col("t") =!= col("t2")).count() === 0,
+        s"n=$n rows=$rows")
+    }
+  }
+
+  test("nested helpers on one frame both stay exact (the pid-design killer)") {
+    val df = frame(800)
+    val ref = df
+      .withColumn("a", ntile(8).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .withColumn("b", ntile(8).over(Window.orderBy(col("w"), col("id"))).cast("long"))
+    val got = ScalableWindow.withGlobalNtile(
+      ScalableWindow.withGlobalNtile(df, "a2", 8)(Seq(col("v")), col("v"), col("id")),
+      "b2", 8)(Seq(expr("w div 100L")), col("w"), col("id"))
+    val j = ref.join(got, "id")
+    assert(j.where(col("a") =!= col("a2")).count() === 0)
+    assert(j.where(col("b") =!= col("b2")).count() === 0)
+  }
+
+  test("the big-frame window is salt-partitioned (no global WindowExec over the input)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = frame(500)
+    val plan = ScalableWindow.withGlobalRowNumber(df, "r")(
+      Seq(col("v")), col("v"), col("id")).queryExecution.executedPlan
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    // exactly the offset window (over per-salt counts, an aggregated
+    // frame) may be un-partitioned; the rank window must not be
+    val unpartitioned = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.size === 1)
+    val hasAggBelow = unpartitioned.head.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.isDefined
+    assert(hasAggBelow, "offset window must run over the per-salt aggregate")
+  }
+}

@@ -171,23 +171,60 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.take(3000))
   }
 
+  // excluded from the full-registry sweeps: streaming twins (building the
+  // frame RUNS the stream), k-means/BPE training and resolve pipelines
+  // (eager jobs at build time), the source round-trip and compaction
+  // execute (write files when built), and the PCA projection twin (runs
+  // collect/eigensolve jobs at build time). None of them contain a join
+  // that could degrade to a cartesian anyway.
+  private val eager = Set("text_bpe_train", "text_bpe_apply",
+    "layout_compaction_execute", "embedding_pca_project_checked")
+  private def excluded(n: String) =
+    n.contains("_stream") || n.startsWith("sim_ann") ||
+      n.startsWith("h3_resolve") || n == "geojson_source_roundtrip" ||
+      eager(n)
+  // one shared sweep: building every registered query's physical plan is
+  // the expensive part, so both full-registry lints read from this
+  private lazy val sweptPlans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
+    graft.SparkEntry.registry.filterNot(q => excluded(q.name))
+      .map(q => q.name -> q.fn(spark, sf).queryExecution.executedPlan)
+
   test("no registered batch query plans a CartesianProduct") {
-    // excluded: streaming twins (building the frame RUNS the stream),
-    // k-means/BPE training and resolve pipelines (eager jobs at build
-    // time), and the source round-trip (writes files when built). None of
-    // them contain a join that could degrade to a cartesian anyway.
-    val eager = Set("text_bpe_train", "text_bpe_apply")
-    def excluded(n: String) =
-      n.contains("_stream") || n.startsWith("sim_ann") ||
-        n.startsWith("h3_resolve") || n == "geojson_source_roundtrip" ||
-        eager(n)
-    val offenders = graft.SparkEntry.registry
-      .filterNot(q => excluded(q.name))
-      .flatMap { q =>
-        val p = q.fn(spark, sf).queryExecution.executedPlan.toString()
-        if (p.contains("CartesianProduct")) Some(q.name) else None
-      }
+    val offenders = sweptPlans.collect {
+      case (n, p) if p.toString().contains("CartesianProduct") => n
+    }
     assert(offenders.isEmpty,
       s"queries planning a CartesianProduct: ${offenders.mkString(", ")}")
+  }
+
+  test("no un-partitioned WindowExec over an unbounded input (global-sort lint)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{TakeOrderedAndProjectExec, GlobalLimitExec, CollectLimitExec, LocalLimitExec}
+    // A window with no PARTITION BY moves ALL its input through one task
+    // (Spark's own "WindowExec: No Partition Defined" warning). That is
+    // only scale-safe when the input frame is bounded by construction —
+    // i.e. every lineage path below it passes through an aggregate or a
+    // limit before reaching a scan. Frames that grow with the data must
+    // use a partitioned window or ScalableWindow instead.
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case _: TakeOrderedAndProjectExec => true
+      case _: GlobalLimitExec | _: CollectLimitExec | _: LocalLimitExec => true
+      // a reused exchange is a leaf wrapping an already-planned subtree
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        bounded(r.child)
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(bounded)
+    }
+    val offenders = sweptPlans.flatMap { case (n, p) =>
+      val bad = p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) => w
+      }
+      if (bad.isEmpty) None else Some(n)
+    }
+    assert(offenders.isEmpty,
+      s"queries planning a global-sort WindowExec over unbounded input: ${offenders.mkString(", ")}")
   }
 }
