@@ -683,6 +683,121 @@ object GeoQueries {
              |  FROM f)
              |SELECT qid, nid, round(d2, 9) AS d2, rn FROM r WHERE rn <= 5
              |ORDER BY qid, rn""".stripMargin)
-    )
+    ),
+
+    // ORACLED conservation twin for the POLYGON/PCT_AREA path (the
+    // hardest geometry recipe — centroid polyfill + OverlayNG clip +
+    // spheroid area ratio). Invariants:
+    //   * regroup conservation: per-row balance·ratio terms, rounded to a
+    //     fixed DECIMAL, re-sum to the SAME total grouped by cell as
+    //     grouped by feature (decimal addition is exact and commutative,
+    //     so equality is exact, not tolerance-based);
+    //   * analytic ratio bounds: each cell's intersection ratio is in
+    //     (0, 1], and a feature's ratios sum to ≤ 1 + ε — cell clips are
+    //     disjoint, so their spheroid areas can't exceed the polygon's;
+    //   * the resolver's double-summed totals agree with the decimal
+    //     path to rounding tolerance (N·5e-7 from the per-term round);
+    //   * features with ≥1 cell never exceed the source row count.
+    // DuckDB can't compute any H3/geodesic value, so the oracle pins the
+    // booleans plus the source count — the same construction as
+    // h3_smooth_disk_checked.
+    QueryDef("h3_index_polygons_checked",
+      (s, d) => {
+        val idx = indexed(s, polysInput, polysDf(s, d),
+          forWrite = false, asHex = false)
+        val term = expr("CAST(round(balance * ratio, 6) AS DECIMAL(28,6))")
+        val cellTot = idx.groupBy(col(Cols.H3Index))
+          .agg(sum(term).as("ct"))
+          .agg(sum(col("ct")).as("cell_total"))
+        val byFeat = idx.groupBy(col("geo_id"))
+          .agg(sum(term).as("ft"), sum(col(Cols.Ratio)).as("sr"),
+            min(col(Cols.Ratio)).as("minr"), max(col(Cols.Ratio)).as("maxr"))
+        val featAgg = byFeat.agg(
+          sum(col("ft")).as("feat_total"),
+          (sum(when(col("sr") <= lit(1.0) + lit(1e-9), 0L).otherwise(1L)) === 0L)
+            .as("all_cover_le_1"),
+          (sum(when(col("minr") > 0.0, 0L).otherwise(1L)) === 0L).as("all_ratio_pos"),
+          (sum(when(col("maxr") <= lit(1.0) + lit(1e-12), 0L).otherwise(1L)) === 0L)
+            .as("all_ratio_le_1"),
+          count(lit(1)).as("n_features"))
+        val rv = Resolver.resolveInput(idx, Seq("balance"))
+          .agg(sum(col("sum_balance")).as("rv_total"))
+        val src = T(s, d, "customer").agg(count(lit(1)).as("n_source"))
+        cellTot.crossJoin(broadcast(featAgg))
+          .crossJoin(broadcast(rv)).crossJoin(broadcast(src))
+          .select(
+            (col("cell_total") === col("feat_total")).as("cell_feat_conserves"),
+            col("all_cover_le_1"), col("all_ratio_pos"), col("all_ratio_le_1"),
+            (abs(col("rv_total") - col("feat_total").cast("double")) <=
+              lit(1e-6) * (abs(col("rv_total")) + lit(1.0)))
+              .as("resolver_total_close"),
+            (col("n_features") <= col("n_source")).as("features_le_source"),
+            col("n_source"))
+      },
+      Some("""SELECT true AS cell_feat_conserves, true AS all_cover_le_1,
+             |  true AS all_ratio_pos, true AS all_ratio_le_1,
+             |  true AS resolver_total_close, true AS features_le_source,
+             |  count(*) AS n_source
+             |FROM customer""".stripMargin)),
+
+    // ORACLED conservation twin for the full-outer resolver fold
+    // (h3_resolve_multi, the E2E recipe). Invariants:
+    //   * qty conservation end-to-end: points index with ratio ≡ 1, so
+    //     the folded per-cell sum_qty — rounded to cents and
+    //     decimal-summed — must re-total to the DuckDB decimal total of
+    //     o_totalprice over the source table;
+    //   * the fold loses nothing: per-cell sums carried through the
+    //     full-outer join are the SAME doubles as the per-input frames,
+    //     so fixed-decimal re-sums match exactly on both value columns;
+    //   * cell accounting: |folded| = |points cells| + |polygon cells| −
+    //     |shared cells|, every folded row has at least one non-null
+    //     side, and the non-null counts equal the per-input row counts.
+    QueryDef("h3_resolve_multi_checked",
+      (s, d) => {
+        GraftFunctions.register(s)
+        val p = Resolver.resolveInput(
+          indexed(s, pointsInput, pointsDf(s, d), forWrite = false, asHex = false),
+          Seq("qty")).localCheckpoint()
+        val g = Resolver.resolveInput(
+          indexed(s, polysInput, polysDf(s, d), forWrite = false, asHex = false),
+          Seq("balance")).localCheckpoint()
+        val folded = Resolver.resolve(s, Seq(p, g), Res)
+        def cents(c: String) = sum(col(c).cast("decimal(18,2)"))
+        def fix4(c: String) = sum(expr(s"CAST(round($c, 4) AS DECIMAL(28,4))"))
+        val f = folded.agg(
+          count(lit(1)).as("n_folded"),
+          cents("sum_qty").cast("double").as("qty_total_f"),
+          fix4("sum_qty").as("qty_fix_f"), fix4("sum_balance").as("bal_fix_f"),
+          sum(when(col("sum_qty").isNotNull, 1L).otherwise(0L)).as("n_with_qty"),
+          sum(when(col("sum_balance").isNotNull, 1L).otherwise(0L)).as("n_with_bal"),
+          sum(when(col("sum_qty").isNull && col("sum_balance").isNull, 1L)
+            .otherwise(0L)).as("n_both_null"))
+        val pp = p.agg(count(lit(1)).as("n_p"), fix4("sum_qty").as("qty_fix_p"))
+        val gg = g.agg(count(lit(1)).as("n_g"), fix4("sum_balance").as("bal_fix_g"))
+        val both = p.select(col(Cols.H3Index))
+          .join(g.select(col(Cols.H3Index)), Seq(Cols.H3Index))
+          .agg(count(lit(1)).as("n_both"))
+        val src = pointsDf(s, d).agg(
+          count(lit(1)).as("n_points"),
+          sum(col("qty").cast("decimal(18,2)")).cast("double").as("qty_total"))
+        f.crossJoin(broadcast(pp)).crossJoin(broadcast(gg))
+          .crossJoin(broadcast(both)).crossJoin(broadcast(src))
+          .select(
+            (col("qty_total_f") === col("qty_total")).as("qty_conserves"),
+            (col("qty_fix_f") === col("qty_fix_p")).as("fold_keeps_qty"),
+            (col("bal_fix_f") === col("bal_fix_g")).as("fold_keeps_balance"),
+            (col("n_folded") === col("n_p") + col("n_g") - col("n_both"))
+              .as("cell_union_counts"),
+            (col("n_with_qty") === col("n_p")).as("qty_rows_match"),
+            (col("n_with_bal") === col("n_g")).as("balance_rows_match"),
+            (col("n_both_null") === 0L).as("no_empty_rows"),
+            col("n_points"), col("qty_total"))
+      },
+      Some("""SELECT true AS qty_conserves, true AS fold_keeps_qty,
+             |  true AS fold_keeps_balance, true AS cell_union_counts,
+             |  true AS qty_rows_match, true AS balance_rows_match,
+             |  true AS no_empty_rows, count(*) AS n_points,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS qty_total
+             |FROM orders""".stripMargin))
   )
 }
