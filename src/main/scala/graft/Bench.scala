@@ -17,8 +17,8 @@ object Bench {
     // Per-stage shuffle/spill accumulation: the artifact carries each
     // query's data-movement profile next to its wall time, so a
     // regression is attributable (slower AND more shuffle = plan change;
-    // slower at same shuffle = host). Listener events drain async — the
-    // per-query snapshot sleeps briefly after the reps before reading.
+    // slower at same shuffle = host). Listener events drain async — each
+    // per-query snapshot waits for the bus to empty before reading.
     val shufWrite = new java.util.concurrent.atomic.AtomicLong()
     val shufRead = new java.util.concurrent.atomic.AtomicLong()
     val spillDisk = new java.util.concurrent.atomic.AtomicLong()
@@ -50,7 +50,10 @@ object Bench {
       // semantics are unchanged.
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      Thread.sleep(150) // drain async listener events from the warm rep
+      // drain the async listener bus before snapshotting: under load
+      // stage-completed events can lag well past any fixed sleep, which
+      // charged one query's shuffle bytes to the next query's delta
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       val (w0, r0, s0) = (shufWrite.get(), shufRead.get(), spillDisk.get())
       val times = (1 to reps).flatMap { rep =>
         val misses0 = graft.geo.H3Geo.memoMisses.get()
@@ -71,10 +74,11 @@ object Bench {
             None
         }
       }
-      Thread.sleep(150)
-      val perRep = if (times.nonEmpty) times.size else 1
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      // average over ATTEMPTED reps: failed reps still ran stages and
+      // accumulated IO, so dividing by successes alone overstated MB/rep
       val ioMb = Seq(shufWrite.get() - w0, shufRead.get() - r0, spillDisk.get() - s0)
-        .map(b => b / perRep / 1048576.0)
+        .map(b => b / reps / 1048576.0)
       (q.name, times.minOption, times.size, times, ioMb)
     }
     val qs = results.map {

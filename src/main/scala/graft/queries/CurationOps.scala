@@ -228,20 +228,29 @@ object CurationOps {
         Multimodal.extractPcmFeatures(s, Multimodal.audioTable(s, d))
           .orderBy("media_id")
       },
+      // Byte-exact oracle: samples are re-derived from hex(encode(text))
+      // 2-char slices — actual UTF-8 BYTES, not codepoints (ascii(substr)
+      // would diverge on any non-ASCII fixture) — the 16-bit branch
+      // applies the same signed wrap (≥32768 → −65536) the Spark decoder
+      // does, and a zero-sample payload still yields one all-zero row via
+      // the LEFT JOIN from base (Spark emits AudioFeatures(id, 0,…) for
+      // an empty body; a bare GROUP BY would emit nothing).
       Some("""WITH base AS (
-             |  SELECT doc_id AS media_id, text,
+             |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
              |    octet_length(encode(text)) AS tlen,
              |    CASE WHEN mod(doc_id // 2, 2) = 0 THEN 8 ELSE 16 END AS bits
              |  FROM documents WHERE mod(doc_id, 3) = 1),
              |s8 AS (SELECT media_id, i AS idx,
-             |    ascii(substr(text, CAST(i AS INT), 1)) - 128 AS s
+             |    CAST(('0x' || substr(hx, CAST(2 * i - 1 AS INT), 2)) AS BIGINT) - 128 AS s
              |  FROM base, LATERAL (SELECT unnest(range(1, tlen + 1)) AS i)
              |  WHERE bits = 8),
-             |s16 AS (SELECT media_id, j AS idx,
-             |    ascii(substr(text, CAST(2 * j + 1 AS INT), 1))
-             |      + 256 * ascii(substr(text, CAST(2 * j + 2 AS INT), 1)) AS s
+             |s16r AS (SELECT media_id, j AS idx,
+             |    CAST(('0x' || substr(hx, CAST(2 * (2 * j + 1) - 1 AS INT), 2)) AS BIGINT)
+             |      + 256 * CAST(('0x' || substr(hx, CAST(2 * (2 * j + 2) - 1 AS INT), 2)) AS BIGINT) AS v
              |  FROM base, LATERAL (SELECT unnest(range(0, tlen // 2)) AS j)
              |  WHERE bits = 16),
+             |s16 AS (SELECT media_id, idx,
+             |    CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s FROM s16r),
              |samp AS (SELECT * FROM s8 UNION ALL SELECT * FROM s16),
              |d AS (SELECT media_id, idx, s,
              |    s - lag(s) OVER (PARTITION BY media_id ORDER BY idx) AS dlt
@@ -250,14 +259,22 @@ object CurationOps {
              |    CASE WHEN dlt IS NULL THEN NULL ELSE CAST(dlt < 0 AS INT) END AS dneg,
              |    lag(CASE WHEN dlt IS NULL THEN NULL ELSE CAST(dlt < 0 AS INT) END)
              |      OVER (PARTITION BY media_id ORDER BY idx) AS pneg
-             |  FROM d)
-             |SELECT media_id, count(*) AS n_samples,
-             |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
-             |  CAST(max(abs(s)) AS BIGINT) AS max_abs,
-             |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
-             |  CAST(sum(CASE WHEN dneg IS NOT NULL AND pneg IS NOT NULL
-             |                AND dneg <> pneg THEN 1 ELSE 0 END) AS BIGINT) AS reversals
-             |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin)
+             |  FROM d),
+             |agg AS (SELECT media_id, count(*) AS n_samples,
+             |    CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+             |    CAST(max(abs(s)) AS BIGINT) AS max_abs,
+             |    CAST(sum(s * s) AS BIGINT) AS sum_sq,
+             |    CAST(sum(CASE WHEN dneg IS NOT NULL AND pneg IS NOT NULL
+             |                  AND dneg <> pneg THEN 1 ELSE 0 END) AS BIGINT) AS reversals
+             |  FROM dd GROUP BY 1)
+             |SELECT base.media_id,
+             |  COALESCE(n_samples, 0) AS n_samples,
+             |  COALESCE(sum_abs, 0) AS sum_abs,
+             |  COALESCE(max_abs, 0) AS max_abs,
+             |  COALESCE(sum_sq, 0) AS sum_sq,
+             |  COALESCE(reversals, 0) AS reversals
+             |FROM base LEFT JOIN agg ON base.media_id = agg.media_id
+             |ORDER BY 1""".stripMargin)
     ),
 
     // Dunning log-likelihood-ratio collocations (the robust alternative

@@ -188,8 +188,12 @@ object StatsOps2 {
               .stripMargin.replace("\n", " ")))
           .agg(count(lit(1)).as("n_cells"),
             max("ntot").as("n_total"),
-            sum("term").cast("double").as("chi2"))
-          .withColumn("dof", expr("CAST(4 * 2 AS BIGINT)"))
+            sum("term").cast("double").as("chi2"),
+            // dof derived from the observed table, not hardcoded: the
+            // test data has 5 segments × 3 statuses, but the formula
+            // must survive a cardinality change
+            ((countDistinct("seg") - 1) * (countDistinct("st") - 1))
+              .cast("long").as("dof"))
       },
       Some("""WITH co AS (
              |  SELECT c_mktsegment AS seg, o_orderstatus AS st, count(*) AS o
@@ -202,7 +206,7 @@ object StatsOps2 {
              |  CAST(sum(CAST(round(
              |    CAST((o * ntot - rsum * csum) * (o * ntot - rsum * csum) AS DOUBLE)
              |    / (CAST(rsum AS DOUBLE) * csum * ntot), 6) AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
-             |  CAST(8 AS BIGINT) AS dof
+             |  CAST((count(DISTINCT seg) - 1) * (count(DISTINCT st) - 1) AS BIGINT) AS dof
              |FROM co JOIN ri USING (seg) JOIN cj USING (st) CROSS JOIN n""".stripMargin)
     ),
 

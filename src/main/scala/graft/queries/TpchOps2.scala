@@ -67,9 +67,9 @@ object TpchOps2 {
     // Q2: minimum-cost supplier. Adaptation (no partsupp): for each
     // ECONOMY part under size 25, the supplier who shipped it with the
     // LOWEST account balance, restricted to EUROPE — the correlated-min
-    // shape, computed as a packed-integer argmin per part (cents·10⁷ +
-    // suppkey makes the minimum unique) instead of a correlated
-    // subquery per row. Top 20 by supplier balance desc.
+    // shape, computed as a packed-integer argmin per part (biased
+    // cents·10¹⁰ + suppkey makes the minimum unique and positive) instead
+    // of a correlated subquery per row. Top 20 by supplier balance desc.
     QueryDef(
       "tpch_q2_min_cost_supplier",
       (s, d) => {
@@ -86,13 +86,21 @@ object TpchOps2 {
           .select("p_partkey", "p_brand", "p_size")
         val shipped = T(s, d, "lineitem").select("l_partkey", "l_suppkey").distinct()
           .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+        // Pack with a +100000-cent bias: s_acctbal can be negative
+        // (≥ −999.99), and an unbiased bal_cents*M + suppkey makes
+        // packed % M a NEGATIVE remainder for those suppliers, so the
+        // join back on best_suppkey silently dropped every part whose
+        // cheapest supplier was in the red. The bias keeps the packed
+        // value positive; the multiplier 1e10 leaves room for suppkeys
+        // at any realistic scale (1e17 ≪ 2⁶³).
         val best = shipped
           .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
           .groupBy("l_partkey")
-          .agg(min(expr("bal_cents * 10000000L + s_suppkey")).as("packed"))
+          .agg(min(expr("(bal_cents + 100000L) * 10000000000L + s_suppkey"))
+            .as("packed"))
           .select(col("l_partkey").as("pk"),
-            expr("packed % 10000000L").as("best_suppkey"),
-            expr("packed DIV 10000000L").as("bal_cents"))
+            expr("packed % 10000000000L").as("best_suppkey"),
+            expr("packed DIV 10000000000L - 100000L").as("bal_cents"))
         best.join(broadcast(p), col("pk") === col("p_partkey"))
           .join(broadcast(supp.select(col("s_suppkey"), col("s_name"), col("n_name"))),
             col("best_suppkey") === col("s_suppkey"))
@@ -112,8 +120,8 @@ object TpchOps2 {
              |shipped AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
              |  WHERE l_partkey IN (SELECT p_partkey FROM p)),
              |best AS (SELECT l_partkey AS pk,
-             |    CAST(min(bal_cents * 10000000 + s_suppkey) % 10000000 AS BIGINT) AS best_suppkey,
-             |    CAST(min(bal_cents * 10000000 + s_suppkey) // 10000000 AS BIGINT) AS bal_cents
+             |    CAST(min((bal_cents + 100000) * 10000000000 + s_suppkey) % 10000000000 AS BIGINT) AS best_suppkey,
+             |    CAST(min((bal_cents + 100000) * 10000000000 + s_suppkey) // 10000000000 - 100000 AS BIGINT) AS bal_cents
              |  FROM shipped JOIN supp ON l_suppkey = s_suppkey
              |  GROUP BY 1)
              |SELECT p_partkey, p_brand, s_name, n_name, best.bal_cents AS bal_cents
