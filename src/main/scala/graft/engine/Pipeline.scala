@@ -334,8 +334,16 @@ object Resolver {
     * Accepts h3_index as either LONG (the `asHex = false` indexer path —
     * the group-by and fold then hash int64 keys) or hex STRING (persisted
     * indexed outputs); LONG inputs become hex text in the final projection.
+    *
+    * @param forWrite when true (the sink path) the fold output is
+    *   repartitioned by h3_r3_parent to match the partitioned write
+    *   layout; consumers that re-sort or re-aggregate downstream pass
+    *   false and skip that full shuffle of the folded table (at 100 TB
+    *   the repartition is pure waste when an orderBy immediately
+    *   replaces the partitioning).
     */
-  def resolve(spark: SparkSession, perInput: Seq[DataFrame], res: Int): DataFrame = {
+  def resolve(spark: SparkSession, perInput: Seq[DataFrame], res: Int,
+              forWrite: Boolean = true): DataFrame = {
     // A mixed fold (a LONG asHex=false frame joined with a persisted
     // hex-string frame) would let Spark coerce the join keys — hex strings
     // cast to numeric become null — silently mismatching every row, so
@@ -363,7 +371,9 @@ object Resolver {
         .withColumn(Cols.H3Resolution, lit(res))
         .withColumn(Cols.H3R3Parent, callUDF("h3_parent_res3", col(Cols.H3Index)))
         .withColumn(Cols.H3AreaKm2, callUDF("h3_cell_area_km2", col(Cols.H3Index)))
-    val parted = withEpilogue.repartition(col(Cols.H3R3Parent))
+    val parted =
+      if (forWrite) withEpilogue.repartition(col(Cols.H3R3Parent))
+      else withEpilogue
     def cellOut(c: String) = if (isLong) expr(s"h3_hex($c)").as(c) else col(c)
     parted.select((Seq(cellOut(Cols.H3Index), col(Cols.H3Resolution),
         cellOut(Cols.H3R3Parent), col(Cols.H3AreaKm2)) ++
@@ -372,8 +382,9 @@ object Resolver {
 
   /** Single-input fast path (main.py:78-85, h3_resolver.py:101-160). */
   def resolveSingle(spark: SparkSession, indexed: DataFrame,
-                    inputColumns: Seq[String], res: Int): DataFrame =
-    resolve(spark, Seq(resolveInput(indexed, inputColumns)), res)
+                    inputColumns: Seq[String], res: Int,
+                    forWrite: Boolean = true): DataFrame =
+    resolve(spark, Seq(resolveInput(indexed, inputColumns)), res, forWrite)
 
   /** Incremental resolve: fold a newly resolved batch into an existing
     * resolved table of the SAME sum_ schema without recomputing history —

@@ -114,7 +114,7 @@ object GeoQueries {
           Seq("balance")).localCheckpoint())
         val p = Await.result(pf, Duration.Inf)
         val g = Await.result(gf, Duration.Inf)
-        Resolver.resolve(s, Seq(p, g), Res).orderBy("h3_index")
+        Resolver.resolve(s, Seq(p, g), Res, forWrite = false).orderBy("h3_index")
       },
       headline = true),
 
@@ -246,7 +246,7 @@ object GeoQueries {
         val g = Resolver.resolveInput(
           indexed(s, polysInput, polysDf(s, d), forWrite = false, asHex = false),
           Seq("balance")).localCheckpoint()
-        Resolver.resolve(s, Seq(p, g), Res).orderBy("h3_index")
+        Resolver.resolve(s, Seq(p, g), Res, forWrite = false).orderBy("h3_index")
       }),
 
     // distributed point-in-polygon spatial join: H3 cells bucket both sides
@@ -761,7 +761,7 @@ object GeoQueries {
         val g = Resolver.resolveInput(
           indexed(s, polysInput, polysDf(s, d), forWrite = false, asHex = false),
           Seq("balance")).localCheckpoint()
-        val folded = Resolver.resolve(s, Seq(p, g), Res)
+        val folded = Resolver.resolve(s, Seq(p, g), Res, forWrite = false)
         def cents(c: String) = sum(col(c).cast("decimal(18,2)"))
         def fix4(c: String) = sum(expr(s"CAST(round($c, 4) AS DECIMAL(28,4))"))
         val f = folded.agg(
