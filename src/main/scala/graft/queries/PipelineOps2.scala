@@ -162,7 +162,7 @@ object PipelineOps2 {
         val exact = a.select(col("user_id")).intersect(b.select(col("user_id")))
           .agg(count(lit(1)).cast("long").as("exact_inter"))
         val sizes = a.agg(count(lit(1)).cast("long").as("n_a"))
-          .crossJoin(b.agg(count(lit(1)).cast("long").as("n_b")))
+          .crossJoin(broadcast(b.agg(count(lit(1)).cast("long").as("n_b"))))
         est.crossJoin(broadcast(exact)).crossJoin(broadcast(sizes))
           .withColumn("exact_union", col("n_a") + col("n_b") - col("exact_inter"))
           // |est/k − exact_j| ≤ 1.5/√256: integer cross-multiply, no FP
