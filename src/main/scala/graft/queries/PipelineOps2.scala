@@ -15,6 +15,67 @@ import org.apache.spark.sql.functions._
   */
 object PipelineOps2 {
 
+  /** Content-defined chunks of every non-empty document: (doc_id, chunk
+    * text). Boundaries fall where a W=4-char polynomial rolling hash
+    * ≡ 0 (mod 64) — FastCDC/rsync-style, so boundaries resync after
+    * insertions instead of shifting every downstream chunk. Pure codegen
+    * expression chain (no UDF); the only explode is the bounded per-doc
+    * chunk array. Shared by the batch top-k query and the streaming
+    * first-occurrence twin.
+    */
+  def cdcChunks(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val W = 4
+    T(s, d, "documents")
+      .where(length(col("text")) > 0)
+      .withColumn("n", length(col("text")).cast("int"))
+      // codepoint array: both engines index substr(text, i, 1) and
+      // take its codepoint, so the hash agrees on any fixture
+      .withColumn("cs", expr(
+        "transform(sequence(1, n), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
+      // rolling hash at i (i ≥ W): Σ_{j<W} c[i−j]·31^j, boundary iff ≡0 (mod 64)
+      .withColumn("bounds", expr(
+        s"""CASE WHEN n < $W THEN array()
+           |ELSE filter(sequence($W, n), i ->
+           |  (element_at(cs, i) + element_at(cs, i - 1) * 31L +
+           |   element_at(cs, i - 2) * 961L + element_at(cs, i - 3) * 29791L) % 64L = 0L)
+           |END""".stripMargin.replace("\n", " ")))
+      .withColumn("starts", expr(
+        "concat(array(1), transform(filter(bounds, b -> b < n), b -> CAST(b + 1 AS INT)))"))
+      .withColumn("ends", expr(
+        "concat(transform(filter(bounds, b -> b < n), b -> CAST(b AS INT)), array(n))"))
+      .withColumn("chunk", explode(expr(
+        "zip_with(starts, ends, (a, b) -> substring(text, a, b - a + 1))")))
+      .select(col("doc_id"), col("chunk"))
+  }
+
+  /** The DuckDB mirror of [[cdcChunks]] as CTEs ending in
+    * `ch(doc_id, ch, clen)` — md5'd chunks with lengths.
+    */
+  val cdcChunkSql: String =
+    """docs AS (SELECT doc_id, text, len(text) AS n FROM documents
+      |  WHERE len(text) > 0),
+      |cs AS (SELECT doc_id, text, n,
+      |    list_transform(range(1, n + 1),
+      |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS c
+      |  FROM docs),
+      |bs AS (SELECT doc_id, text, n,
+      |    CASE WHEN n < 4 THEN [] ELSE
+      |      list_filter(range(4, n + 1), i ->
+      |        (c[i] + c[i-1] * 31 + c[i-2] * 961 + c[i-3] * 29791) % 64 = 0)
+      |    END AS bounds
+      |  FROM cs),
+      |se AS (SELECT doc_id, text, n,
+      |    list_prepend(1, list_transform(list_filter(bounds, b -> b < n),
+      |      b -> b + 1)) AS starts,
+      |    list_append(list_filter(bounds, b -> b < n), n) AS ends
+      |  FROM bs),
+      |ch AS (SELECT doc_id,
+      |    md5(substr(text, CAST(starts[k] AS INT),
+      |      CAST(ends[k] - starts[k] + 1 AS INT))) AS ch,
+      |    CAST(ends[k] - starts[k] + 1 AS BIGINT) AS clen
+      |  FROM se, LATERAL (SELECT unnest(range(1, len(starts) + 1)) AS k))""".stripMargin
+
   val qs: Seq[QueryDef] = Seq(
 
     // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
@@ -70,28 +131,8 @@ object PipelineOps2 {
     QueryDef(
       "dedup_cdc_chunks",
       (s, d) => {
-        val W = 4
-        val docs = T(s, d, "documents")
-          .where(length(col("text")) > 0)
-          .withColumn("n", length(col("text")).cast("int"))
-          // codepoint array: both engines index substr(text, i, 1) and
-          // take its codepoint, so the hash agrees on any fixture
-          .withColumn("cs", expr(
-            "transform(sequence(1, n), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
-          // rolling hash at i (i ≥ W): Σ_{j<W} c[i−j]·31^j, boundary iff ≡0 (mod 64)
-          .withColumn("bounds", expr(
-            s"""CASE WHEN n < $W THEN array()
-               |ELSE filter(sequence($W, n), i ->
-               |  (element_at(cs, i) + element_at(cs, i - 1) * 31L +
-               |   element_at(cs, i - 2) * 961L + element_at(cs, i - 3) * 29791L) % 64L = 0L)
-               |END""".stripMargin.replace("\n", " ")))
-          .withColumn("starts", expr(
-            "concat(array(1), transform(filter(bounds, b -> b < n), b -> CAST(b + 1 AS INT)))"))
-          .withColumn("ends", expr(
-            "concat(transform(filter(bounds, b -> b < n), b -> CAST(b AS INT)), array(n))"))
-          .withColumn("chunk", explode(expr(
-            "zip_with(starts, ends, (a, b) -> substring(text, a, b - a + 1))")))
-        docs.select(col("doc_id"), md5(col("chunk")).as("ch"),
+        cdcChunks(s, d)
+          .select(col("doc_id"), md5(col("chunk")).as("ch"),
             length(col("chunk")).cast("long").as("clen"))
           .groupBy("ch")
           .agg(count(lit(1)).cast("long").as("n_occurrences"),
@@ -101,33 +142,47 @@ object PipelineOps2 {
           .orderBy(col("n_occurrences").desc, col("ch"))
           .limit(30)
       },
-      Some("""WITH docs AS (SELECT doc_id, text, len(text) AS n FROM documents
-             |  WHERE len(text) > 0),
-             |cs AS (SELECT doc_id, text, n,
-             |    list_transform(range(1, n + 1),
-             |      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS c
-             |  FROM docs),
-             |bs AS (SELECT doc_id, text, n,
-             |    CASE WHEN n < 4 THEN [] ELSE
-             |      list_filter(range(4, n + 1), i ->
-             |        (c[i] + c[i-1] * 31 + c[i-2] * 961 + c[i-3] * 29791) % 64 = 0)
-             |    END AS bounds
-             |  FROM cs),
-             |se AS (SELECT doc_id, text, n,
-             |    list_prepend(1, list_transform(list_filter(bounds, b -> b < n),
-             |      b -> b + 1)) AS starts,
-             |    list_append(list_filter(bounds, b -> b < n), n) AS ends
-             |  FROM bs),
-             |ch AS (SELECT doc_id,
-             |    md5(substr(text, CAST(starts[k] AS INT),
-             |      CAST(ends[k] - starts[k] + 1 AS INT))) AS ch,
-             |    CAST(ends[k] - starts[k] + 1 AS BIGINT) AS clen
-             |  FROM se, LATERAL (SELECT unnest(range(1, len(starts) + 1)) AS k))
-             |SELECT ch, count(*) AS n_occurrences,
-             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-             |  CAST(max(clen) AS BIGINT) AS chunk_len
-             |FROM ch GROUP BY 1 HAVING count(*) >= 2
-             |ORDER BY n_occurrences DESC, ch LIMIT 30""".stripMargin)),
+      Some(s"""WITH $cdcChunkSql
+              |SELECT ch, count(*) AS n_occurrences,
+              |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              |  CAST(max(clen) AS BIGINT) AS chunk_len
+              |FROM ch GROUP BY 1 HAVING count(*) >= 2
+              |ORDER BY n_occurrences DESC, ch LIMIT 30""".stripMargin)),
+
+    // STREAMING twin of the CDC chunker — the production form: documents
+    // arrive as a band-ordered file stream, each is chunked by the SAME
+    // codegen chunker, and a stateful first-occurrence gate keyed on the
+    // chunk hash (flatMapGroupsWithState, streaming/DocStream.scala)
+    // admits only never-seen chunks — incremental chunk-level dedup of a
+    // continuous ingest. Per doc the query reports distinct chunks vs
+    // chunks the gate attributed to it; the emitted attribution equals
+    // the batch min-doc_id pick (bands arrive in doc-id order), so the
+    // oracle is the batch recompute. ≥3 micro-batches are forced.
+    QueryDef(
+      "dedup_cdc_chunks_stream",
+      (s, d) => {
+        val chunks = cdcChunks(s, d)
+          .select(col("doc_id"), md5(col("chunk")).as("ch")).distinct()
+        val (kept, nBatches) = graft.streaming.DocStream.cdcChunkGate(s, chunks)
+        require(nBatches >= 3,
+          s"expected >=3 micro-batches (one per doc-id band), saw $nBatches")
+        val perDoc = chunks.groupBy("doc_id")
+          .agg(countDistinct("ch").cast("long").as("n_chunks"))
+        val novel = kept.groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_novel"))
+        perDoc.join(novel, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_chunks"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $cdcChunkSql,
+              |dc AS (SELECT DISTINCT doc_id, ch FROM ch),
+              |f AS (SELECT ch, min(doc_id) AS first_doc FROM dc GROUP BY 1)
+              |SELECT doc_id,
+              |  CAST(count(*) AS BIGINT) AS n_chunks,
+              |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+              |FROM dc JOIN f USING (ch)
+              |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
     // KMV (bottom-k) sketch set operations: estimate the Jaccard overlap
     // of view-users vs click-users from two k=256 minimum-hash-value

@@ -137,6 +137,42 @@ object DocStream {
     runToMemory(spark, kept.toDF(), "segdedup")
   }
 
+  // -------------------------------------------- CDC chunk-level gate
+
+  final case class ChunkRow(doc_id: Long, ch: String)
+
+  /** First-occurrence gate on the chunk hash: earlier micro-batch wins
+    * outright; within a batch the smallest doc_id wins.
+    */
+  private def chunkFirstFn(key: String, rows: Iterator[ChunkRow],
+      state: GroupState[Boolean]): Iterator[ChunkRow] = {
+    if (state.exists) Iterator.empty
+    else {
+      var best: ChunkRow = null
+      rows.foreach { r => if (best == null || r.doc_id < best.doc_id) best = r }
+      state.update(true)
+      if (best == null) Iterator.empty else Iterator.single(best)
+    }
+  }
+
+  /** Incremental chunk-level dedup: admit each content-defined chunk
+    * hash only at its first occurrence across the stream — the
+    * continuous-ingest form of CDC dedup (rsync/FastCDC chunking, here
+    * over `PipelineOps2.cdcChunks` output). Same state shape as the
+    * segment gate: one presence bit per chunk hash, one shuffle on the
+    * hash, O(1) per arrival. Narrow 200-id bands force ≥3 micro-batches
+    * at every SF.
+    */
+  def cdcChunkGate(spark: SparkSession, chunks: DataFrame): (DataFrame, Long) = {
+    import spark.implicits._
+    val typed = chunks.select(col("doc_id").cast("long"), col("ch"))
+    val raw = stageByBand(spark, typed, "graft_cdc_src", width = 200L)
+    val kept = raw.as[ChunkRow].groupByKey(_.ch)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        chunkFirstFn)
+    runToMemory(spark, kept.toDF(), "cdc")
+  }
+
   // -------------------------------------------------------- TTL'd gate
   // The NoTimeout gate above grows state forever — correct for a bounded
   // backfill, impossible for an unbounded 100 TB stream. The production
