@@ -24,9 +24,17 @@ object PipelineOps2 {
     * first-occurrence twin.
     */
   def cdcChunks(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    cdcChunksOf(T(s, d, "documents"))
+
+  /** The chunker over any (doc_id, text) frame — split out so specs can
+    * pin the content-defined property (boundaries RESYNC after an
+    * insertion) on synthetic texts.
+    */
+  def cdcChunksOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val W = 4
-    T(s, d, "documents")
+    docs
       .where(length(col("text")) > 0)
       .withColumn("n", length(col("text")).cast("int"))
       // codepoint array: both engines index substr(text, i, 1) and
