@@ -11,7 +11,8 @@ object SparkEntry {
     Relational.qs ++ SetOps.qs ++ AnalyticsOps.qs ++ TextOps.qs ++ SimilarityQ.qs ++
       GeoQueries.qs ++ DedupQueries.qs ++ EventOps.qs ++ LayoutOps.qs ++ GraphOps.qs ++
       PipelineOps.qs ++ TpchOps.qs ++ TpchOps2.qs ++ OlapOps.qs ++ CurationOps.qs ++
-      PrivacyOps.qs ++ StatsOps2.qs ++ MarkovOps.qs ++ PipelineOps2.qs
+      PrivacyOps.qs ++ StatsOps2.qs ++ MarkovOps.qs ++ PipelineOps2.qs ++
+      EvalOps.qs
 
   /** Flagship: the full H3 pipeline (validate → index → resolve) on
     * sf0.001; driver smoke-checks rows>0. */
