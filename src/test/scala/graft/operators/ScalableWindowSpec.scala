@@ -86,6 +86,43 @@ class ScalableWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j.where(col("b") =!= col("b2")).count() === 0)
   }
 
+  test("randomized agreement with the global window (sizes, ties, widths, directions)") {
+    // fixed-seed random sweep (OperatorPropertySpec style — the
+    // scalatestplus bridge isn't in the offline cache): row_number,
+    // ntile, and cumsum must equal the single-window forms for any
+    // combination of frame size, tie density, salt width, and direction.
+    val rnd = new scala.util.Random(0x5ca1ab1eL)
+    (1 to 10).foreach { it =>
+      import spark.implicits._
+      val n = 50 + rnd.nextInt(400)
+      val tieMod = 1 + rnd.nextInt(40) // 1 = all-distinct, 40 = heavy ties
+      val width = 1L + rnd.nextInt(64)
+      val desc = rnd.nextBoolean()
+      val nt = 2 + rnd.nextInt(15)
+      val df = (1 to n).map { i =>
+        (i.toLong, (rnd.nextInt(10000) % (tieMod * 100)).toLong, rnd.nextInt(50).toLong)
+      }.toDF("id", "v", "dlt")
+      val (sortCol, salt) =
+        if (desc) (col("v").desc, expr(s"-(v div ${width}L)"))
+        else (col("v"), expr(s"v div ${width}L"))
+      val wRef = Window.orderBy(sortCol, col("id"))
+      val ref = df
+        .withColumn("rn", row_number().over(wRef).cast("long"))
+        .withColumn("t", ntile(nt).over(wRef).cast("long"))
+        .withColumn("cs", sum("dlt").over(
+          wRef.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val got = ScalableWindow.withGlobalCumSum(
+        ScalableWindow.withGlobalNtile(
+          ScalableWindow.withGlobalRowNumber(df, "rn2")(Seq(salt), sortCol, col("id")),
+          "t2", nt)(Seq(salt), sortCol, col("id")),
+        "cs2", col("dlt"))(Seq(salt), sortCol, col("id"))
+      val j = ref.join(got.select("id", "rn2", "t2", "cs2"), "id")
+      val bad = j.where(col("rn") =!= col("rn2") || col("t") =!= col("t2") ||
+        col("cs") =!= col("cs2")).count()
+      assert(bad === 0, s"iter=$it n=$n tieMod=$tieMod width=$width desc=$desc nt=$nt")
+    }
+  }
+
   test("the big-frame window is salt-partitioned (no global WindowExec over the input)") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = frame(500)
