@@ -187,6 +187,67 @@ object EvalOps {
              |  CAST(count(*) * sum(x) AS BIGINT) AS gini_den,
              |  CAST((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 10000
              |    // (count(*) * sum(x)) AS BIGINT) AS gini_bp
-             |FROM r""".stripMargin))
+             |FROM r""".stripMargin)),
+
+    // Kneser–Ney sufficient statistics — the counts an interpolated-KN
+    // bigram LM is built from: per word, its raw unigram count, its
+    // CONTINUATION count N₁₊(·w) (distinct left contexts — the KN
+    // insight: "Francisco" is frequent but predictable, so its
+    // continuation count is tiny), its fan-out N₁₊(w·), and the KN
+    // lower-order probability as an exact rational over total distinct
+    // bigram types. Top 25 by continuation count (tiebreak word) — the
+    // words a KN model backs off TO. Scale shape: one shuffle to the
+    // distinct-bigram rollup, per-word aggregates from it, top-k via
+    // TakeOrdered; the scalar total broadcasts.
+    QueryDef(
+      "text_kneser_ney_stats",
+      (s, d) => {
+        val docs = T(s, d, "documents")
+          .withColumn("ws", expr("filter(split(text, ' +'), x -> x != '')"))
+          .where(size(col("ws")) >= 2)
+        val bigrams = docs.select(explode(expr(
+            """transform(sequence(1, size(ws) - 1),
+              |  i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"""
+            .stripMargin)).as("bg"))
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val types = bigrams.distinct()
+        val cont = types.groupBy(col("w2").as("w"))
+          .agg(count(lit(1)).cast("long").as("continuation"))
+        val fanout = types.groupBy(col("w1").as("w"))
+          .agg(count(lit(1)).cast("long").as("fanout"))
+        val unic = docs.select(explode(col("ws")).as("w"))
+          .groupBy("w").agg(count(lit(1)).cast("long").as("c_uni"))
+        val totTypes = types.agg(count(lit(1)).cast("long").as("n_bigram_types"))
+        cont.join(unic, Seq("w"))
+          .join(fanout, Seq("w"), "left_outer")
+          .crossJoin(broadcast(totTypes))
+          .select(col("w"), col("c_uni"), col("continuation"),
+            coalesce(col("fanout"), lit(0L)).as("fanout"),
+            col("n_bigram_types"),
+            expr("continuation * 1000000 div n_bigram_types").as("p_cont_ppm"))
+          .orderBy(col("continuation").desc, col("w"))
+          .limit(25)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    list_filter(string_split_regex(text, ' +'), x -> x <> '') AS ws
+             |  FROM documents),
+             |d2 AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 2),
+             |bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+             |  FROM d2, LATERAL (SELECT unnest(range(1, len(ws))) AS i)),
+             |types AS (SELECT DISTINCT w1, w2 FROM bg),
+             |cont AS (SELECT w2 AS w, CAST(count(*) AS BIGINT) AS continuation
+             |  FROM types GROUP BY 1),
+             |fan AS (SELECT w1 AS w, CAST(count(*) AS BIGINT) AS fanout
+             |  FROM types GROUP BY 1),
+             |uni AS (SELECT unnest(ws) AS w FROM d2),
+             |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c_uni FROM uni GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM types)
+             |SELECT cont.w AS w, c_uni, continuation,
+             |  COALESCE(fanout, 0) AS fanout, n_bigram_types,
+             |  CAST(continuation * 1000000 // n_bigram_types AS BIGINT) AS p_cont_ppm
+             |FROM cont JOIN uc ON cont.w = uc.w
+             |LEFT JOIN fan ON cont.w = fan.w
+             |CROSS JOIN tot
+             |ORDER BY continuation DESC, cont.w LIMIT 25""".stripMargin))
   )
 }
