@@ -130,7 +130,14 @@ object EvalOps {
             "n * (n11 + n00) - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"))
           .withColumn("kappa_den", expr(
             "n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"))
-          .withColumn("kappa_bp", expr("kappa_num * 10000 div kappa_den"))
+          // κ can be negative (worse than chance) and Spark's `div`
+          // truncates toward zero while DuckDB's `//` floors — route the
+          // division through abs() so both engines agree on the sign case
+          .withColumn("kappa_bp", expr(
+            """CASE WHEN kappa_num < 0
+              |  THEN -((-kappa_num) * 10000 div kappa_den)
+              |  ELSE kappa_num * 10000 div kappa_den END"""
+              .stripMargin.replace("\n", " ")))
           .select("n", "n11", "n10", "n01", "n00",
             "kappa_num", "kappa_den", "kappa_bp")
       },
@@ -151,9 +158,15 @@ object EvalOps {
              |    - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS BIGINT) AS kappa_num,
              |  CAST(n * n
              |    - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS BIGINT) AS kappa_den,
-             |  CAST((n * (n11 + n00)
-             |    - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))) * 10000
-             |    // (n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))) AS BIGINT) AS kappa_bp
+             |  CAST(CASE WHEN n * (n11 + n00)
+             |      - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) < 0
+             |    THEN -((-(n * (n11 + n00)
+             |      - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))) * 10000
+             |      // (n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))))
+             |    ELSE (n * (n11 + n00)
+             |      - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))) * 10000
+             |      // (n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+             |    END AS BIGINT) AS kappa_bp
              |FROM c""".stripMargin)),
 
     // Gini coefficient of the per-source document distribution — the
