@@ -227,4 +227,37 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(offenders.isEmpty,
       s"queries planning a global-sort WindowExec over unbounded input: ${offenders.mkString(", ")}")
   }
+
+  test("no shuffle directly re-shuffles a user-requested repartition (wasted exchange)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.{ProjectExec, FilterExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // An Exchange whose input — through partitioning-preserving unaries —
+    // is an explicit repartition(col) means the first shuffle's KEYED
+    // layout is destroyed before anything reads it: pure wasted data
+    // movement at scale. This is the class Resolver.resolve(forWrite=false)
+    // removed (the write-layout repartition immediately re-sorted by
+    // orderBy); the lint keeps it from creeping back. Round-robin
+    // fan-outs (REPARTITION_BY_NUM) are deliberately NOT flagged: the LSH
+    // verifies fan candidate pairs back out for CPU-bound scoring, and
+    // only this spec's no-broadcast session re-shuffles them (the real
+    // session broadcasts the doc side).
+    def passThru(p: SparkPlan): Boolean = p match {
+      case _: ProjectExec | _: FilterExec => true
+      case _ => false
+    }
+    def innerUserShuffle(p: SparkPlan): Boolean = p match {
+      case e: ShuffleExchangeExec => e.shuffleOrigin.toString == "REPARTITION_BY_COL"
+      case u if passThru(u) => innerUserShuffle(u.children.head)
+      case _ => false
+    }
+    val offenders = sweptPlans.flatMap { case (n, p) =>
+      val bad = p.collect {
+        case e: ShuffleExchangeExec if innerUserShuffle(e.child) => e
+      }
+      if (bad.isEmpty) None else Some(n)
+    }
+    assert(offenders.isEmpty,
+      s"queries re-shuffling a repartition output: ${offenders.mkString(", ")}")
+  }
 }
