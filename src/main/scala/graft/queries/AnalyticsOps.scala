@@ -288,10 +288,13 @@ object AnalyticsOps {
         val docs = T(s, d, "documents").select(col("doc_id"), col("source"),
           col("n_chars").cast("long").as("w"),
           (col("doc_id") / B).cast("long").as("bucket"))
-        val wBuckets = Window.orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = docs.groupBy("bucket").agg(sum("w").as("bw"))
-          .withColumn("offset", coalesce(sum("bw").over(wBuckets), lit(0L)))
+        // bucket offsets via the salted two-phase cumsum: the bucket
+        // rollup is N/100 rows — it GROWS with the data, so the exclusive
+        // prefix sum must not run through one global-window task
+        val offsets = graft.operators.ScalableWindow.withGlobalCumSum(
+            docs.groupBy("bucket").agg(sum("w").as("bw")),
+            "cum", col("bw"))(Seq(expr("bucket div 10000L")), col("bucket"))
+          .withColumn("offset", col("cum") - col("bw"))
           .select("bucket", "offset")
         val stride = docs.agg(
           greatest(expr("sum(w) div 100"), lit(1L)).as("stride"))

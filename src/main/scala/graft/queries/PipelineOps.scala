@@ -978,9 +978,17 @@ object PipelineOps {
     QueryDef(
       "stats_gini_activity",
       (s, d) => {
+        // |users| grows with the data, so the ascending rank goes through
+        // the salted two-phase row number: exact leading salt (the count
+        // itself — ties are heavy at typical activity levels) sub-salted
+        // by a user_id range bucket, per the ScalableWindow contract
         val per = T.events(s, d).groupBy("user_id").agg(count(lit(1)).as("x"))
-        val w = Window.orderBy(col("x"), col("user_id"))
-        per.withColumn("i", row_number().over(w).cast("long"))
+        val mx = per.agg(max("user_id").as("maxu"))
+        val ranked = graft.operators.ScalableWindow.withGlobalRowNumber(
+          per.crossJoin(broadcast(mx)), "i")(
+          Seq(col("x"), expr("user_id div (maxu div 1024L + 1L)")),
+          col("x"), col("user_id"))
+        ranked
           .agg(count(lit(1)).as("n_users"),
             sum("x").as("total_events"),
             sum(col("i") * col("x")).as("s_ix"))

@@ -247,10 +247,14 @@ object StatsOps2 {
           sum(when(col("t") === "view", 1L).otherwise(0L)).as("na"),
           sum(when(col("t") === "click", 1L).otherwise(0L)).as("nb"))
         val tot = sup.agg(sum("na").as("n1"), sum("nb").as("n2"))
-        val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-        sup.withColumn("cumA", sum("na").over(w))
-          .withColumn("cumB", sum("nb").over(w))
-          .crossJoin(broadcast(tot))
+        // the ECDF cumulatives run over the distinct-value support, which
+        // GROWS with the data for a continuous value — salted two-phase
+        // cumsum (ScalableWindow) instead of a single-task global window
+        val cum = graft.operators.ScalableWindow.withGlobalCumSum(
+          graft.operators.ScalableWindow.withGlobalCumSum(
+            sup, "cumA", col("na"))(Seq(expr("v div 1000000L")), col("v")),
+          "cumB", col("nb"))(Seq(expr("v div 1000000L")), col("v"))
+        cum.crossJoin(broadcast(tot))
           .select(expr("abs(cumA * n2 - cumB * n1)").as("dnum"),
             col("n1"), col("n2"))
           .groupBy("n1", "n2")

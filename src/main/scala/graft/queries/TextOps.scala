@@ -496,11 +496,13 @@ object TextOps {
           col("doc_id"),
           size(split(col("text"), " +")).cast("long").as("n_tokens"),
           (col("doc_id") / B).cast("long").as("bucket"))
-        val wBuckets = Window.orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = toks.groupBy("bucket")
-          .agg(sum("n_tokens").as("btoks"))
-          .withColumn("offset", coalesce(sum("btoks").over(wBuckets), lit(0L)))
+        // bucket offsets via the salted two-phase cumsum: the bucket
+        // rollup is N/100 rows — it GROWS with the data, so the exclusive
+        // prefix sum must not run through one global-window task
+        val offsets = graft.operators.ScalableWindow.withGlobalCumSum(
+            toks.groupBy("bucket").agg(sum("n_tokens").as("btoks")),
+            "cum", col("btoks"))(Seq(expr("bucket div 10000L")), col("bucket"))
+          .withColumn("offset", col("cum") - col("btoks"))
           .select("bucket", "offset")
         val wDocs = Window.partitionBy("bucket").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
