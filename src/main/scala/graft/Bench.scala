@@ -78,7 +78,7 @@ object Bench {
       // average over ATTEMPTED reps: failed reps still ran stages and
       // accumulated IO, so dividing by successes alone overstated MB/rep
       val ioMb = Seq(shufWrite.get() - w0, shufRead.get() - r0, spillDisk.get() - s0)
-        .map(b => b / reps / 1048576.0)
+        .map(b => b / 1048576.0 / reps)
       (q.name, times.minOption, times.size, times, ioMb)
     }
     val qs = results.map {

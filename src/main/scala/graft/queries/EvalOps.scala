@@ -42,7 +42,10 @@ object EvalOps {
             sum(expr("pos * (2L * cum - cnt + 1L)")).cast("long").as("r1_doubled"))
           .withColumn("auc_num", expr("r1_doubled - n_pos * (n_pos + 1)"))
           .withColumn("auc_den", expr("2 * n_pos * n_neg"))
-          .withColumn("auc_bp", expr("auc_num * 10000 div auc_den"))
+          // single-class degenerate input ⇒ den = 0: Spark div yields NULL
+          // but DuckDB // raises — make both engines emit NULL explicitly
+          .withColumn("auc_bp", expr(
+            "CASE WHEN auc_den = 0 THEN NULL ELSE auc_num * 10000 div auc_den END"))
           .drop("g")
       },
       Some("""WITH t AS (SELECT CAST(n_chars AS BIGINT) AS v,
@@ -57,8 +60,9 @@ object EvalOps {
              |  CAST(sum(CASE WHEN y = 1 THEN r2 ELSE 0 END)
              |    - sum(y) * (sum(y) + 1) AS BIGINT) AS auc_num,
              |  CAST(2 * sum(y) * sum(1 - y) AS BIGINT) AS auc_den,
-             |  CAST((sum(CASE WHEN y = 1 THEN r2 ELSE 0 END) - sum(y) * (sum(y) + 1))
-             |    * 10000 // (2 * sum(y) * sum(1 - y)) AS BIGINT) AS auc_bp
+             |  CAST(CASE WHEN 2 * sum(y) * sum(1 - y) = 0 THEN NULL
+             |    ELSE (sum(CASE WHEN y = 1 THEN r2 ELSE 0 END) - sum(y) * (sum(y) + 1))
+             |      * 10000 // (2 * sum(y) * sum(1 - y)) END AS BIGINT) AS auc_bp
              |FROM r""".stripMargin)),
 
     // Expected calibration error over 10 equal-width confidence bins:
@@ -132,9 +136,12 @@ object EvalOps {
             "n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"))
           // κ can be negative (worse than chance) and Spark's `div`
           // truncates toward zero while DuckDB's `//` floors — route the
-          // division through abs() so both engines agree on the sign case
+          // division through abs() so both engines agree on the sign case.
+          // den = 0 (constant labeler, pe = 1): Spark div would NULL but
+          // DuckDB // raises — both engines emit NULL explicitly.
           .withColumn("kappa_bp", expr(
-            """CASE WHEN kappa_num < 0
+            """CASE WHEN kappa_den = 0 THEN NULL
+              |  WHEN kappa_num < 0
               |  THEN -((-kappa_num) * 10000 div kappa_den)
               |  ELSE kappa_num * 10000 div kappa_den END"""
               .stripMargin.replace("\n", " ")))
@@ -158,7 +165,9 @@ object EvalOps {
              |    - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS BIGINT) AS kappa_num,
              |  CAST(n * n
              |    - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS BIGINT) AS kappa_den,
-             |  CAST(CASE WHEN n * (n11 + n00)
+             |  CAST(CASE WHEN n * n
+             |      - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) = 0 THEN NULL
+             |    WHEN n * (n11 + n00)
              |      - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) < 0
              |    THEN -((-(n * (n11 + n00)
              |      - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))) * 10000

@@ -215,9 +215,12 @@ object PipelineOps2 {
         val b = side("click").localCheckpoint()
         val unionK = a.select("h").union(b.select("h")).distinct()
           .orderBy("h").limit(k)
+        // distinct on h (not just user_id): a 60-bit hash collision between
+        // two distinct user_ids would otherwise fan out this join while the
+        // oracle's SELECT DISTINCT h keeps one row — engines must agree
         val tagged = unionK
-          .join(a.select(col("h"), lit(1L).as("in_a")), Seq("h"), "left_outer")
-          .join(b.select(col("h"), lit(1L).as("in_b")), Seq("h"), "left_outer")
+          .join(a.select("h").distinct().withColumn("in_a", lit(1L)), Seq("h"), "left_outer")
+          .join(b.select("h").distinct().withColumn("in_b", lit(1L)), Seq("h"), "left_outer")
         val est = tagged.agg(
           count(lit(1)).cast("long").as("k_used"),
           sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L))
