@@ -10,6 +10,15 @@ package graft
   * non-zero so a broken build can't masquerade as a fast one.
   */
 object Bench {
+  /** Cumulative stop-the-world GC time across all collectors, for per-rep
+    * attribution (a slow rep whose wall delta matches its gc delta is heap
+    * noise from the shared bench JVM, not the query under test). */
+  def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
@@ -55,58 +64,73 @@ object Bench {
       // charged one query's shuffle bytes to the next query's delta
       org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       val (w0, r0, s0) = (shufWrite.get(), shufRead.get(), spillDisk.get())
-      val times = (1 to reps).flatMap { rep =>
+      val timesGc = (1 to reps).flatMap { rep =>
         val misses0 = graft.geo.H3Geo.memoMisses.get()
+        val gc0 = Bench.gcMillis
         val t0 = System.nanoTime()
         try {
           q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
+          // Per-rep GC attribution: the whole bench shares one JVM, so a
+          // stop-the-world collection triggered by ANY earlier query's
+          // garbage can land inside this rep's wall time (r7/r9 saw 4x
+          // one-rep spreads on dedup_minhash_lsh whose steady-state is
+          // tight). gc_sec makes that self-evident in the artifact: a slow
+          // rep with matching gc delta is heap noise, not a plan change.
+          val gcSec = (Bench.gcMillis - gc0) / 1e3
           // Per-rep diagnostics on stderr (the driver keeps a stderr tail):
           // a warm rep re-missing the cell memo, or rep-to-rep swings, point
           // at shared-JVM state — exactly what hid the round-3 anomaly.
           val dMiss = graft.geo.H3Geo.memoMisses.get() - misses0
           System.err.println(
-            f"[bench] ${q.name} rep$rep $sec%.3fs memoMiss=+$dMiss memoSize=${graft.geo.H3Geo.memoSize}")
-          Some(sec)
+            f"[bench] ${q.name} rep$rep $sec%.3fs gc=$gcSec%.2fs memoMiss=+$dMiss memoSize=${graft.geo.H3Geo.memoSize}")
+          Some((sec, gcSec))
         } catch {
           case t: Throwable =>
             System.err.println(s"[bench] ${q.name} FAILED: ${t.getClass.getName}: ${t.getMessage}")
             None
         }
       }
+      val times = timesGc.map(_._1)
+      val gcs = timesGc.map(_._2)
       org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       // average over ATTEMPTED reps: failed reps still ran stages and
       // accumulated IO, so dividing by successes alone overstated MB/rep
       val ioMb = Seq(shufWrite.get() - w0, shufRead.get() - r0, spillDisk.get() - s0)
         .map(b => b / 1048576.0 / reps)
-      (q.name, times.minOption, times.size, times, ioMb)
+      (q.name, times.minOption, times.size, times, ioMb, gcs)
     }
     val qs = results.map {
-      case (k, Some(v), _, _, _) => "\"" + k + "\":" + v
-      case (k, None, _, _, _)    => "\"" + k + "\":null"
+      case (k, Some(v), _, _, _, _) => "\"" + k + "\":" + v
+      case (k, None, _, _, _, _)    => "\"" + k + "\":null"
     }.mkString("{", ",", "}")
     val statuses = results.map {
-      case (k, Some(_), n, _, _) => "\"" + k + "\":\"ok(" + n + "/" + reps + ")\""
-      case (k, None, _, _, _)    => "\"" + k + "\":\"failed\""
+      case (k, Some(_), n, _, _, _) => "\"" + k + "\":\"ok(" + n + "/" + reps + ")\""
+      case (k, None, _, _, _, _)    => "\"" + k + "\":\"failed\""
     }.mkString("{", ",", "}")
     // Per-rep times land IN the artifact (not just the stderr tail) so a
     // min-of-N that disagrees with warm-rep behavior is self-evident: a
     // host-load spike shows as one outlier rep, a real regression as all
     // reps high.
-    val repsJson = results.map { case (k, _, _, ts, _) =>
+    val repsJson = results.map { case (k, _, _, ts, _, _) =>
       "\"" + k + "\":[" + ts.map(t => f"$t%.4f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     // Per-query data movement (avg MB/rep): shuffle write, shuffle read,
     // disk spill — attributes any slowdown to plan change vs host noise.
-    val ioJson = results.map { case (k, _, _, _, io) =>
+    val ioJson = results.map { case (k, _, _, _, io, _) =>
       "\"" + k + "\":[" + io.map(v => f"$v%.1f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // Per-rep JVM GC seconds, aligned with reps_sec: rep slowness that
+    // co-moves with gc is shared-heap noise, not the query's plan.
+    val gcJson = results.map { case (k, _, _, _, _, gc) =>
+      "\"" + k + "\":[" + gc.map(v => f"$v%.2f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val sc = spark.sparkContext
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$statuses,""" +
-      s""""reps_sec":$repsJson,"io_mb_wrs":$ioJson,""" +
+      s""""reps_sec":$repsJson,"io_mb_wrs":$ioJson,"gc_sec":$gcJson,""" +
       s""""master":"${sc.master}","parallelism":${sc.defaultParallelism},""" +
       s""""heap_gb":${f"$heapGb%.1f"},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()

@@ -38,12 +38,30 @@ object IvfIndex {
     import spark.implicits._
     val n = emb.count()
     val stride = math.max(1, n / k)
-    // deterministic init: evenly spaced ids (corpus order is stable)
-    var centroids = emb
+    // deterministic init: evenly spaced ids (corpus order is stable). This
+    // assumes roughly dense ids; with sparse or clustered ids (e.g. all
+    // ids ≡ 1 mod stride) the modulo filter can land on FEWER than k rows,
+    // so a deterministic md5-order top-up below guarantees exactly
+    // min(k, n) distinct seeds for ANY id distribution. On dense ids the
+    // primary pick already yields k and the top-up is a no-op, keeping the
+    // trained model (and every downstream oracle) unchanged.
+    val primary = emb
       .withColumn("_rank", expr("id"))
       .where(pmod(col("_rank"), lit(stride)) === 0)
       .orderBy("id").limit(k)
-      .select("v").as[Seq[Double]].collect().map(_.toArray)
+      .select("id", "v").as[(Long, Seq[Double])].collect()
+    val seeds =
+      if (primary.length >= math.min(k.toLong, n)) primary.map(_._2)
+      else {
+        val have = primary.map(_._1).toSet
+        val topUp = emb
+          .where(!col("id").isInCollection(have))
+          .withColumn("_h", md5(col("id").cast("string")))
+          .orderBy("_h", "id").limit(k - primary.length)
+          .select("v").as[Seq[Double]].collect()
+        primary.map(_._2) ++ topUp
+      }
+    var centroids = seeds.map(_.toArray)
 
     for (_ <- 1 to iters) {
       // native codegen assignment (engine.Expressions.NearestCentroidExpr):

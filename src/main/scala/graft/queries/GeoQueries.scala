@@ -319,6 +319,50 @@ object GeoQueries {
           .orderBy("point_id")
       }),
 
+    // ORACLED twin for h3_sql_surface — the last rows-only query without a
+    // driver-visible green row. The same registered SQL functions (UDF and
+    // codegen-native) run over a FIXED 1000-point lattice derived from a
+    // range, not from any table, so the pinned golden values hold at every
+    // SF: n rows, every native-vs-UDF agreement folded to booleans, all
+    // boundaries valid with positive length, the DECIMAL-summed cell area,
+    // and an md5 over the sorted cell ids (pinning the exact cell
+    // assignment of all 1000 coordinates — a golden-vector oracle). The
+    // constants were computed once by this engine and cross-checked
+    // against H3GoldenSpec's published-vector tests; DuckDB replays them
+    // as literals like the other _checked twins.
+    QueryDef("h3_sql_surface_checked",
+      (s, d) => {
+        GraftFunctions.register(s)
+        graft.engine.Expressions.register(s)
+        s.range(1, 1001).toDF("pid")
+          .withColumn("latitude", expr("(pmod(pid * 31 + 17, 14000)) / 100.0 - 70 + 0.005"))
+          .withColumn("longitude", expr("(pmod(pid * 13 + 7, 35000)) / 100.0 - 175 + 0.005"))
+          .withColumn("cell", expr(s"h3_latlng_cell(latitude, longitude, $Res)"))
+          .withColumn("cell_native", expr(s"h3_latlng_cell_native(latitude, longitude, $Res)"))
+          .withColumn("wkt", expr("h3_to_wkt(cell)"))
+          .agg(
+            count(lit(1)).cast("long").as("n_rows"),
+            (sum(when(col("cell") === col("cell_native"), 0L).otherwise(1L)) === 0L)
+              .as("cell_native_agree"),
+            (sum(when(expr("h3_parent(cell, 3) = h3_parent_native(cell, 3)"), 0L)
+              .otherwise(1L)) === 0L).as("parent_native_agree"),
+            (sum(when(expr(s"h3_resolution_native(cell) = $Res"), 0L).otherwise(1L)) === 0L)
+              .as("all_res6"),
+            (sum(when(expr("st_isvalid(wkt)"), 0L).otherwise(1L)) === 0L)
+              .as("all_boundary_valid"),
+            (sum(when(expr("st_length(wkt) > 0.0"), 0L).otherwise(1L)) === 0L)
+              .as("all_boundary_len_pos"),
+            sum(expr("CAST(h3_cell_area_km2(cell) AS DECIMAL(28,9))"))
+              .cast("double").as("area_km2_sum"),
+            md5(concat_ws(",", sort_array(collect_list(col("cell"))))).as("cells_md5"))
+      },
+      Some("""SELECT CAST(1000 AS BIGINT) AS n_rows,
+             |  true AS cell_native_agree, true AS parent_native_agree,
+             |  true AS all_res6, true AS all_boundary_valid,
+             |  true AS all_boundary_len_pos,
+             |  CAST(CAST('37208.220081429' AS DECIMAL(28,9)) AS DOUBLE) AS area_km2_sum,
+             |  '91c6791dd0b9b07cf344ca37b49fb0e8' AS cells_md5""".stripMargin)),
+
     // Streaming H3 indexing: points indexed to cells as they arrive, per-
     // cell rollup as the only stream state (bounded by DISTINCT CELLS, not
     // rows). Rows-only — DuckDB computes no H3 — with GeoStreamSpec

@@ -492,13 +492,22 @@ object TextOps {
         import org.apache.spark.sql.expressions.Window
         val L = 512L  // tokens per packed block
         val B = 100L  // docs per prefix bucket
+        // ONE explicit exchange on the bucket: the tokenization
+        // (split+size over full text — the expensive map work) runs once
+        // in the scan stage, and BOTH consumers below (the rollup and the
+        // per-bucket window) reuse this exchange instead of re-scanning
+        // and re-tokenizing the corpus (the pre-round-10 form paid the
+        // scan twice; A/B in tools/AbPack.scala)
         val toks = T(s, d, "documents").select(
           col("doc_id"),
           size(split(col("text"), " +")).cast("long").as("n_tokens"),
           (col("doc_id") / B).cast("long").as("bucket"))
+          .repartition(col("bucket"))
         // bucket offsets via the salted two-phase cumsum: the bucket
         // rollup is N/100 rows — it GROWS with the data, so the exclusive
-        // prefix sum must not run through one global-window task
+        // prefix sum must not run through one global-window task. The
+        // groupBy reads the bucket-partitioned exchange co-located — no
+        // second shuffle of the big frame.
         val offsets = graft.operators.ScalableWindow.withGlobalCumSum(
             toks.groupBy("bucket").agg(sum("n_tokens").as("btoks")),
             "cum", col("btoks"))(Seq(expr("bucket div 10000L")), col("bucket"))

@@ -53,4 +53,24 @@ class IvfSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = IvfIndex.train(spark, emb, k = 4, iters = 2).centroids
     assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
   }
+
+  test("seeding survives sparse/clustered ids") {
+    // every id ≡ 1 (mod large stride): the evenly-spaced pmod pick finds
+    // NOTHING, so without the md5-order top-up the seed count lands at 0
+    // (or < k) and training degenerates. ids are non-contiguous AND all
+    // miss the stride lattice.
+    val sparse = emb.withColumn("id", col("id") * 1000 + 1)
+    val m = IvfIndex.train(spark, sparse, k = 8, iters = 2)
+    assert(m.centroids.length == 8)
+    assert(m.centroids.forall(_.length == 64))
+    // all k seeds must be DISTINCT vectors (top-up must not duplicate)
+    assert(m.centroids.map(_.toSeq).distinct.length == 8)
+    // determinism holds on the top-up path too
+    val m2 = IvfIndex.train(spark, sparse, k = 8, iters = 2)
+    assert(m.centroids.zip(m2.centroids).forall { case (x, y) => x.sameElements(y) })
+    // fewer rows than k: train yields one centroid per row, no crash
+    val tiny = emb.limit(5)
+    val mt = IvfIndex.train(spark, tiny, k = 8, iters = 1)
+    assert(mt.centroids.length == 5)
+  }
 }
