@@ -65,6 +65,98 @@ object Multimodal {
     Some((bb.getInt(16), bb.getInt(20)))
   }
 
+  // ------------------------------------------------------------------ BMP
+  // BMP needs no codec either: BITMAPFILEHEADER (14 bytes) +
+  // BITMAPINFOHEADER (40 bytes), all little-endian, published fixed
+  // offsets — 'BM' at 0, pixel-data offset at 10, DIB size at 14, signed
+  // width/height at 18/22, planes at 26, bits-per-pixel at 28.
+
+  /** BITMAPFILEHEADER + BITMAPINFOHEADER. */
+  val BmpHeaderLen = 54
+
+  /** Wrap bytes in a spec-valid 24-bit BI_RGB BMP header (same dimsFor
+    * lattice as PNG, so oracles share the id arithmetic).
+    */
+  def bmpWrap(id: Long, body: Array[Byte]): Array[Byte] = {
+    val (w, h) = dimsFor(id)
+    val out = java.nio.ByteBuffer.allocate(BmpHeaderLen + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+    out.putInt(BmpHeaderLen + body.length) // file size
+    out.putShort(0).putShort(0)            // reserved
+    out.putInt(BmpHeaderLen)               // pixel-data offset
+    out.putInt(40)                         // DIB header size
+    out.putInt(w).putInt(h)
+    out.putShort(1)                        // color planes
+    out.putShort(24)                       // bits per pixel
+    out.putInt(0)                          // compression = BI_RGB
+    out.putInt(body.length)                // image data size
+    out.putInt(2835).putInt(2835)          // 72 DPI in pixels/metre
+    out.putInt(0).putInt(0)                // palette: colors used/important
+    out.put(body)
+    out.array()
+  }
+
+  /** REAL BMP metadata decode: validate the 'BM' magic, a DIB header of at
+    * least BITMAPINFOHEADER size, one color plane and a legal bit depth,
+    * then read the signed little-endian dimensions (negative height means
+    * top-down row order per the spec — dimensions report |h|). None when
+    * not a plausible BMP — caller falls back.
+    */
+  def decodeBmpDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (payload.length < BmpHeaderLen) return None
+    if (payload(0) != 'B'.toByte || payload(1) != 'M'.toByte) return None
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (bb.getInt(14) < 40) return None // DIB header older than BITMAPINFOHEADER
+    val w = bb.getInt(18)
+    val h = bb.getInt(22)
+    val planes = bb.getShort(26).toInt
+    val bpp = bb.getShort(28).toInt
+    val legalBpp = bpp == 1 || bpp == 4 || bpp == 8 || bpp == 16 || bpp == 24 || bpp == 32
+    if (w <= 0 || h == 0 || planes != 1 || !legalBpp) None
+    else Some((w, math.abs(h)))
+  }
+
+  // ------------------------------------------------------------------ GIF
+  // GIF87a/GIF89a: 6-byte signature + 7-byte logical screen descriptor
+  // with unsigned little-endian u16 width/height at offsets 6/8.
+
+  /** Signature + logical screen descriptor. */
+  val GifHeaderLen = 13
+
+  /** Wrap bytes in a spec-valid GIF89a header (dimsFor lattice — both
+    * dimensions stay well under the u16 ceiling).
+    */
+  def gifWrap(id: Long, body: Array[Byte]): Array[Byte] = {
+    val (w, h) = dimsFor(id)
+    val out = java.nio.ByteBuffer.allocate(GifHeaderLen + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GIF89a".getBytes("ASCII"))
+    out.putShort(w.toShort).putShort(h.toShort)
+    out.put(0.toByte) // packed fields: no global color table
+    out.put(0.toByte) // background color index
+    out.put(0.toByte) // pixel aspect ratio
+    out.put(body)
+    out.array()
+  }
+
+  /** REAL GIF metadata decode: validate the GIF87a/GIF89a signature and
+    * read the unsigned little-endian logical screen dimensions. None when
+    * not a GIF — caller falls back.
+    */
+  def decodeGifDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (payload.length < GifHeaderLen) return None
+    def ascii(off: Int, s: String): Boolean =
+      s.indices.forall(i => payload(off + i) == s.charAt(i).toByte)
+    if (!ascii(0, "GIF87a") && !ascii(0, "GIF89a")) return None
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val w = bb.getShort(6) & 0xffff
+    val h = bb.getShort(8) & 0xffff
+    if (w == 0 || h == 0) None else Some((w, h))
+  }
+
   // ------------------------------------------------------------------ WAV
   // PCM WAV is a published container whose header needs no codec: RIFF
   // chunk + fmt subchunk + data subchunk, all little-endian. The parse
@@ -224,6 +316,24 @@ object Multimodal {
       frameSampleStub(payload, 4096)
   }
 
+  /** Real decoder: BMP fixed-offset header parse (published format). */
+  object BmpDecoder extends MediaDecoder {
+    override def mimes: Seq[String] = Seq("image/bmp", "image/x-ms-bmp")
+    override def dims(payload: Array[Byte]): (Int, Int) =
+      decodeBmpDims(payload).getOrElse(decodeStub(payload))
+    override def frames(payload: Array[Byte]): Int =
+      frameSampleStub(payload, 4096)
+  }
+
+  /** Real decoder: GIF signature + logical screen descriptor. */
+  object GifDecoder extends MediaDecoder {
+    override def mimes: Seq[String] = Seq("image/gif")
+    override def dims(payload: Array[Byte]): (Int, Int) =
+      decodeGifDims(payload).getOrElse(decodeStub(payload))
+    override def frames(payload: Array[Byte]): Int =
+      frameSampleStub(payload, 4096)
+  }
+
   /** Audio metadata row: real header fields + derived duration. */
   final case class AudioMeta(
       media_id: Long, sample_rate: Long, n_channels: Long,
@@ -348,9 +458,31 @@ object Multimodal {
   }
 
   def defaultRegistry: DecoderRegistry = new DecoderRegistry(Seq(
-    PngDecoder,
+    PngDecoder, BmpDecoder, GifDecoder,
     new StubDecoder(Seq("audio/wav", "audio/mpeg")),
     new StubDecoder(Seq("video/mp4", "video/webm"))))
+
+  /** Three-real-codec media table (PNG / BMP / GIF by doc_id mod 3): every
+    * payload carries a REAL spec-valid header whose dimensions come from
+    * the shared dimsFor(id) lattice, so a SQL oracle reconstructs the
+    * parsed metadata with integer arithmetic alone.
+    */
+  def mediaTableV2(spark: SparkSession, dir: String): DataFrame = {
+    val wrapPng = udf((id: Long, body: Array[Byte]) => pngWrap(id, body))
+    val wrapBmp = udf((id: Long, body: Array[Byte]) => bmpWrap(id, body))
+    val wrapGif = udf((id: Long, body: Array[Byte]) => gifWrap(id, body))
+    spark.read.parquet(s"$dir/documents.parquet").select(
+      col("doc_id").as("media_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "image/png")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "image/bmp")
+        .otherwise("image/gif").as("mime_type"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        wrapPng(col("doc_id"), encode(col("text"), "UTF-8")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          wrapBmp(col("doc_id"), encode(col("text"), "UTF-8")))
+        .otherwise(wrapGif(col("doc_id"), encode(col("text"), "UTF-8")))
+        .as("payload"))
+  }
 
   /** Partition-batched feature extraction (mapPartitions: decoders open
     * once per partition, rows processed in a batch loop — the shape a real

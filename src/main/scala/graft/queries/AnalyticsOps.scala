@@ -635,6 +635,34 @@ object AnalyticsOps {
              |FROM documents GROUP BY 1 ORDER BY mime_type""".stripMargin)
     ),
 
+    // THREE real codecs end-to-end, per-row oracled: PNG (big-endian IHDR),
+    // BMP (little-endian BITMAPINFOHEADER) and GIF (u16-LE logical screen)
+    // payloads each carry a REAL spec-valid header; the registry routes by
+    // mime and each decoder PARSES its own byte layout. The widths/heights
+    // land per media row, so a mis-parse of any single header (wrong
+    // endianness, wrong offset, wrong codec picked) breaks the row hash.
+    // All map-side: wrap, dispatch, parse — one scan, no shuffle except the
+    // presentation sort.
+    QueryDef(
+      "multimodal_metadata_v2",
+      (s, d) => {
+        val media = graft.operators.Multimodal.mediaTableV2(s, d)
+        graft.operators.Multimodal.extractFeatures(s, media)
+          .join(media.select("media_id", "mime_type"), "media_id")
+          .select(col("media_id"), col("mime_type"),
+            col("width"), col("height"), col("n_bytes"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CASE mod(doc_id, 3) WHEN 0 THEN 'image/png'
+             |    WHEN 1 THEN 'image/bmp' ELSE 'image/gif' END AS mime_type,
+             |  CAST(64 + mod(doc_id, 448) AS BIGINT) AS width,
+             |  CAST(64 + mod(doc_id // 7, 448) AS BIGINT) AS height,
+             |  CAST(octet_length(encode(text)) + CASE mod(doc_id, 3)
+             |    WHEN 0 THEN 33 WHEN 1 THEN 54 ELSE 13 END AS BIGINT) AS n_bytes
+             |FROM documents ORDER BY media_id""".stripMargin)
+    ),
+
     // Per-vector embedding stats: fold-left sum of squares in DOUBLE — the
     // identical IEEE op sequence in both engines, so values are
     // bit-exact with no rounding. Pure map stage at scale.

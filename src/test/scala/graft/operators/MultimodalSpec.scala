@@ -30,6 +30,60 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bmpWrap → decodeBmpDims round-trips; corrupt/edge BMPs rejected") {
+    Seq(0L, 42L, 448L, 123456L).foreach { id =>
+      val body = s"pixels_$id".getBytes("UTF-8")
+      val wrapped = Multimodal.bmpWrap(id, body)
+      assert(wrapped.length == Multimodal.BmpHeaderLen + body.length)
+      assert(Multimodal.decodeBmpDims(wrapped) == Some(Multimodal.dimsFor(id)))
+    }
+    // negative height = top-down row order per spec: dims report |h|
+    val neg = Multimodal.bmpWrap(9L, "b".getBytes)
+    val bb = java.nio.ByteBuffer.wrap(neg).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val h = bb.getInt(22); bb.putInt(22, -h)
+    assert(Multimodal.decodeBmpDims(neg) == Some(Multimodal.dimsFor(9L)))
+    // rejections: wrong magic, illegal bpp, zero planes, truncation
+    val bad = Multimodal.bmpWrap(7L, "b".getBytes); bad(0) = 'X'.toByte
+    assert(Multimodal.decodeBmpDims(bad) == None)
+    val badBpp = Multimodal.bmpWrap(7L, "b".getBytes)
+    java.nio.ByteBuffer.wrap(badBpp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(28, 13)
+    assert(Multimodal.decodeBmpDims(badBpp) == None)
+    assert(Multimodal.decodeBmpDims("BM too short".getBytes) == None)
+    assert(Multimodal.decodeBmpDims("plain utf-8 text payload far over 54 bytes long padding".getBytes) == None)
+  }
+
+  test("gifWrap → decodeGifDims round-trips; non-GIF rejected") {
+    Seq(0L, 42L, 448L, 123456L).foreach { id =>
+      val body = s"frames_$id".getBytes("UTF-8")
+      val wrapped = Multimodal.gifWrap(id, body)
+      assert(wrapped.length == Multimodal.GifHeaderLen + body.length)
+      assert(Multimodal.decodeGifDims(wrapped) == Some(Multimodal.dimsFor(id)))
+    }
+    // GIF87a variant also accepted
+    val w87 = Multimodal.gifWrap(11L, "b".getBytes)
+    w87(4) = '7'.toByte
+    assert(Multimodal.decodeGifDims(w87) == Some(Multimodal.dimsFor(11L)))
+    val bad = Multimodal.gifWrap(7L, "b".getBytes); bad(5) = 'x'.toByte
+    assert(Multimodal.decodeGifDims(bad) == None)
+    assert(Multimodal.decodeGifDims(Array[Byte](1, 2, 3)) == None)
+  }
+
+  test("registry routes png/bmp/gif to their own codecs (distinct layouts)") {
+    val reg = Multimodal.defaultRegistry
+    val id = 100L
+    val body = "shared body".getBytes("UTF-8")
+    // same id → same true dims; each decoder must recover them from ITS
+    // OWN byte layout (BE IHDR vs LE DIB vs LE u16) — cross-routing any
+    // payload to the wrong codec would fall back to the stub and diverge
+    assert(reg.forMime("image/png").dims(Multimodal.pngWrap(id, body)) == Multimodal.dimsFor(id))
+    assert(reg.forMime("image/bmp").dims(Multimodal.bmpWrap(id, body)) == Multimodal.dimsFor(id))
+    assert(reg.forMime("image/gif").dims(Multimodal.gifWrap(id, body)) == Multimodal.dimsFor(id))
+    // a BMP payload through the GIF decoder must NOT return header dims
+    assert(reg.forMime("image/gif").dims(Multimodal.bmpWrap(id, body)) !=
+      Multimodal.dimsFor(id))
+  }
+
   test("non-PNG payloads are rejected, not misparsed") {
     assert(Multimodal.decodePngDims("plain utf-8 text payload far".getBytes) == None)
     assert(Multimodal.decodePngDims(Array[Byte](1, 2, 3)) == None)
