@@ -730,8 +730,14 @@ object DedupQueries {
         AnnLsh.register(s)
         val e = embWithDups(s, d)
           .select(col("vec_id"), col("ve").cast("array<float>").as("vf"))
+        // bucket width scales with the corpus: a fixed 8-bit band turns the
+        // bucket self-join quadratic as occupancy grows (the round-10 soak
+        // measured 84x shuffle at 10x rows); bitsFor holds expected
+        // occupancy ≤ ~128 (8-bit floor ⇒ identical behavior at test SFs).
+        // The count is memoized per canonicalized plan — one job ever.
+        val bits = AnnLsh.bitsFor(AnnLsh.memoizedCount(e))
         val buckets = e
-          .withColumn("sig", explode(callUDF("ann_band_sigs", col("vf"))))
+          .withColumn("sig", explode(callUDF("ann_band_sigs_scaled", col("vf"), lit(bits))))
           .select("vec_id", "sig")
         // candidates carry ids ONLY through the bucket join + distinct
         // (shuffling the vectors with every band collision is the cost at

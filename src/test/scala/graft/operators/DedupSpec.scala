@@ -88,6 +88,40 @@ class DedupSpec extends AnyFunSuite {
     assert(collisions >= trials * 8 / 10, s"only $collisions/$trials collided")
   }
 
+  test("ann lsh: adaptive bits — occupancy bound, legacy-compatible, recall holds") {
+    // occupancy contract: smallest bits with n/2^bits <= 128, floored at 8
+    assert(AnnLsh.bitsFor(0L) == 8)
+    assert(AnnLsh.bitsFor(20000L) == 8)
+    assert(AnnLsh.bitsFor(32768L) == 8)    // 32768/256 = 128 exactly
+    assert(AnnLsh.bitsFor(32769L) == 9)
+    assert(AnnLsh.bitsFor(200000L) == 11)
+    assert(AnnLsh.bitsFor(Long.MaxValue / 4) == AnnLsh.MaxBits)
+    (9 to AnnLsh.MaxBits).foreach { b =>
+      val nMax = 128L << b // largest n mapped to b bits
+      assert(AnnLsh.bitsFor(nMax) == b, s"bitsFor($nMax)")
+      assert(AnnLsh.bitsFor(nMax + 1) == math.min(AnnLsh.MaxBits, b + 1))
+    }
+    val rnd = new Random(5)
+    var collide12 = 0
+    val trials = 50
+    for (_ <- 1 to trials) {
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val norm = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      val vn = v.map(_ / norm)
+      val perturbed = vn.map(x => x + 0.05f)
+      // widened signatures EXTEND the legacy ones: low 8 bits unchanged,
+      // so every oracle computed at bits = 8 is reproduced bit-for-bit
+      val s8 = AnnLsh.bandSignatures(vn)
+      val s12 = AnnLsh.bandSignatures(vn, 12)
+      assert(s8.zip(s12).forall { case (a, b) =>
+        (a & 0xff) == (b & 0xff) && (a >>> 32) == (b >>> 32) })
+      // planted near-dups keep colliding at the widened width
+      val p12 = AnnLsh.bandSignatures(perturbed, 12)
+      if (s12.zip(p12).exists { case (x, y) => x == y }) collide12 += 1
+    }
+    assert(collide12 >= trials * 7 / 10, s"only $collide12/$trials collided at 12 bits")
+  }
+
   test("multimodal stubs are deterministic and size-bounded") {
     val payload = "hello world, this is a payload of moderate length".getBytes("UTF-8")
     val (w1, h1) = Multimodal.decodeStub(payload)

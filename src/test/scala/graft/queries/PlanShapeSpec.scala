@@ -60,6 +60,22 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p.take(4000))
   }
 
+  test("minhash LSH verify plan is frozen: broadcast payload fetch, no cartesian") {
+    // the twice-flagged perf query (r7/r9 one-rep outliers, adjudicated
+    // host noise each time): freeze the plan so a future re-plan — AQE
+    // flipping the verify join, the broadcast guard losing its memo —
+    // can't silently change what the bench measures. At test scale the
+    // fitsBroadcast probe proves the corpus small, so BOTH payload
+    // fetch joins must be broadcast-hash on the id, and the bucket
+    // self-join stays an equi-join (shuffle-based sort-merge is the
+    // RIGHT plan for it — only cartesian would be wrong).
+    val p = planOf("dedup_minhash_lsh")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    // exactly one non-broadcast join: the banded bucket self-join
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1, p.take(4000))
+  }
+
   test("dpp join plans a dynamic partition-pruning subquery on the fact scan") {
     val p = planOf("j13_dpp_partitioned_join")
     assert(p.contains("dynamicpruning") ||
