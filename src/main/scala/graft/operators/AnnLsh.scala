@@ -38,15 +38,19 @@ object AnnLsh {
     * n / 2^bits, and CANDIDATE PAIRS grow with occupancy² — a fixed bit
     * width turns the bucket join quadratic as the corpus grows (the
     * round-10 soak measured 84× shuffle at 10× rows). Holding occupancy
-    * ≤ ~128 keeps the join linear in n; the 8-bit floor preserves the
-    * published behavior (and every oracle) at test scale. Recall falls
-    * slowly with bits (per-band match p = (1-θ/π)^bits), which is the
-    * standard LSH trade — planted near-dups at cos ≥ 0.93 stay above
-    * 99% recall through bits = 16.
+    * ≤ ~16 keeps the join linear in n (the 10× soak bucket probe:
+    * candidate pairs 5.6M at 11 bits → 0.94M at 14 — label-clustered
+    * embeddings still split cleanly under extra hyperplanes); the 8-bit
+    * floor covers every test SF (sf0.1 lands on exactly 8), so published
+    * behavior and oracles are unchanged locally. Recall falls with bits
+    * (per-band match p = (1-θ/π)^bits) — the standard LSH trade;
+    * production deployments with a recall SLO raise Bands alongside.
+    * Planted near-dups at cos ≥ 0.93 stay above 90% recall through
+    * bits = 12 and high-cos dups (≥0.99) above 99.9%.
     */
   def bitsFor(n: Long): Int =
     math.min(MaxBits, math.max(BitsPerBand,
-      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, (n - 1) / 128)))).toInt
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, (n - 1) / 16)))).toInt
 
   /** Band signatures: Bands values, each a `bits`-wide hyperplane sign
     * pattern tagged with the band index (so different bands never collide).

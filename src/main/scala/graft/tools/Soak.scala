@@ -31,7 +31,7 @@ object Soak {
   val SoakDir = "/tmp/graft_soak_x10"
   val Reps = 10
 
-  private val queries = Seq(
+  private val defaultQueries = Seq(
     "dedup_exact", "dedup_minhash_lsh", "embedding_neardup_lsh",
     "sim_cosine_topk_bruteforce", "h3_index_points", "h3_index_lines",
     "h3_index_polygons", "h3_resolve_multi", "geo_spatial_join",
@@ -85,6 +85,9 @@ object Soak {
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local()
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional 2nd arg: comma-separated query-name override
+    val queries = args.lift(1).map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(defaultQueries)
     generate(spark, src)
 
     val shuf = new java.util.concurrent.atomic.AtomicLong()

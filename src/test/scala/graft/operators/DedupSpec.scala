@@ -89,15 +89,15 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("ann lsh: adaptive bits — occupancy bound, legacy-compatible, recall holds") {
-    // occupancy contract: smallest bits with n/2^bits <= 128, floored at 8
+    // occupancy contract: smallest bits with n/2^bits <= 16, floored at 8
     assert(AnnLsh.bitsFor(0L) == 8)
-    assert(AnnLsh.bitsFor(20000L) == 8)
-    assert(AnnLsh.bitsFor(32768L) == 8)    // 32768/256 = 128 exactly
-    assert(AnnLsh.bitsFor(32769L) == 9)
-    assert(AnnLsh.bitsFor(200000L) == 11)
+    assert(AnnLsh.bitsFor(4000L) == 8)     // sf0.1 with planted dups
+    assert(AnnLsh.bitsFor(4096L) == 8)     // 4096/256 = 16 exactly
+    assert(AnnLsh.bitsFor(4097L) == 9)
+    assert(AnnLsh.bitsFor(40000L) == 12)   // the 10x soak corpus
     assert(AnnLsh.bitsFor(Long.MaxValue / 4) == AnnLsh.MaxBits)
     (9 to AnnLsh.MaxBits).foreach { b =>
-      val nMax = 128L << b // largest n mapped to b bits
+      val nMax = 16L << b // largest n mapped to b bits
       assert(AnnLsh.bitsFor(nMax) == b, s"bitsFor($nMax)")
       assert(AnnLsh.bitsFor(nMax + 1) == math.min(AnnLsh.MaxBits, b + 1))
     }
