@@ -197,6 +197,47 @@ object Dedup {
   def simHashChunks(h: Long): Array[Long] =
     Array.tabulate(4)(i => (h >>> (i * 16)) & 0xffffL)
 
+  // Manku/Jain/Sarma (WWW'07 "Detecting Near-Duplicates for Web Crawling")
+  // block-permuted keys — the BILLION-document form of the same hamming ≤ 3
+  // search. 16-bit chunk buckets have a 2^16 key space, so occupancy (and
+  // candidate pairs, quadratically) grows once the corpus passes ~10⁶
+  // docs. Splitting the fingerprint into 6 blocks instead, any pair at
+  // hamming ≤ 3 leaves ≥ 3 blocks untouched (pigeonhole over 6 blocks / 3
+  // errors), so keying every 3-block combination — C(6,3) = 20 keys of
+  // 32-33 significant bits — still finds ALL such pairs while the key
+  // space grows to ~2^32: occupancy stays O(1) into the billions. The
+  // verify-by-exact-hamming step downstream makes the two schemes
+  // OUTPUT-IDENTICAL (both are exhaustive for hamming ≤ 3; false
+  // positives die in the filter) — SimHashBlockSpec asserts it.
+  private val BlockWidths = Array(11, 11, 11, 11, 10, 10)
+  private val BlockOffsets = BlockWidths.scanLeft(0)(_ + _) // 0,11,22,...,64
+  private val BlockCombos: Array[Array[Int]] =
+    (0 until 6).combinations(3).map(_.toArray).toArray // 20 combos
+
+  /** The 20 Manku 3-of-6 block keys of a simhash, tagged with the combo
+    * index in the top bits so different combos never collide.
+    */
+  def simHashBlockKeys(h: Long): Array[Long] = {
+    val blocks = Array.tabulate(6) { i =>
+      (h >>> BlockOffsets(i)) & ((1L << BlockWidths(i)) - 1)
+    }
+    Array.tabulate(BlockCombos.length) { c =>
+      val Array(i, j, k) = BlockCombos(c)
+      var key = blocks(i)
+      key = (key << BlockWidths(j)) | blocks(j)
+      key = (key << BlockWidths(k)) | blocks(k)
+      (c.toLong << 34) | key // ≤ 33 significant key bits + combo tag
+    }
+  }
+
+  /** Corpus size above which the simhash bucket scheme switches from the
+    * 4×16-bit chunks (occupancy n/2^16) to Manku 3-of-6 block keys
+    * (occupancy n/2^32): at ~2²⁰ docs chunk occupancy passes 16 and the
+    * candidate join starts its quadratic climb. Below the threshold the
+    * chunk scheme is cheaper (4 keys/doc vs 20).
+    */
+  val SimHashBlockThreshold: Long = 1L << 20
+
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
   /** Global first-occurrence survivor pick for segment-level dedup: for each
@@ -352,6 +393,7 @@ object Dedup {
     u.register("token_jaccard", (a: String, b: String) => tokenJaccard(a, b))
     u.register("simhash64", (t: String) => simHash64(t))
     u.register("simhash_chunks", (t: String) => simHashChunks(simHash64(t)))
+    u.register("simhash_block_keys", (t: String) => simHashBlockKeys(simHash64(t)))
     u.register("hamming64", (a: Long, b: Long) => hamming(a, b))
     ()
   }

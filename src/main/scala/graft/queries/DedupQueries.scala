@@ -585,12 +585,21 @@ object DedupQueries {
               |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin)),
 
     // SimHash near-dup: hamming ≤ 3 found exactly via 16-bit chunk buckets
+    // at test scale; past ~2^20 docs the bucket scheme switches to Manku
+    // 3-of-6 block keys (C(6,3)=20 keys, ~2^32 key space) — both schemes
+    // are EXHAUSTIVE for hamming ≤ 3 and the exact-hamming verify kills
+    // false positives, so the output is scheme-independent
+    // (SimHashBlockSpec) while occupancy stays O(1) into the billions.
     QueryDef("dedup_simhash",
       (s, d) => {
         Dedup.register(s)
-        val sigs = docsWithDups(s, d)
+        val base = docsWithDups(s, d)
+        val useBlocks =
+          graft.operators.AnnLsh.memoizedCount(base) > Dedup.SimHashBlockThreshold
+        val keyUdf = if (useBlocks) "simhash_block_keys" else "simhash_chunks"
+        val sigs = base
           .withColumn("sh", callUDF("simhash64", col("text")))
-          .withColumn("chunks", callUDF("simhash_chunks", col("text")))
+          .withColumn("chunks", callUDF(keyUdf, col("text")))
         val buckets = sigs.select(col("doc_id"), col("sh"),
           posexplode(col("chunks")).as(Seq("chunk", "ch")))
         buckets.as("x").join(buckets.as("y"),
