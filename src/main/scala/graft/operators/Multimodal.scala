@@ -157,6 +157,95 @@ object Multimodal {
     if (w == 0 || h == 0) None else Some((w, h))
   }
 
+  // ------------------------------------------------------------------ MP4
+  // ISO/IEC 14496-12 (ISO BMFF) needs no codec for metadata either: the
+  // file is a tree of length-prefixed boxes ([u32 size][4cc type], both
+  // big-endian), and track dimensions live at fixed offsets inside
+  // moov → trak → tkhd as 16.16 fixed-point. Only the lossy sample DATA
+  // needs a codec — the container walk below is a real parse.
+
+  /** ftyp(20) + moov(8 + trak(8 + tkhd(92))) + mdat header(8). */
+  val Mp4HeaderLen = 20 + 8 + 8 + 92 + 8
+
+  /** Wrap bytes as a minimal ISO BMFF file: ftyp, a moov/trak/tkhd chain
+    * carrying the dimsFor lattice as 16.16 fixed-point, and an mdat box
+    * holding the body.
+    */
+  def mp4Wrap(id: Long, body: Array[Byte]): Array[Byte] = {
+    val (w, h) = dimsFor(id)
+    val out = java.nio.ByteBuffer.allocate(Mp4HeaderLen + body.length)
+    // big-endian is ByteBuffer's default order
+    out.putInt(20).put("ftyp".getBytes("ASCII"))
+      .put("isom".getBytes("ASCII")).putInt(0).put("isom".getBytes("ASCII"))
+    out.putInt(8 + 8 + 92).put("moov".getBytes("ASCII"))
+    out.putInt(8 + 92).put("trak".getBytes("ASCII"))
+    out.putInt(92).put("tkhd".getBytes("ASCII"))
+    out.putInt(0)             // version 0 + flags
+    out.putInt(0).putInt(0)   // creation/modification time
+    out.putInt(1)             // track id
+    out.putInt(0)             // reserved
+    out.putInt(0)             // duration
+    out.putLong(0L)           // reserved
+    out.putShort(0).putShort(0).putShort(0).putShort(0) // layer/group/volume/reserved
+    // identity transform matrix (9 × 32-bit fixed-point)
+    out.putInt(0x10000).putInt(0).putInt(0)
+    out.putInt(0).putInt(0x10000).putInt(0)
+    out.putInt(0).putInt(0).putInt(0x40000000)
+    out.putInt(w << 16).putInt(h << 16) // 16.16 fixed-point dimensions
+    out.putInt(8 + body.length).put("mdat".getBytes("ASCII"))
+    out.put(body)
+    out.array()
+  }
+
+  /** REAL ISO BMFF metadata decode: validate the leading ftyp box, walk
+    * the top-level box chain to moov, recurse moov → trak → tkhd, and
+    * read the 16.16 fixed-point track dimensions (version 0 and 1 tkhd
+    * layouts per the spec). None when the payload is not a plausible BMFF
+    * container — caller falls back.
+    */
+  def decodeMp4Dims(payload: Array[Byte]): Option[(Int, Int)] = {
+    def be32(off: Int): Long =
+      if (off + 4 > payload.length) -1L
+      else ((payload(off) & 0xffL) << 24) | ((payload(off + 1) & 0xffL) << 16) |
+           ((payload(off + 2) & 0xffL) << 8) | (payload(off + 3) & 0xffL)
+    def fourcc(off: Int, s: String): Boolean =
+      off + 4 <= payload.length &&
+        s.indices.forall(i => payload(off + i) == s.charAt(i).toByte)
+    def findBox(from: Int, until: Int, tpe: String): Option[(Int, Int)] = {
+      var off = from
+      while (off + 8 <= until) {
+        val size = be32(off)
+        if (size < 8 || off + size > until) return None // malformed chain
+        if (fourcc(off + 4, tpe)) return Some((off + 8, off + size.toInt))
+        off += size.toInt
+      }
+      None
+    }
+    if (payload.length < 16 || !fourcc(4, "ftyp")) return None
+    for {
+      (moovS, moovE) <- findBox(0, payload.length, "moov")
+      (trakS, trakE) <- findBox(moovS, moovE, "trak")
+      (tkhdS, tkhdE) <- findBox(trakS, trakE, "tkhd")
+      dims <- {
+        val version = if (tkhdS < payload.length) payload(tkhdS) & 0xff else -1
+        // offset of the width field within the tkhd payload, after
+        // version/flags + times/ids/duration + reserved + layer block +
+        // matrix (spec layout; times/duration are 64-bit in version 1)
+        val wOff = version match {
+          case 0 => tkhdS + 4 + 20 + 8 + 8 + 36
+          case 1 => tkhdS + 4 + 32 + 8 + 8 + 36
+          case _ => -1
+        }
+        if (wOff < 0 || wOff + 8 > tkhdE) None
+        else {
+          val w = (be32(wOff) >> 16).toInt
+          val h = (be32(wOff + 4) >> 16).toInt
+          if (w <= 0 || h <= 0) None else Some((w, h))
+        }
+      }
+    } yield dims
+  }
+
   // ------------------------------------------------------------------ WAV
   // PCM WAV is a published container whose header needs no codec: RIFF
   // chunk + fmt subchunk + data subchunk, all little-endian. The parse
@@ -334,6 +423,15 @@ object Multimodal {
       frameSampleStub(payload, 4096)
   }
 
+  /** Real decoder: ISO BMFF box walk to the tkhd track dimensions. */
+  object Mp4Decoder extends MediaDecoder {
+    override def mimes: Seq[String] = Seq("video/mp4", "video/quicktime")
+    override def dims(payload: Array[Byte]): (Int, Int) =
+      decodeMp4Dims(payload).getOrElse(decodeStub(payload))
+    override def frames(payload: Array[Byte]): Int =
+      frameSampleStub(payload, 4096)
+  }
+
   /** Audio metadata row: real header fields + derived duration. */
   final case class AudioMeta(
       media_id: Long, sample_rate: Long, n_channels: Long,
@@ -458,29 +556,33 @@ object Multimodal {
   }
 
   def defaultRegistry: DecoderRegistry = new DecoderRegistry(Seq(
-    PngDecoder, BmpDecoder, GifDecoder,
+    PngDecoder, BmpDecoder, GifDecoder, Mp4Decoder,
     new StubDecoder(Seq("audio/wav", "audio/mpeg")),
-    new StubDecoder(Seq("video/mp4", "video/webm"))))
+    new StubDecoder(Seq("video/webm"))))
 
-  /** Three-real-codec media table (PNG / BMP / GIF by doc_id mod 3): every
-    * payload carries a REAL spec-valid header whose dimensions come from
-    * the shared dimsFor(id) lattice, so a SQL oracle reconstructs the
+  /** Four-real-codec media table (PNG / BMP / GIF / MP4 by doc_id mod 4):
+    * every payload carries a REAL spec-valid header whose dimensions come
+    * from the shared dimsFor(id) lattice, so a SQL oracle reconstructs the
     * parsed metadata with integer arithmetic alone.
     */
   def mediaTableV2(spark: SparkSession, dir: String): DataFrame = {
     val wrapPng = udf((id: Long, body: Array[Byte]) => pngWrap(id, body))
     val wrapBmp = udf((id: Long, body: Array[Byte]) => bmpWrap(id, body))
     val wrapGif = udf((id: Long, body: Array[Byte]) => gifWrap(id, body))
+    val wrapMp4 = udf((id: Long, body: Array[Byte]) => mp4Wrap(id, body))
     spark.read.parquet(s"$dir/documents.parquet").select(
       col("doc_id").as("media_id"),
-      when(pmod(col("doc_id"), lit(3)) === 0, "image/png")
-        .when(pmod(col("doc_id"), lit(3)) === 1, "image/bmp")
-        .otherwise("image/gif").as("mime_type"),
-      when(pmod(col("doc_id"), lit(3)) === 0,
+      when(pmod(col("doc_id"), lit(4)) === 0, "image/png")
+        .when(pmod(col("doc_id"), lit(4)) === 1, "image/bmp")
+        .when(pmod(col("doc_id"), lit(4)) === 2, "image/gif")
+        .otherwise("video/mp4").as("mime_type"),
+      when(pmod(col("doc_id"), lit(4)) === 0,
         wrapPng(col("doc_id"), encode(col("text"), "UTF-8")))
-        .when(pmod(col("doc_id"), lit(3)) === 1,
+        .when(pmod(col("doc_id"), lit(4)) === 1,
           wrapBmp(col("doc_id"), encode(col("text"), "UTF-8")))
-        .otherwise(wrapGif(col("doc_id"), encode(col("text"), "UTF-8")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          wrapGif(col("doc_id"), encode(col("text"), "UTF-8")))
+        .otherwise(wrapMp4(col("doc_id"), encode(col("text"), "UTF-8")))
         .as("payload"))
   }
 

@@ -635,14 +635,15 @@ object AnalyticsOps {
              |FROM documents GROUP BY 1 ORDER BY mime_type""".stripMargin)
     ),
 
-    // THREE real codecs end-to-end, per-row oracled: PNG (big-endian IHDR),
-    // BMP (little-endian BITMAPINFOHEADER) and GIF (u16-LE logical screen)
-    // payloads each carry a REAL spec-valid header; the registry routes by
-    // mime and each decoder PARSES its own byte layout. The widths/heights
-    // land per media row, so a mis-parse of any single header (wrong
-    // endianness, wrong offset, wrong codec picked) breaks the row hash.
-    // All map-side: wrap, dispatch, parse — one scan, no shuffle except the
-    // presentation sort.
+    // FOUR real codecs end-to-end, per-row oracled: PNG (big-endian IHDR),
+    // BMP (little-endian BITMAPINFOHEADER), GIF (u16-LE logical screen)
+    // and MP4 (ISO BMFF box walk to the tkhd 16.16 dimensions) payloads
+    // each carry a REAL spec-valid header; the registry routes by mime and
+    // each decoder PARSES its own byte layout. The widths/heights land per
+    // media row, so a mis-parse of any single header (wrong endianness,
+    // wrong offset, wrong box chain, wrong codec picked) breaks the row
+    // hash. All map-side: wrap, dispatch, parse — one scan, no shuffle
+    // except the presentation sort.
     QueryDef(
       "multimodal_metadata_v2",
       (s, d) => {
@@ -654,12 +655,14 @@ object AnalyticsOps {
           .orderBy("media_id")
       },
       Some("""SELECT doc_id AS media_id,
-             |  CASE mod(doc_id, 3) WHEN 0 THEN 'image/png'
-             |    WHEN 1 THEN 'image/bmp' ELSE 'image/gif' END AS mime_type,
+             |  CASE mod(doc_id, 4) WHEN 0 THEN 'image/png'
+             |    WHEN 1 THEN 'image/bmp' WHEN 2 THEN 'image/gif'
+             |    ELSE 'video/mp4' END AS mime_type,
              |  CAST(64 + mod(doc_id, 448) AS BIGINT) AS width,
              |  CAST(64 + mod(doc_id // 7, 448) AS BIGINT) AS height,
-             |  CAST(octet_length(encode(text)) + CASE mod(doc_id, 3)
-             |    WHEN 0 THEN 33 WHEN 1 THEN 54 ELSE 13 END AS BIGINT) AS n_bytes
+             |  CAST(octet_length(encode(text)) + CASE mod(doc_id, 4)
+             |    WHEN 0 THEN 33 WHEN 1 THEN 54 WHEN 2 THEN 13
+             |    ELSE 136 END AS BIGINT) AS n_bytes
              |FROM documents ORDER BY media_id""".stripMargin)
     ),
 

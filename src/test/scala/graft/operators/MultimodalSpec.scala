@@ -69,6 +69,44 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeGifDims(Array[Byte](1, 2, 3)) == None)
   }
 
+  test("mp4Wrap → decodeMp4Dims walks ftyp/moov/trak/tkhd; malformed rejected") {
+    Seq(0L, 42L, 448L, 123456L).foreach { id =>
+      val body = s"samples_$id".getBytes("UTF-8")
+      val wrapped = Multimodal.mp4Wrap(id, body)
+      assert(wrapped.length == Multimodal.Mp4HeaderLen + body.length)
+      assert(Multimodal.decodeMp4Dims(wrapped) == Some(Multimodal.dimsFor(id)))
+    }
+    // version-1 tkhd (64-bit times): widen the box by 12 bytes and shift
+    // the dimension fields per the spec layout — the decoder must follow
+    val v0 = Multimodal.mp4Wrap(9L, Array.empty[Byte])
+    val v1 = {
+      val bb = java.nio.ByteBuffer.allocate(v0.length + 12)
+      bb.put(v0, 0, 20)                      // ftyp unchanged
+      bb.putInt(8 + 8 + 104).put("moov".getBytes("ASCII"))
+      bb.putInt(8 + 104).put("trak".getBytes("ASCII"))
+      bb.putInt(104).put("tkhd".getBytes("ASCII"))
+      bb.putInt(0x01000000)                  // version 1 + flags
+      bb.putLong(0L).putLong(0L)             // 64-bit times
+      bb.putInt(1).putInt(0).putLong(0L)     // track/reserved/64-bit duration
+      bb.putLong(0L)                         // reserved
+      bb.putShort(0).putShort(0).putShort(0).putShort(0)
+      bb.putInt(0x10000).putInt(0).putInt(0)
+      bb.putInt(0).putInt(0x10000).putInt(0)
+      bb.putInt(0).putInt(0).putInt(0x40000000)
+      val (w, h) = Multimodal.dimsFor(9L)
+      bb.putInt(w << 16).putInt(h << 16)
+      bb.putInt(8).put("mdat".getBytes("ASCII"))
+      bb.array()
+    }
+    assert(Multimodal.decodeMp4Dims(v1) == Some(Multimodal.dimsFor(9L)))
+    // rejections: no ftyp, truncated box chain, zero dims
+    assert(Multimodal.decodeMp4Dims("plain utf-8 text payload".getBytes) == None)
+    val bad = Multimodal.mp4Wrap(7L, "b".getBytes); bad(4) = 'x'.toByte
+    assert(Multimodal.decodeMp4Dims(bad) == None)
+    val trunc = Multimodal.mp4Wrap(7L, "b".getBytes).take(40)
+    assert(Multimodal.decodeMp4Dims(trunc) == None)
+  }
+
   test("registry routes png/bmp/gif to their own codecs (distinct layouts)") {
     val reg = Multimodal.defaultRegistry
     val id = 100L
