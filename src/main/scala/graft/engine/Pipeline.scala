@@ -76,6 +76,20 @@ object Fanout {
     else if (estimatedScanPartitions(spark, df) < parallelism) df.repartition(parallelism)
     else df
   }
+
+  /** Keyed variant: fan out by HASH on `keys` so a downstream
+    * window/aggregate on the same keys reuses the exchange instead of
+    * planning its own (round-robin fan-out would leave that second
+    * shuffle in the plan). Same no-op condition as [[ensure]].
+    */
+  def ensureByKey(spark: SparkSession, df: DataFrame,
+                  keys: org.apache.spark.sql.Column*): DataFrame = {
+    val parallelism = spark.sparkContext.defaultParallelism
+    if (alreadyFanned(df, parallelism)) df
+    else if (estimatedScanPartitions(spark, df) < parallelism)
+      df.repartition(parallelism, keys: _*)
+    else df
+  }
 }
 
 /** Input validation (reference validator.py:15-115): PK uniqueness, numeric
