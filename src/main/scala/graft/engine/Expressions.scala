@@ -70,6 +70,14 @@ object Expressions {
     UnsafeArrayData.fromPrimitiveArray(
       GraftFunctions.indexGeometry(GraftFunctions.parseGeomCached(geom.toString), res))
 
+  def polyfillTasksArray(geom: UTF8String, res: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      PolySplit.tasks(GraftFunctions.parseGeomCached(geom.toString), res))
+
+  def cellsUnderArray(geom: UTF8String, task: Long, res: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      PolySplit.cellsUnder(GraftFunctions.parseGeomCached(geom.toString), task, res))
+
   def ratioAreaCell(geom: UTF8String, cell: Long): Double =
     GraftFunctions.ratioAreaCell(geom.toString, cell).doubleValue
 
@@ -96,6 +104,51 @@ object Expressions {
 
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** h3_polyfill_tasks_native(geom STRING, res INT) → ARRAY<LONG> — phase 1
+    * of the split polyfill (PolySplit.tasks): the polygon's coarse ancestor
+    * cover when its cell estimate crosses the split threshold, the single
+    * sentinel task 0 otherwise.
+    */
+  case class H3PolyfillTasksExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "h3_polyfill_tasks_native"
+
+    override protected def nullSafeEval(geom: Any, res: Any): Any =
+      Expressions.polyfillTasksArray(geom.asInstanceOf[UTF8String], res.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (geom, res) =>
+        s"graft.engine.Expressions.polyfillTasksArray($geom, $res)")
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** h3_cells_under_native(geom STRING, task LONG, res INT) → ARRAY<LONG> —
+    * phase 3 of the split polyfill (PolySplit.cellsUnder): the task's
+    * centroid-inside descendants; the sentinel task runs the whole-geometry
+    * BFS unchanged.
+    */
+  case class H3CellsUnderExpr(first: Expression, second: Expression,
+                              third: Expression) extends TernaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "h3_cells_under_native"
+
+    override protected def nullSafeEval(geom: Any, task: Any, res: Any): Any =
+      Expressions.cellsUnderArray(geom.asInstanceOf[UTF8String],
+        task.asInstanceOf[Long], res.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (geom, task, res) =>
+        s"${ev.value} = graft.engine.Expressions.cellsUnderArray($geom, $task, $res);")
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
   }
 
   /** h3_parent_long(cell LONG, res INT) → LONG (pure bit math, codegen). */
@@ -277,6 +330,48 @@ object Expressions {
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression = copy(l, r)
   }
+
+  /** sorted_intersect_count(a, b) → BIGINT: |a ∩ b| for DISTINCT,
+    * ASCENDING-SORTED arrays (ARRAY<STRING> in binary UTF8 order, or
+    * ARRAY<BIGINT>) via a single merge walk — the exact-set-similarity
+    * verify kernel. Replaces `size(array_intersect(a, b))` in the
+    * candidate-verify hot path: identical count, but no per-row hash set
+    * and no intersected-array allocation. Sortedness is a PLAN invariant
+    * (callers array_sort once per record at the build boundary, amortized
+    * over that record's candidate partners), not checked per row —
+    * SetOpsSpec pins agreement with array_intersect on randomized inputs.
+    */
+  case class SortedIntersectCountExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sorted_intersect_count"
+
+    private def isString: Boolean =
+      left.dataType.asInstanceOf[ArrayType].elementType == StringType
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val aa = a.asInstanceOf[ArrayData]; val bb = b.asInstanceOf[ArrayData]
+      if (isString) SetOps.intersectCountUtf8(aa, bb)
+      else SetOps.intersectCountLong(aa, bb)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = if (isString) "intersectCountUtf8" else "intersectCountLong"
+      defineCodeGen(ctx, ev, (a, b) => s"graft.engine.SetOps.$fn($a, $b)")
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** Column wrapper for SortedIntersectCountExpr (shared by the exact-
+    * Jaccard verify joins in DedupQueries). */
+  def sortedIntersectCount(a: org.apache.spark.sql.Column,
+                           b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(SortedIntersectCountExpr(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
 
   /** nearest_centroid(v ARRAY<DOUBLE>) → INT against a plan-embedded
     * centroid matrix (k×dim, a few KB — small enough to ship in the
@@ -546,6 +641,8 @@ object Expressions {
     "h3_parent_native" -> (es => H3ParentExpr(asS(es(0)), asI(es(1)))),
     "h3_resolution_native" -> (es => H3ResolutionExpr(asS(es.head))),
     "h3_index_shape_native" -> (es => H3IndexShapeExpr(asS(es(0)), asI(es(1)))),
+    "h3_polyfill_tasks_native" -> (es => H3PolyfillTasksExpr(asS(es(0)), asI(es(1)))),
+    "h3_cells_under_native" -> (es => H3CellsUnderExpr(asS(es(0)), asL(es(1)), asI(es(2)))),
     "h3_parent_long" -> (es => H3ParentLongExpr(asL(es(0)), asI(es(1)))),
     "h3_hex" -> (es => H3HexExpr(asL(es.head))),
     "h3_unhex" -> (es => H3UnhexExpr(asS(es.head))),

@@ -222,6 +222,42 @@ object VecOps {
   }
 }
 
+/** Static sorted-set kernels for the exact-dedup verify joins
+  * (Expressions.SortedIntersectCountExpr). PRECONDITION: both arrays are
+  * DISTINCT and SORTED ASCENDING (binary UTF8 order for strings, signed
+  * order for longs — exactly what array_sort over array_distinct output
+  * produces) with no null elements. A single merge walk then counts the
+  * intersection in O(|a|+|b|): no per-row hash set, no boxing, and no
+  * intersected-array allocation (`size(array_intersect(a, b))` builds the
+  * whole result array just to take its length).
+  */
+object SetOps {
+
+  def intersectCountUtf8(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  def intersectCountLong(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 /** Static bitset kernels for the plan-embedded Bloom filter
   * (Expressions.BloomAllSetExpr). The filter is a fixed Array[Long] —
   * m/64 words regardless of corpus size — so it rides in the serialized

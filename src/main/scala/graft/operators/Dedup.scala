@@ -155,6 +155,24 @@ object Dedup {
     }
   }
 
+  /** Sorted distinct shingle-hash array — the SAME set shingleJaccard
+    * compares (shingleHashes(t).toSet), materialized once per document so
+    * a verify join can merge-count the intersection
+    * (Expressions.SortedIntersectCountExpr) instead of rebuilding boxed
+    * hash sets per candidate pair.
+    */
+  def shingleHashesSorted(text: String): Array[Long] = {
+    val h = shingleHashes(text)
+    java.util.Arrays.sort(h)
+    var n = 0
+    var i = 0
+    while (i < h.length) {
+      if (n == 0 || h(i) != h(n - 1)) { h(n) = h(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(h, n)
+  }
+
   /** Exact Jaccard over hashed shingle sets. */
   def shingleJaccard(ta: String, tb: String): Double = {
     val a = shingleSet(ta)
@@ -390,6 +408,7 @@ object Dedup {
     u.register("bbit_similarity", (pa: Seq[Long], pb: Seq[Long], n: Int, b: Int) =>
       bBitSimilarity(pa.toArray, pb.toArray, n, b))
     u.register("shingle_jaccard", (a: String, b: String) => shingleJaccard(a, b))
+    u.register("shingle_hashes_sorted", (t: String) => shingleHashesSorted(t))
     u.register("token_jaccard", (a: String, b: String) => tokenJaccard(a, b))
     u.register("simhash64", (t: String) => simHash64(t))
     u.register("simhash_chunks", (t: String) => simHashChunks(simHash64(t)))

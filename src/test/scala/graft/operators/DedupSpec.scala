@@ -31,6 +31,29 @@ class DedupSpec extends AnyFunSuite {
       Dedup.minHashSignature(Dedup.shingleHashes(t))) == 1.0)
   }
 
+  test("shingleHashesSorted is the exact shingle set, sorted — and its merge-count jaccard equals shingleJaccard") {
+    val rnd = new Random(99)
+    for (_ <- 1 to 50) {
+      val ta = randText(rnd, 2 + rnd.nextInt(120))
+      val tb = if (rnd.nextBoolean()) randText(rnd, 2 + rnd.nextInt(120))
+               else ta.split(" ").map(t => if (rnd.nextInt(8) == 0) "zzz" else t).mkString(" ")
+      val sa = Dedup.shingleHashesSorted(ta)
+      assert(sa.toSet === Dedup.shingleHashes(ta).toSet)
+      assert(sa.toSeq === sa.toSeq.sorted)
+      assert(sa.distinct.length === sa.length)
+      // the verify arithmetic the dedup_minhash_lsh query now uses
+      val sb = Dedup.shingleHashesSorted(tb)
+      var i = 0; var j = 0; var inter = 0L
+      while (i < sa.length && j < sb.length) {
+        if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+        else if (sa(i) < sb(j)) i += 1 else j += 1
+      }
+      val union = sa.length.toLong + sb.length - inter
+      val viaArrays = if (union == 0) 1.0 else inter.toDouble / union
+      assert(viaArrays === Dedup.shingleJaccard(ta, tb))
+    }
+  }
+
   test("b-bit minhash: packing round-trips and the corrected estimate tracks the full signature") {
     val rnd = new Random(23)
     // packing: low b bits of every hash are recoverable (match of a sig
