@@ -222,6 +222,8 @@ object GraftFunctions {
       if (c == null) null else ratioLengthCell(a, c.longValue))
     u.register("h3_cell_area_cached", (c: java.lang.Long) =>
       if (c == null) null else java.lang.Double.valueOf(cellAreaKm2Cached(c.longValue)))
+    u.register("h3_polyfill_est", (g: String, res: Int) =>
+      PolySplit.estimateCells(parseGeomCached(g), res))
     u.register("st_area_spheroid_km2", (s: String) => areaSpheroidKm2(s))
     u.register("st_length_spheroid_km", (s: String) => lengthSpheroidKm(s))
     u.register("st_astext", (s: String) =>

@@ -261,8 +261,32 @@ object Indexer {
     // function on this path is a native codegen Expression (Expressions.scala)
     // — the explode + ratio + epilogue stay inside one whole-stage-codegen
     // span with no ScalaUDF closure per row.
-    val exploded = withTotal.withColumn(Cols.H3Index,
-      explode(expr(s"h3_index_shape_native(${Cols.GeomWkt}, $res)")))
+    //
+    // Polygon inputs carry one extra hazard at fleet scale: a single
+    // country-sized polygon polyfills MILLIONS of cells inside ONE
+    // generator row — unsplittable task skew no repartition upstream can
+    // fix. When a memoized probe finds any polygon estimating past
+    // PolySplit.splitThreshold, the polyfill runs as a two-phase split
+    // instead: explode the coarse ancestor cover (small polygons ride a
+    // sentinel task), hash-shuffle the (feature, task) units to full
+    // width, then enumerate each task's bounded descendant block.
+    // Set-identical output (PolySplitSpec), engaged only above threshold —
+    // every test-SF plan is byte-identical to the single-generator form.
+    val exploded =
+      if (in.geometryType == GT.Polygon &&
+          PolySplit.shouldSplit(selected.select(col(Cols.GeomWkt)), Cols.GeomWkt, res)) {
+        withTotal
+          .withColumn("h3_task",
+            explode(expr(s"h3_polyfill_tasks_native(${Cols.GeomWkt}, $res)")))
+          .repartition(spark.sparkContext.defaultParallelism,
+            col(in.uniqueId), col("h3_task"))
+          .withColumn(Cols.H3Index,
+            explode(expr(s"h3_cells_under_native(${Cols.GeomWkt}, h3_task, $res)")))
+          .drop("h3_task")
+      } else {
+        withTotal.withColumn(Cols.H3Index,
+          explode(expr(s"h3_index_shape_native(${Cols.GeomWkt}, $res)")))
+      }
 
     // Hexagon boundary + area come from a bounded per-executor memo keyed by
     // the long cell (H3Geo.cellInfoCached, stores the parsed JTS polygon)

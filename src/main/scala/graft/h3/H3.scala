@@ -574,6 +574,17 @@ object H3 {
   def polygonToCells(outer: Array[LatLng], holes: Seq[Array[LatLng]],
                      res: Int): Array[Long] = {
     if (outer.length < 3) return Array.empty
+    polyfillBfs(outer, holes, res)._1
+  }
+
+  /** The BFS core shared by [[polygonToCells]] and [[polygonCoarseCover]]:
+    * (cells with centroid inside, every visited cell). `visited` holds all
+    * seeds (every cell the boundary passes through, by half-edge sampling),
+    * every flood-reached inside cell, and one neighbor ring around each —
+    * i.e. a superset of every cell containing any polygon-interior point.
+    */
+  private def polyfillBfs(outer: Array[LatLng], holes: Seq[Array[LatLng]],
+                          res: Int): (Array[Long], mutable.HashSet[Long]) = {
     val seeds = mutable.HashSet.empty[Long]
     // sample edges at ~half-cell spacing so the seed chain is connected
     val step = hexEdgeLengthRads(res) / 2
@@ -604,8 +615,42 @@ object H3 {
         neighbors(c).foreach { n => if (visited.add(n)) queue.enqueue(n) }
       }
     }
-    inside.toArray
+    (inside.toArray, visited)
   }
+
+  /** SUPERSET ancestor cover at `coarseRes`: every res-R cell (R >
+    * coarseRes) whose centroid lies inside the polygon has its coarseRes
+    * ancestor in this set. Construction: the BFS `visited` set (every cell
+    * containing an interior point, plus one ring) widened by one more
+    * neighbor ring. The extra ring absorbs descendant-centroid OVERHANG —
+    * aperture-7 children stick out of their ancestor by at most the
+    * circumradius series Σ 7^(-k/2) ≈ 0.62 coarse edge lengths, so an
+    * inside fine centroid lying just outside its coarse ancestor's boundary
+    * still places that ancestor within one ring of a visited cell.
+    * Over-covering is harmless (candidate tests that fail), under-covering
+    * never happens — PolySplitSpec hammers set-equality of the split
+    * polyfill against [[polygonToCells]] across shapes and latitudes.
+    */
+  def polygonCoarseCover(outer: Array[LatLng], holes: Seq[Array[LatLng]],
+                         coarseRes: Int): Array[Long] = {
+    if (outer.length < 3) return Array.empty
+    val (_, visited) = polyfillBfs(outer, holes, coarseRes)
+    val cover = mutable.HashSet.empty[Long] ++ visited
+    visited.foreach(c => neighbors(c).foreach(cover += _))
+    cover.toArray
+  }
+
+  /** The res-`res` descendants of `task` whose centroid lies inside the
+    * polygon — one bounded unit (≤ 7^(res - taskRes) candidate tests) of a
+    * split polyfill. Union over a [[polygonCoarseCover]] = exactly
+    * [[polygonToCells]]: the cover is an ancestor superset and
+    * cellToChildren partitions cells by ancestor, so nothing is missed and
+    * nothing is emitted twice.
+    */
+  def cellsUnderInPolygon(task: Long, outer: Array[LatLng],
+                          holes: Seq[Array[LatLng]], res: Int): Array[Long] =
+    cellToChildren(task, res)
+      .filter(c => pointInPolygon(cellToLatLng(c), outer, holes))
 
   /** Mean hexagon edge length in radians by resolution (published H3 table,
     * km on the sphere / earth radius).
@@ -619,6 +664,17 @@ object H3 {
   }
 
   val EarthRadiusKm: Double = 6371.007180918475
+
+  /** Mean hexagon area in km² by resolution (published H3 table) — used
+    * only for ORDER-OF-MAGNITUDE cell-count estimates (polyfill split
+    * planning), never for results.
+    */
+  def avgHexAreaKm2(res: Int): Double = AvgHexAreaKm2(res)
+  private val AvgHexAreaKm2 = Array(
+    4357449.416078381, 609788.441794133, 86801.780398997, 12393.434655088,
+    1770.347654491, 252.903858182, 36.129062164, 5.161293360, 0.737327598,
+    0.105332513, 0.015047502, 0.002149643, 0.000307092, 0.000043870,
+    0.000006267, 0.000000895)
 
   // ------------------------------------------------------------------ path
 

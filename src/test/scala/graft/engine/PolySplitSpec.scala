@@ -1,0 +1,144 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import scala.util.Random
+import graft.h3.{H3, LatLng}
+
+/** The split polyfill must be SET-IDENTICAL to the whole-polygon BFS —
+  * that is the entire contract that lets the Indexer switch plans on a
+  * size probe without touching results. Kernel-level equality is hammered
+  * across shapes, latitudes, resolutions, and cover depths; then the
+  * end-to-end Indexer plan is forced onto the split path and compared
+  * row-for-row against the default path on the real sf0.001 input.
+  */
+class PolySplitSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  /** Jittered radial polygon (star/blob) around (lat, lng): radiusKm scaled
+    * per-vertex by [1-jitter, 1+jitter] — non-convex, irregular edges.
+    */
+  private def blob(rnd: Random, lat: Double, lng: Double, radiusKm: Double,
+                   nVerts: Int, jitter: Double): Array[LatLng] = {
+    val c = LatLng.degrees(lat, lng)
+    Array.tabulate(nVerts) { i =>
+      val az = 2 * math.Pi * i / nVerts
+      val r = radiusKm * (1 - jitter + 2 * jitter * rnd.nextDouble()) / H3.EarthRadiusKm
+      c.destination(az, r)
+    }
+  }
+
+  private def splitCells(outer: Array[LatLng], holes: Seq[Array[LatLng]],
+                         res: Int, k: Int): Set[Long] = {
+    val cover = H3.polygonCoarseCover(outer, holes, k)
+    // ancestor partition: no cell may arrive from two tasks
+    val all = cover.flatMap(H3.cellsUnderInPolygon(_, outer, holes, res))
+    assert(all.length === all.distinct.length, "cover tasks emitted a duplicate cell")
+    all.toSet
+  }
+
+  test("split polyfill equals BFS polyfill: random blobs across latitudes, depths 1-4") {
+    val rnd = new Random(1234)
+    for (trial <- 1 to 25) {
+      val lat = -72 + 144 * rnd.nextDouble()          // up to ±72°
+      val lng = -180 + 360 * rnd.nextDouble()
+      val res = 5 + rnd.nextInt(3)                    // 5..7
+      val radius = 8 + 60 * rnd.nextDouble()          // ~10..1500 cells
+      val outer = blob(rnd, lat, lng, radius, 12 + rnd.nextInt(20), 0.45)
+      val bfs = H3.polygonToCells(outer, Nil, res).toSet
+      assert(bfs.nonEmpty, s"trial $trial produced an empty polyfill")
+      for (d <- 1 to 4) {
+        val k = math.max(0, res - d)
+        assert(splitCells(outer, Nil, res, k) === bfs,
+          s"trial $trial lat=$lat lng=$lng res=$res depth=$d")
+      }
+    }
+  }
+
+  test("split polyfill equals BFS with holes and at high latitude") {
+    val rnd = new Random(77)
+    val outer = blob(rnd, 68.0, 25.0, 40, 24, 0.3)
+    val hole = blob(rnd, 68.05, 25.1, 9, 10, 0.2)
+    val res = 6
+    val bfs = H3.polygonToCells(outer, Seq(hole), res).toSet
+    val split = splitCells(outer, Seq(hole), res, res - 4)
+    assert(bfs.nonEmpty && split === bfs)
+  }
+
+  test("geometry-level tasks/cellsUnder: sentinel below threshold, cover above, both exact") {
+    val wkt = "POLYGON ((10 50, 10.6 50, 10.6 50.4, 10 50.4, 10 50))"
+    val g = GraftFunctions.parseGeomCached(wkt)
+    val res = 7
+    val whole = GraftFunctions.indexGeometry(g, res).toSet
+    assert(whole.size > 200)
+    // below threshold: single sentinel, cellsUnder(sentinel) is the whole path
+    assert(PolySplit.tasks(g, res).toSeq === Seq(PolySplit.Sentinel))
+    assert(PolySplit.cellsUnder(g, PolySplit.Sentinel, res).toSet === whole)
+    // force the switch: cover tasks, exact union, no duplicates
+    val saved = PolySplit.splitThreshold
+    try {
+      PolySplit.splitThreshold = 10.0
+      val tasks = PolySplit.tasks(g, res)
+      assert(tasks.length > 3 && !tasks.contains(PolySplit.Sentinel))
+      val split = tasks.flatMap(PolySplit.cellsUnder(g, _, res))
+      assert(split.length === split.distinct.length)
+      assert(split.toSet === whole)
+    } finally PolySplit.splitThreshold = saved
+  }
+
+  test("multipolygon with overlapping components: split equals the distinct whole-path") {
+    val wkt = "MULTIPOLYGON (((10 50, 10.4 50, 10.4 50.3, 10 50.3, 10 50)), " +
+      "((10.3 50.2, 10.7 50.2, 10.7 50.5, 10.3 50.5, 10.3 50.2)))"
+    val g = GraftFunctions.parseGeomCached(wkt)
+    val res = 7
+    val whole = GraftFunctions.indexGeometry(g, res).toSet
+    val saved = PolySplit.splitThreshold
+    try {
+      PolySplit.splitThreshold = 10.0
+      val split = PolySplit.tasks(g, res).flatMap(PolySplit.cellsUnder(g, _, res))
+      assert(split.length === split.distinct.length,
+        "overlapping components must not double-emit a cell")
+      assert(split.toSet === whole)
+    } finally PolySplit.splitThreshold = saved
+  }
+
+  test("non-polygon geometries never split") {
+    val line = GraftFunctions.parseGeomCached("LINESTRING (10 50, 11 51)")
+    assert(PolySplit.tasks(line, 7).toSeq === Seq(PolySplit.Sentinel))
+    assert(PolySplit.estimateCells(line, 7) === 0.0)
+  }
+
+  test("cell estimate is order-of-magnitude right") {
+    // ~0.55° x 0.4° box at 50°N ≈ 0.55*111*cos(50°)*0.4*111 ≈ 1742 km²
+    val g = GraftFunctions.parseGeomCached(
+      "POLYGON ((10 50, 10.55 50, 10.55 50.4, 10 50.4, 10 50))")
+    val est = PolySplit.estimateCells(g, 7)
+    val actual = GraftFunctions.indexGeometry(g, 7).length.toDouble
+    assert(est > actual / 2 && est < actual * 2, s"est=$est actual=$actual")
+  }
+
+  test("end-to-end: forced split Indexer plan matches the default plan on sf0.001") {
+    import graft.queries.GeoQueries
+    val dir = "/root/testdata/sf0.001"
+    val default = GeoQueries.qs.find(_.name == "h3_index_polygons").get
+      .fn(spark, dir).collect().map(_.toSeq).sortBy(_.toString)
+    val saved = PolySplit.splitThreshold
+    val forced =
+      try {
+        PolySplit.splitThreshold = 1.0 // every polygon crosses it
+        GeoQueries.qs.find(_.name == "h3_index_polygons").get
+          .fn(spark, dir).collect().map(_.toSeq).sortBy(_.toString)
+      } finally PolySplit.splitThreshold = saved
+    assert(forced.length === default.length)
+    assert(forced.toSeq === default.toSeq)
+  }
+}
