@@ -131,10 +131,15 @@ object GraftFunctions {
     val info = H3Geo.cellInfoCached(cell)
     // convex cells take the exact planar Sutherland–Hodgman clip (~100×
     // cheaper than the overlay; agreement spec-gated at 1e-9 relative);
-    // folded/degenerate cells and exotic geometries fall back to JTS
+    // folded/degenerate cells and exotic geometries fall back to JTS.
+    // Past GeoSegIndex.SegmentThreshold the clip consults the feature's
+    // segment index first: interior/exterior cells skip the full ring walk
+    // (a giant ring × its million cells is otherwise quadratic).
     info.clip match {
       case Some(r) =>
-        val a = graft.geo.ConvexClip.areaIn(r, g)
+        val idx = graft.geo.GeoSegIndex.cached(g)
+        val a = if (idx != null && !idx.isLine) graft.geo.GeoSegIndex.areaIn(r, g, idx)
+                else graft.geo.ConvexClip.areaIn(r, g)
         if (a.isNaN) g.intersection(info.poly).getArea / denom else a / denom
       case None => g.intersection(info.poly).getArea / denom
     }
@@ -149,7 +154,11 @@ object GraftFunctions {
     val info = H3Geo.cellInfoCached(cell)
     info.clip match {
       case Some(r) =>
-        val l = graft.geo.ConvexClip.lengthIn(r, g)
+        // indexed walk above GeoSegIndex.SegmentThreshold — BIT-IDENTICAL
+        // to the full walk (excluded segments clip to exact 0.0)
+        val idx = graft.geo.GeoSegIndex.cached(g)
+        val l = if (idx != null && idx.isLine) graft.geo.GeoSegIndex.lengthIn(r, idx)
+                else graft.geo.ConvexClip.lengthIn(r, g)
         if (l.isNaN) g.intersection(info.poly).getLength / denom else l / denom
       case None => g.intersection(info.poly).getLength / denom
     }

@@ -126,6 +126,17 @@ class PolySplitSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est > actual / 2 && est < actual * 2, s"est=$est actual=$actual")
   }
 
+  test("plan stability: at test SF the registered polygon plan has NO split stage") {
+    // bench comparability gate: an estimate or threshold regression that
+    // silently flips small inputs onto the two-phase plan would change
+    // what every polygon bench number measures
+    val dir = "/root/testdata/sf0.001"
+    val p = graft.queries.GeoQueries.qs.find(_.name == "h3_index_polygons").get
+      .fn(spark, dir).queryExecution.executedPlan.toString()
+    assert(!p.contains("h3_cells_under_native"), p.take(3000))
+    assert(p.contains("h3_index_shape_native"), p.take(3000))
+  }
+
   test("end-to-end: forced split Indexer plan matches the default plan on sf0.001") {
     import graft.queries.GeoQueries
     val dir = "/root/testdata/sf0.001"
