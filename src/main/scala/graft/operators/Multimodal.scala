@@ -246,6 +246,115 @@ object Multimodal {
     } yield dims
   }
 
+  // ----------------------------------------------------------------- WebM
+  // Matroska/WebM is an EBML document (RFC 8794): every element is a VINT
+  // id (marker bits kept) + VINT size (marker stripped; all-ones payload =
+  // unknown size) + payload. Track dimensions live under Segment → Tracks
+  // → TrackEntry → Video as unsigned big-endian PixelWidth/PixelHeight —
+  // a pure container walk, no codec, like the BMFF path above.
+
+  /** EBML header(12) + Segment(4+8) + Tracks(4+8+26) + Void(1+8). */
+  val WebmHeaderLen = 12 + 12 + 38 + 9
+
+  /** Wrap bytes as a minimal WebM file: EBML header (DocType "webm"), a
+    * Segment holding a Tracks → TrackEntry → Video chain carrying the
+    * dimsFor lattice as u16 PixelWidth/PixelHeight, and a Void element
+    * holding the body (fixed 8-byte size VINTs so the byte layout is a
+    * constant the oracle reconstructs; the DECODER handles every width).
+    */
+  def webmWrap(id: Long, body: Array[Byte]): Array[Byte] = {
+    val (w, h) = dimsFor(id)
+    val out = java.nio.ByteBuffer.allocate(WebmHeaderLen + body.length)
+    def size8(v: Long): Unit = {
+      out.put(0x01.toByte) // 8-byte VINT marker
+      var i = 48
+      while (i >= 0) { out.put(((v >> i) & 0xff).toByte); i -= 8 }
+    }
+    out.put(Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte)).put(0x87.toByte)
+    out.put(Array(0x42, 0x82).map(_.toByte)).put(0x84.toByte)
+      .put("webm".getBytes("ASCII"))
+    out.put(Array(0x18, 0x53, 0x80, 0x67).map(_.toByte)); size8(47L + body.length)
+    out.put(Array(0x16, 0x54, 0xAE, 0x6B).map(_.toByte)); size8(26)
+    out.put(0xAE.toByte); size8(17)
+    out.put(0xE0.toByte); size8(8)
+    out.put(0xB0.toByte).put(0x82.toByte).putShort(w.toShort)
+    out.put(0xBA.toByte).put(0x82.toByte).putShort(h.toShort)
+    out.put(0xEC.toByte); size8(body.length) // Void: opaque filler element
+    out.put(body)
+    out.array()
+  }
+
+  /** REAL EBML metadata decode: general VINT ids/sizes (any width,
+    * unknown-size Segment supported — the streamed-webm form), walk
+    * EBML header → Segment → Tracks → TrackEntry → Video, read the
+    * unsigned PixelWidth/PixelHeight. None when not plausible EBML —
+    * caller falls back.
+    */
+  def decodeWebmDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    val n = payload.length
+    def vintLen(b: Int): Int = {
+      var l = 1; var m = 0x80
+      while (m != 0 && (b & m) == 0) { l += 1; m >>>= 1 }
+      if (m == 0) -1 else l
+    }
+    def readId(off: Int): (Long, Int) = {
+      if (off >= n) return (-1L, -1)
+      val l = vintLen(payload(off) & 0xff)
+      if (l < 1 || l > 4 || off + l > n) return (-1L, -1)
+      var v = 0L; var i = 0
+      while (i < l) { v = (v << 8) | (payload(off + i) & 0xffL); i += 1 }
+      (v, l)
+    }
+    def readSize(off: Int): (Long, Int) = {
+      if (off >= n) return (-2L, -1)
+      val b0 = payload(off) & 0xff
+      val l = vintLen(b0)
+      if (l < 1 || l > 8 || off + l > n) return (-2L, -1)
+      var v = (b0 & (0xff >>> l)).toLong
+      var i = 1
+      while (i < l) { v = (v << 8) | (payload(off + i) & 0xffL); i += 1 }
+      val allOnes = (1L << (7 * l)) - 1
+      (if (v == allOnes) -1L else v, l) // -1 = unknown size (RFC 8794 §6)
+    }
+    def uint(off: Int, len: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < len) { v = (v << 8) | (payload(off + i) & 0xffL); i += 1 }
+      v
+    }
+    /** First child of [from, until) with `target` id → its content span.
+      * An unknown-size TARGET extends to the container end; an
+      * unknown-size non-target can't be skipped → not found.
+      */
+    def find(from: Int, until: Int, target: Long): Option[(Int, Int)] = {
+      var off = from
+      while (off < until) {
+        val (id, il) = readId(off)
+        if (il < 0) return None
+        val (sz, sl) = readSize(off + il)
+        if (sl < 0) return None
+        val cs = off + il + sl
+        if (id == target) {
+          val ce = if (sz < 0) until else cs + sz.toInt
+          return if (sz > Int.MaxValue || ce > until) None else Some((cs, ce))
+        }
+        if (sz < 0 || sz > Int.MaxValue || cs + sz.toInt > until) return None
+        off = cs + sz.toInt
+      }
+      None
+    }
+    if (n < 4 || readId(0)._1 != 0x1A45DFA3L) return None
+    for {
+      (_, ebmlEnd) <- find(0, n, 0x1A45DFA3L)
+      (segS, segE) <- find(ebmlEnd, n, 0x18538067L)
+      (trkS, trkE) <- find(segS, segE, 0x1654AE6BL)
+      (entS, entE) <- find(trkS, trkE, 0xAEL)
+      (vidS, vidE) <- find(entS, entE, 0xE0L)
+      w <- find(vidS, vidE, 0xB0L).map { case (s, e) => uint(s, e - s) }
+      h <- find(vidS, vidE, 0xBAL).map { case (s, e) => uint(s, e - s) }
+      if w > 0 && h > 0 && w <= 65535 && h <= 65535
+    } yield (w.toInt, h.toInt)
+  }
+
   // ------------------------------------------------------------------ WAV
   // PCM WAV is a published container whose header needs no codec: RIFF
   // chunk + fmt subchunk + data subchunk, all little-endian. The parse
@@ -432,6 +541,15 @@ object Multimodal {
       frameSampleStub(payload, 4096)
   }
 
+  /** Real decoder: EBML walk to the Video track's pixel dimensions. */
+  object WebmDecoder extends MediaDecoder {
+    override def mimes: Seq[String] = Seq("video/webm", "video/x-matroska")
+    override def dims(payload: Array[Byte]): (Int, Int) =
+      decodeWebmDims(payload).getOrElse(decodeStub(payload))
+    override def frames(payload: Array[Byte]): Int =
+      frameSampleStub(payload, 4096)
+  }
+
   /** Audio metadata row: real header fields + derived duration. */
   final case class AudioMeta(
       media_id: Long, sample_rate: Long, n_channels: Long,
@@ -556,9 +674,8 @@ object Multimodal {
   }
 
   def defaultRegistry: DecoderRegistry = new DecoderRegistry(Seq(
-    PngDecoder, BmpDecoder, GifDecoder, Mp4Decoder,
-    new StubDecoder(Seq("audio/wav", "audio/mpeg")),
-    new StubDecoder(Seq("video/webm"))))
+    PngDecoder, BmpDecoder, GifDecoder, Mp4Decoder, WebmDecoder,
+    new StubDecoder(Seq("audio/wav", "audio/mpeg"))))
 
   /** Four-real-codec media table (PNG / BMP / GIF / MP4 by doc_id mod 4):
     * every payload carries a REAL spec-valid header whose dimensions come
@@ -583,6 +700,34 @@ object Multimodal {
         .when(pmod(col("doc_id"), lit(4)) === 2,
           wrapGif(col("doc_id"), encode(col("text"), "UTF-8")))
         .otherwise(wrapMp4(col("doc_id"), encode(col("text"), "UTF-8")))
+        .as("payload"))
+  }
+
+  /** FIVE-real-codec media table (PNG / BMP / GIF / MP4 / WEBM by doc_id
+    * mod 5) — the mediaTableV2 lattice with the EBML container joining.
+    */
+  def mediaTableV3(spark: SparkSession, dir: String): DataFrame = {
+    val wrapPng = udf((id: Long, body: Array[Byte]) => pngWrap(id, body))
+    val wrapBmp = udf((id: Long, body: Array[Byte]) => bmpWrap(id, body))
+    val wrapGif = udf((id: Long, body: Array[Byte]) => gifWrap(id, body))
+    val wrapMp4 = udf((id: Long, body: Array[Byte]) => mp4Wrap(id, body))
+    val wrapWebm = udf((id: Long, body: Array[Byte]) => webmWrap(id, body))
+    spark.read.parquet(s"$dir/documents.parquet").select(
+      col("doc_id").as("media_id"),
+      when(pmod(col("doc_id"), lit(5)) === 0, "image/png")
+        .when(pmod(col("doc_id"), lit(5)) === 1, "image/bmp")
+        .when(pmod(col("doc_id"), lit(5)) === 2, "image/gif")
+        .when(pmod(col("doc_id"), lit(5)) === 3, "video/mp4")
+        .otherwise("video/webm").as("mime_type"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        wrapPng(col("doc_id"), encode(col("text"), "UTF-8")))
+        .when(pmod(col("doc_id"), lit(5)) === 1,
+          wrapBmp(col("doc_id"), encode(col("text"), "UTF-8")))
+        .when(pmod(col("doc_id"), lit(5)) === 2,
+          wrapGif(col("doc_id"), encode(col("text"), "UTF-8")))
+        .when(pmod(col("doc_id"), lit(5)) === 3,
+          wrapMp4(col("doc_id"), encode(col("text"), "UTF-8")))
+        .otherwise(wrapWebm(col("doc_id"), encode(col("text"), "UTF-8")))
         .as("payload"))
   }
 

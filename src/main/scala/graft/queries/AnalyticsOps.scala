@@ -666,6 +666,35 @@ object AnalyticsOps {
              |FROM documents ORDER BY media_id""".stripMargin)
     ),
 
+    // FIVE real codecs: v2's four plus WEBM — an EBML (RFC 8794) container
+    // walk with general VINT ids/sizes through Segment → Tracks →
+    // TrackEntry → Video to the unsigned PixelWidth/PixelHeight. Same
+    // per-row oracle discipline: the EBML framing adds a CONSTANT 71 bytes
+    // (fixed-width size VINTs in the writer; the decoder handles any
+    // width), so DuckDB reconstructs every parsed field from id arithmetic
+    // and a wrong VINT length, marker strip, or element id breaks the row.
+    QueryDef(
+      "multimodal_metadata_v3",
+      (s, d) => {
+        val media = graft.operators.Multimodal.mediaTableV3(s, d)
+        graft.operators.Multimodal.extractFeatures(s, media)
+          .join(media.select("media_id", "mime_type"), "media_id")
+          .select(col("media_id"), col("mime_type"),
+            col("width"), col("height"), col("n_bytes"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CASE mod(doc_id, 5) WHEN 0 THEN 'image/png'
+             |    WHEN 1 THEN 'image/bmp' WHEN 2 THEN 'image/gif'
+             |    WHEN 3 THEN 'video/mp4' ELSE 'video/webm' END AS mime_type,
+             |  CAST(64 + mod(doc_id, 448) AS BIGINT) AS width,
+             |  CAST(64 + mod(doc_id // 7, 448) AS BIGINT) AS height,
+             |  CAST(octet_length(encode(text)) + CASE mod(doc_id, 5)
+             |    WHEN 0 THEN 33 WHEN 1 THEN 54 WHEN 2 THEN 13
+             |    WHEN 3 THEN 136 ELSE 71 END AS BIGINT) AS n_bytes
+             |FROM documents ORDER BY media_id""".stripMargin)
+    ),
+
     // Per-vector embedding stats: fold-left sum of squares in DOUBLE — the
     // identical IEEE op sequence in both engines, so values are
     // bit-exact with no rounding. Pure map stage at scale.

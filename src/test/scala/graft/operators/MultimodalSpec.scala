@@ -107,6 +107,41 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeMp4Dims(trunc) == None)
   }
 
+  test("webmWrap → decodeWebmDims walks the EBML tree; malformed rejected") {
+    Seq(0L, 42L, 448L, 123456L).foreach { id =>
+      val body = s"cluster_$id".getBytes("UTF-8")
+      val wrapped = Multimodal.webmWrap(id, body)
+      assert(wrapped.length == Multimodal.WebmHeaderLen + body.length)
+      assert(Multimodal.decodeWebmDims(wrapped) == Some(Multimodal.dimsFor(id)))
+    }
+    // hand-built SHORT-VINT variant (1-byte sizes everywhere) — the writer
+    // always emits 8-byte size VINTs, so this pins the general VINT parse
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val short = b(
+      0x1A, 0x45, 0xDF, 0xA3, 0x84, 0x42, 0x82, 0x81, 'w', // EBML(DocType "w")
+      0x18, 0x53, 0x80, 0x67, 0x95,                        // Segment size 21
+      0x16, 0x54, 0xAE, 0x6B, 0x8D,                        // Tracks size 13
+      0xAE, 0x8B,                                          // TrackEntry size 11
+      0xE0, 0x89,                                          // Video size 9
+      0xB0, 0x82, 0x01, 0x90,                              // PixelWidth 400
+      0xBA, 0x83, 0x00, 0x01, 0x2C,                        // PixelHeight 300 (3-byte uint)
+      0xEC, 0x81, 0x00)                                    // trailing Void size 1
+    assert(Multimodal.decodeWebmDims(short) == Some((400, 300)))
+    // unknown-size Segment (streamed form): all-ones 1-byte size VINT 0xFF
+    val streamed = short.clone(); streamed(13) = 0xFF.toByte
+    assert(Multimodal.decodeWebmDims(streamed) == Some((400, 300)))
+    // corrupt the Tracks id (offset 24: 12B EBML header + 4B Segment id +
+    // 8B size VINT) → not found
+    val bad = Multimodal.webmWrap(7L, "b".getBytes); bad(24) = 0x55.toByte
+    assert(Multimodal.decodeWebmDims(bad) == None)
+    // non-EBML payloads rejected, cross-routing rejected
+    assert(Multimodal.decodeWebmDims("plain utf-8 text payload".getBytes) == None)
+    assert(Multimodal.decodeWebmDims(Multimodal.pngWrap(3L, "b".getBytes)) == None)
+    assert(Multimodal.decodeMp4Dims(Multimodal.webmWrap(3L, "b".getBytes)) == None)
+    val trunc = Multimodal.webmWrap(7L, "body".getBytes).take(30)
+    assert(Multimodal.decodeWebmDims(trunc) == None)
+  }
+
   test("registry routes png/bmp/gif to their own codecs (distinct layouts)") {
     val reg = Multimodal.defaultRegistry
     val id = 100L
