@@ -344,7 +344,7 @@ object Dedup {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
         java.util.LinkedHashMap[
-          (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Long),
+          (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long, Long),
           java.lang.Boolean]]())
 
   /** Broadcast a verify-stage corpus side only when it is provably small.
@@ -353,35 +353,42 @@ object Dedup {
     * payloads; broadcasting the corpus is right at test scale and impossible
     * at 100 TB. The probe is ONE bounded job over `limit(maxRows+1)` that
     * returns both the capped row count and the summed payload bytes
-    * ([[approxRowBytes]]); the frame fits only if it is under BOTH caps.
-    * Above either cap the caller gets the bare frame and the join shuffles
-    * both sides on the id — the only plan that survives an unbroadcastable
-    * corpus. Decisions are memoized per (session, canonicalized plan), so
-    * bench reps and twin queries pay the probe once, not per build.
+    * ([[approxRowBytes]], or a caller-supplied per-row estimator when the
+    * JOINED payload differs from the probed frame — e.g. minhash's verify
+    * broadcasts per-doc shingle-hash ARRAYS built from the text, so the
+    * honest estimate is 8 bytes per token, not the text length); the frame
+    * fits only if it is under BOTH caps. Above either cap the caller gets
+    * the bare frame and the join shuffles both sides on the id — the only
+    * plan that survives an unbroadcastable corpus. Decisions are memoized
+    * per (session, canonicalized plan, estimator), so bench reps and twin
+    * queries pay the probe once, not per build.
     */
   def fitsBroadcast(df: DataFrame,
                     maxRows: Long = 2000000L,
-                    maxBytes: Long = 256L << 20): Boolean = {
+                    maxBytes: Long = 256L << 20,
+                    rowBytes: Option[Column] = None): Boolean = {
     val perSession = broadcastDecisions.synchronized {
       var m = broadcastDecisions.get(df.sparkSession)
       if (m == null) {
         m = new java.util.LinkedHashMap[
-          (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Long),
+          (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long, Long),
           java.lang.Boolean](16, 0.75f, /* accessOrder = */ true) {
           override def removeEldestEntry(e: java.util.Map.Entry[
-              (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long, Long),
+              (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long, Long),
               java.lang.Boolean]): Boolean = size() > MaxMemoEntries
         }
         broadcastDecisions.put(df.sparkSession, m)
       }
       m
     }
-    val key = (df.queryExecution.analyzed.canonicalized, maxRows, maxBytes)
+    val estimator = rowBytes.getOrElse(approxRowBytes(df.schema))
+    val estimatorTag = rowBytes.fold("default")(_.toString)
+    val key = (df.queryExecution.analyzed.canonicalized, estimatorTag, maxRows, maxBytes)
     val cached = perSession.synchronized(perSession.get(key))
     if (cached != null) return cached.booleanValue()
     val capped = df.limit((maxRows + 1).min(Int.MaxValue).toInt)
     val probe = capped
-      .agg(count(lit(1)).as("n"), sum(approxRowBytes(df.schema)).as("bytes"))
+      .agg(count(lit(1)).as("n"), sum(estimator).as("bytes"))
       .head()
     val n = probe.getLong(0)
     val bytes = if (probe.isNullAt(1)) 0L else probe.getLong(1)

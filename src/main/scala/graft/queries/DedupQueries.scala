@@ -457,7 +457,11 @@ object DedupQueries {
           // AQE coalesces the small candidate shuffle to ~1 partition; the
           // exact-jaccard verify is CPU-bound, so fan it back out
           .repartition(s.sparkContext.defaultParallelism)
-        val small = Dedup.fitsBroadcast(docs)
+        // the BROADCAST side is the hash-array payload below (~8 bytes per
+        // token), not the text — estimate those bytes or a 10× corpus
+        // broadcasts ~3× past the cap (caught by the round-10 soak rerun)
+        val small = Dedup.fitsBroadcast(docs, rowBytes = Some(
+          lit(24L) + size(split(col("text"), " +")).cast("long") * 8L))
         // payload = each doc's SORTED distinct shingle-hash array, built
         // once per document — the verify then merge-counts |A ∩ B| with the
         // native kernel instead of re-deriving boxed Set[Long]s per
