@@ -425,6 +425,100 @@ object Multimodal {
     else Some(meta)
   }
 
+  // ------------------------------------------------------------------ MP3
+  // An MPEG-1 Layer III frame header is 4 self-describing big-endian bytes
+  // (ISO/IEC 11172-3): 11-bit sync, version/layer bits, then bitrate and
+  // sample-rate TABLE INDICES — the published tables below turn them into
+  // physical parameters and the exact frame length, no codec needed.
+
+  /** Published MPEG-1 Layer III bitrate table (kbps), index 1..14. */
+  private val Mp3BitrateKbps =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** Published MPEG-1 sample-rate table, index 0..2. */
+  private val Mp3SampleRate = Array(44100, 48000, 32000)
+
+  final case class Mp3Meta(bitrateKbps: Int, sampleRate: Int, channels: Int,
+                           padding: Int) {
+    /** Layer III frame length: 144 · bitrate/samplerate + padding. */
+    def frameBytes: Int = 144000 * bitrateKbps / sampleRate + padding
+  }
+
+  /** Deterministic MP3 parameters per id (reproducible by integer SQL) —
+    * the divisors differ so a doc subset filtered on one modulus still
+    * sweeps the other fields.
+    */
+  def mp3ParamsFor(id: Long): (Int, Int, Int, Int) = (
+    1 + math.floorMod(id, 14).toInt,      // bitrate index 1..14
+    math.floorMod(id / 3, 3).toInt,       // sample-rate index 0..2
+    math.floorMod(id / 4, 4).toInt,       // channel mode 0..3 (3 = mono)
+    math.floorMod(id, 2).toInt)           // padding bit
+
+  /** Prefix bytes with a spec-valid MPEG-1 Layer III frame header. */
+  def mp3Wrap(id: Long, body: Array[Byte]): Array[Byte] = {
+    val (bIdx, sIdx, mode, pad) = mp3ParamsFor(id)
+    val out = new Array[Byte](4 + body.length)
+    out(0) = 0xFF.toByte
+    out(1) = 0xFB.toByte // sync(3) | MPEG1(11) | Layer III(01) | no-CRC(1)
+    out(2) = ((bIdx << 4) | (sIdx << 2) | (pad << 1)).toByte
+    out(3) = (mode << 6).toByte
+    System.arraycopy(body, 0, out, 4, body.length)
+    out
+  }
+
+  /** REAL MP3 frame-header decode: validate the sync word, version and
+    * layer bits, reject reserved bitrate/sample-rate indices, then read
+    * the physical parameters from the published tables. None when not a
+    * plausible MPEG-1 Layer III frame — caller falls back.
+    */
+  def decodeMp3Meta(payload: Array[Byte]): Option[Mp3Meta] = {
+    if (payload.length < 4) return None
+    val b1 = payload(1) & 0xff
+    if ((payload(0) & 0xff) != 0xff || (b1 & 0xe0) != 0xe0) return None
+    if (((b1 >> 3) & 3) != 3) return None // MPEG-1 only
+    if (((b1 >> 1) & 3) != 1) return None // Layer III only
+    val b2 = payload(2) & 0xff
+    val bIdx = b2 >> 4
+    val sIdx = (b2 >> 2) & 3
+    if (bIdx < 1 || bIdx > 14 || sIdx > 2) return None // reserved indices
+    val mode = (payload(3) & 0xff) >> 6
+    Some(Mp3Meta(Mp3BitrateKbps(bIdx), Mp3SampleRate(sIdx),
+      if (mode == 3) 1 else 2, (b2 >> 1) & 1))
+  }
+
+  /** Synthesize an MP3 table: frame-headed text bytes for doc_id % 3 = 2
+    * docs, parameters a deterministic function of the id (mp3ParamsFor).
+    */
+  def mp3Table(spark: SparkSession, dir: String): DataFrame = {
+    val wrap = udf((id: Long, body: Array[Byte]) => mp3Wrap(id, body))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .where(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id").as("media_id"), lit("audio/mpeg").as("mime_type"),
+        wrap(col("doc_id"), encode(col("text"), "UTF-8")).as("payload"))
+  }
+
+  final case class Mp3MetaRow(media_id: Long, bitrate_kbps: Long,
+      sample_rate: Long, n_channels: Long, frame_bytes: Long, n_bytes: Long,
+      content_hash: String)
+
+  /** Partition-batched REAL MP3 header decode over a media frame. */
+  def extractMp3Meta(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val m = decodeMp3Meta(r.payload).getOrElse(Mp3Meta(0, 1, 0, 0))
+        Mp3MetaRow(
+          media_id = r.media_id,
+          bitrate_kbps = m.bitrateKbps.toLong,
+          sample_rate = (if (m.bitrateKbps == 0) 0 else m.sampleRate).toLong,
+          n_channels = m.channels.toLong,
+          frame_bytes = (if (m.bitrateKbps == 0) 0 else m.frameBytes).toLong,
+          n_bytes = r.payload.length.toLong,
+          content_hash = contentHash(r.payload))
+      }
+    }.toDF()
+  }
+
   /** Synthesize a media table from documents: image payloads are valid
     * PNG-framed bytes, audio/video stay raw utf-8.
     */

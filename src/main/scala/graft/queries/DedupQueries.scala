@@ -1061,6 +1061,39 @@ object DedupQueries {
            |FROM hdr ORDER BY media_id""".stripMargin
       }),
 
+    // REAL MP3 metadata: the last formerly-stub mime gets a genuine
+    // MPEG-1 Layer III frame-header parse (ISO/IEC 11172-3) — sync word,
+    // version/layer bits, reserved-index rejection, then the PUBLISHED
+    // bitrate/sample-rate tables and the 144·bitrate/samplerate + padding
+    // frame length. FULLY ORACLED: DuckDB re-derives every field from
+    // doc_id arithmetic over the same tables and rebuilds the 4 header
+    // bytes for the content hash — a wrong table entry, bit offset, or
+    // frame formula breaks the row.
+    QueryDef("multimodal_mp3_meta",
+      (s, d) => Multimodal.extractMp3Meta(s, Multimodal.mp3Table(s, d))
+        .orderBy("media_id"),
+      Some("""WITH base AS (
+             |  SELECT doc_id AS media_id, text,
+             |    octet_length(encode(text)) AS tlen,
+             |    1 + mod(doc_id, 14) AS bidx,
+             |    mod(doc_id // 3, 3) AS sidx,
+             |    mod(doc_id // 4, 4) AS mode,
+             |    mod(doc_id, 2) AS pad
+             |  FROM documents WHERE mod(doc_id, 3) = 2),
+             |b2 AS (SELECT *,
+             |    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[bidx] AS kbps,
+             |    ([44100,48000,32000])[sidx + 1] AS sr
+             |  FROM base)
+             |SELECT media_id,
+             |  CAST(kbps AS BIGINT) AS bitrate_kbps,
+             |  CAST(sr AS BIGINT) AS sample_rate,
+             |  CAST(CASE WHEN mode = 3 THEN 1 ELSE 2 END AS BIGINT) AS n_channels,
+             |  CAST(144000 * kbps // sr + pad AS BIGINT) AS frame_bytes,
+             |  CAST(4 + tlen AS BIGINT) AS n_bytes,
+             |  md5('FFFB' || lpad(hex(bidx * 16 + sidx * 4 + pad * 2), 2, '0')
+             |      || lpad(hex(mode * 64), 2, '0') || hex(encode(text))) AS content_hash
+             |FROM b2 ORDER BY media_id""".stripMargin)),
+
     // REAL compressed-pixel decode (PngCodec.scala): image rows carry a
     // genuine PNG — zlib IDAT split across two chunks, CRC32-validated
     // chunks, scanline filter type cycling y % 5 so all five PNG filters

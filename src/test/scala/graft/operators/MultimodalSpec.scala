@@ -235,6 +235,35 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeWavMeta(nonPcm).isEmpty)
   }
 
+  test("mp3: frame header round-trips the published tables; malformed rejected") {
+    Seq(0L, 1L, 13L, 14L, 42L, 123456L).foreach { id =>
+      val (bIdx, sIdx, mode, pad) = Multimodal.mp3ParamsFor(id)
+      val wrapped = Multimodal.mp3Wrap(id, s"pcm_$id".getBytes("UTF-8"))
+      val m = Multimodal.decodeMp3Meta(wrapped)
+      assert(m.isDefined, s"id=$id")
+      val kbps = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(bIdx - 1)
+      val sr = Array(44100, 48000, 32000)(sIdx)
+      assert(m.get.bitrateKbps == kbps && m.get.sampleRate == sr)
+      assert(m.get.channels == (if (mode == 3) 1 else 2))
+      assert(m.get.frameBytes == 144000 * kbps / sr + pad)
+    }
+    // reserved bitrate index 15 and 0, reserved sample-rate index 3
+    val good = Multimodal.mp3Wrap(5L, "b".getBytes)
+    val bad1 = good.clone(); bad1(2) = 0xF0.toByte // bitrate idx 15
+    assert(Multimodal.decodeMp3Meta(bad1) == None)
+    val bad2 = good.clone(); bad2(2) = (bad2(2) & 0x0F).toByte // bitrate idx 0
+    assert(Multimodal.decodeMp3Meta(bad2) == None)
+    val bad3 = good.clone(); bad3(2) = (bad3(2) | 0x0C).toByte // sr idx 3
+    assert(Multimodal.decodeMp3Meta(bad3) == None)
+    // MPEG-2 / Layer I / broken sync rejected; cross-routing rejected
+    val v2 = good.clone(); v2(1) = 0xF3.toByte // version bits 10 (MPEG-2)
+    assert(Multimodal.decodeMp3Meta(v2) == None)
+    val l1 = good.clone(); l1(1) = 0xFF.toByte // layer bits 11 (Layer I)
+    assert(Multimodal.decodeMp3Meta(l1) == None)
+    assert(Multimodal.decodeMp3Meta("text".getBytes) == None)
+    assert(Multimodal.decodeMp3Meta(Multimodal.wavWrap(3L, "b".getBytes)) == None)
+  }
+
   test("openAll runs exactly once per input partition") {
     import spark.implicits._
     val media = (1L to 8L)
