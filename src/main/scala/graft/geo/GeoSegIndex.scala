@@ -1,6 +1,6 @@
 package graft.geo
 
-import org.locationtech.jts.geom.{Geometry, LineString, Polygon}
+import org.locationtech.jts.geom.{Geometry, LineString, MultiLineString, MultiPolygon, Polygon}
 import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
 
 /** Per-geometry segment bounding-box index for the per-cell ratio kernels.
@@ -44,9 +44,34 @@ object GeoSegIndex {
   final class Index(val isLine: Boolean,
                     val x1: Array[Double], val y1: Array[Double],
                     val x2: Array[Double], val y2: Array[Double],
+                    /** Cumulative segment count at each line component's
+                      * end — lengthIn groups its accumulation by component
+                      * so multi-part results stay BIT-identical to the
+                      * full walk's per-component subtotals. */
+                    val compEnds: Array[Int],
                     minX: Double, minY: Double, invW: Double, invH: Double,
                     nx: Int, ny: Int, bins: Array[Array[Int]],
                     val prepared: PreparedGeometry) {
+
+    /** True iff any grid bin overlapping the padded query box holds a
+      * segment — the same decision `query(...).length > 0` makes (bins
+      * are the filter granularity either way) without materializing,
+      * sorting, or deduping the candidate list.
+      */
+    def hasAnyNear(qMinX: Double, qMinY: Double, qMaxX: Double, qMaxY: Double): Boolean = {
+      val (bx0, bx1) = binsFor(qMinX - Margin, qMaxX + Margin, minX, invW, nx)
+      val (by0, by1) = binsFor(qMinY - Margin, qMaxY + Margin, minY, invH, ny)
+      var by = by0
+      while (by <= by1) {
+        var bx = bx0
+        while (bx <= bx1) {
+          if (bins(by * nx + bx).length > 0) return true
+          bx += 1
+        }
+        by += 1
+      }
+      false
+    }
 
     private def binsFor(lo: Double, hi: Double, min: Double, inv: Double,
                         n: Int): (Int, Int) = {
@@ -55,9 +80,10 @@ object GeoSegIndex {
       (a, b)
     }
 
-    /** Candidate segment indices whose bbox may reach [qMinX-margin,
-      * qMaxX+margin] × [qMinY-margin, qMaxY+margin], ascending, deduped.
-      * Returns null when no bin overlaps (fast empty).
+    /** Candidate segment indices from every grid bin overlapping the
+      * margin-padded query box, ascending, deduped. Never null; may be
+      * empty (either the shared empty array or an untouched empty bin —
+      * callers must not mutate the result).
       */
     def query(qMinX: Double, qMinY: Double, qMaxX: Double, qMaxY: Double): Array[Int] = {
       val (bx0, bx1) = binsFor(qMinX - Margin, qMaxX + Margin, minX, invW, nx)
@@ -97,30 +123,33 @@ object GeoSegIndex {
   private val EmptyInts = new Array[Int](0)
 
   /** Flat traversal-ordered segments of the geometry's line components
-    * (LineStrings) or ring boundaries (Polygons) — null when the geometry
-    * mixes kinds or is below threshold.
+    * (LineStrings) or ring boundaries ((Multi)Polygons) — null below
+    * threshold and for every other kind. Heterogeneous
+    * GeometryCollections deliberately stay on the legacy full walk:
+    * PreparedGeometry.contains rejects collection receivers, and the
+    * legacy path handles them fine.
     */
   private def build(g: Geometry): Index = {
-    var isLine = false; var isPoly = false
-    def scan(geom: Geometry): Int = geom match {
-      case l: LineString => isLine = true; math.max(0, l.getNumPoints - 1)
-      case p: Polygon =>
-        isPoly = true
-        var n = math.max(0, p.getExteriorRing.getNumPoints - 1)
-        var h = 0
-        while (h < p.getNumInteriorRing) {
-          n += math.max(0, p.getInteriorRingN(h).getNumPoints - 1); h += 1
-        }
-        n
-      case gc if gc.getNumGeometries > 1 || gc.getGeometryType.startsWith("Multi") ||
-          gc.getGeometryType == "GeometryCollection" =>
-        var n = 0; var i = 0
-        while (i < gc.getNumGeometries) { n += scan(gc.getGeometryN(i)); i += 1 }
-        n
-      case _ => isLine = true; isPoly = true; 0 // unsupported kind: poison
+    val (isLine, lineComps, polyComps) = g match {
+      case l: LineString => (true, Array(l), null)
+      case ml: MultiLineString =>
+        (true, Array.tabulate(ml.getNumGeometries)(
+          ml.getGeometryN(_).asInstanceOf[LineString]), null)
+      case p: Polygon => (false, null, Array(p))
+      case mp: MultiPolygon =>
+        (false, null, Array.tabulate(mp.getNumGeometries)(
+          mp.getGeometryN(_).asInstanceOf[Polygon]))
+      case _ => return null
     }
-    val nSegs = scan(g)
-    if ((isLine && isPoly) || nSegs < SegmentThreshold) return null
+    def ringSegs(cs: Int): Int = math.max(0, cs - 1)
+    val nSegs =
+      if (isLine) lineComps.iterator.map(l => ringSegs(l.getNumPoints)).sum
+      else polyComps.iterator.map { p =>
+        ringSegs(p.getExteriorRing.getNumPoints) +
+          (0 until p.getNumInteriorRing)
+            .map(h => ringSegs(p.getInteriorRingN(h).getNumPoints)).sum
+      }.sum
+    if (nSegs < SegmentThreshold) return null
 
     val x1 = new Array[Double](nSegs); val y1 = new Array[Double](nSegs)
     val x2 = new Array[Double](nSegs); val y2 = new Array[Double](nSegs)
@@ -133,19 +162,18 @@ object GeoSegIndex {
         k += 1; i += 1
       }
     }
-    def fill(geom: Geometry): Unit = geom match {
-      case l: LineString => addRing(l.getCoordinates)
-      case p: Polygon =>
-        addRing(p.getExteriorRing.getCoordinates)
-        var h = 0
-        while (h < p.getNumInteriorRing) {
-          addRing(p.getInteriorRingN(h).getCoordinates); h += 1
+    val compEnds =
+      if (isLine) lineComps.map { l => addRing(l.getCoordinates); k }
+      else {
+        polyComps.foreach { p =>
+          addRing(p.getExteriorRing.getCoordinates)
+          var h = 0
+          while (h < p.getNumInteriorRing) {
+            addRing(p.getInteriorRingN(h).getCoordinates); h += 1
+          }
         }
-      case gc =>
-        var i = 0
-        while (i < gc.getNumGeometries) { fill(gc.getGeometryN(i)); i += 1 }
-    }
-    fill(g)
+        null
+      }
 
     val env = g.getEnvelopeInternal
     val n = math.max(1, math.ceil(math.sqrt(nSegs.toDouble)).toInt)
@@ -171,9 +199,10 @@ object GeoSegIndex {
       }
       s += 1
     }
-    new Index(isLine, x1, y1, x2, y2, env.getMinX, env.getMinY, invW, invH,
+    new Index(isLine, x1, y1, x2, y2, compEnds,
+      env.getMinX, env.getMinY, invW, invH,
       nx, ny, builders.map(_.result()),
-      if (isPoly) PreparedGeometryFactory.prepare(g) else null)
+      if (isLine) null else PreparedGeometryFactory.prepare(g))
   }
 
   // Per-thread identity LRU beside parseGeomCached: the same Geometry
@@ -207,20 +236,25 @@ object GeoSegIndex {
   }
 
   /** Indexed length(g ∩ region): the full-walk sum restricted to bbox
-    * candidates in traversal order — bit-identical (excluded segments clip
-    * to exact 0.0).
+    * candidates in traversal order, ACCUMULATED PER COMPONENT like the
+    * full walk (which sums each LineString from 0.0 and then adds the
+    * subtotals — FP addition is non-associative, so a flat accumulator
+    * would drift in the last ulp on multi-part routes). Excluded segments
+    * clip to an exact 0.0, so the result is bit-identical.
     */
   def lengthIn(r: ConvexClip.Region, idx: Index): Double = {
     val (minX, minY, maxX, maxY) = regionBounds(r)
     val cand = idx.query(minX, minY, maxX, maxY)
-    var sSum = 0.0
+    val ends = idx.compEnds
+    var comp = 0; var sub = 0.0; var total = 0.0
     var i = 0
     while (i < cand.length) {
       val k = cand(i)
-      sSum += ConvexClip.segmentLengthIn(r, idx.x1(k), idx.y1(k), idx.x2(k), idx.y2(k))
+      while (k >= ends(comp)) { total += sub; sub = 0.0; comp += 1 }
+      sub += ConvexClip.segmentLengthIn(r, idx.x1(k), idx.y1(k), idx.x2(k), idx.y2(k))
       i += 1
     }
-    sSum
+    total + sub
   }
 
   /** Indexed area(g ∩ region): boundary-adjacent cells take the exact full
@@ -232,7 +266,7 @@ object GeoSegIndex {
     */
   def areaIn(r: ConvexClip.Region, g: Geometry, idx: Index): Double = {
     val (minX, minY, maxX, maxY) = regionBounds(r)
-    if (idx.query(minX, minY, maxX, maxY).length > 0) return ConvexClip.areaIn(r, g)
+    if (idx.hasAnyNear(minX, minY, maxX, maxY)) return ConvexClip.areaIn(r, g)
     // no boundary near: wholly one side — test the region's centroid
     var cx = 0.0; var cy = 0.0
     var i = 0

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media as opaque binary columns with typed
@@ -333,12 +333,14 @@ object Multimodal {
         val (sz, sl) = readSize(off + il)
         if (sl < 0) return None
         val cs = off + il + sl
+        // span arithmetic in LONG: a declared size near Int.MaxValue must
+        // reject as implausible, not wrap negative and re-enter the walk
+        val ce = if (sz < 0) until.toLong else cs.toLong + sz
         if (id == target) {
-          val ce = if (sz < 0) until else cs + sz.toInt
-          return if (sz > Int.MaxValue || ce > until) None else Some((cs, ce))
+          return if (ce > until) None else Some((cs, ce.toInt))
         }
-        if (sz < 0 || sz > Int.MaxValue || cs + sz.toInt > until) return None
-        off = cs + sz.toInt
+        if (sz < 0 || ce > until) return None
+        off = ce.toInt
       }
       None
     }
@@ -771,59 +773,48 @@ object Multimodal {
     PngDecoder, BmpDecoder, GifDecoder, Mp4Decoder, WebmDecoder,
     new StubDecoder(Seq("audio/wav", "audio/mpeg"))))
 
-  /** Four-real-codec media table (PNG / BMP / GIF / MP4 by doc_id mod 4):
-    * every payload carries a REAL spec-valid header whose dimensions come
-    * from the shared dimsFor(id) lattice, so a SQL oracle reconstructs the
-    * parsed metadata with integer arithmetic alone.
+  /** Media table routed by doc_id mod arms.length: each arm is a (mime,
+    * wrapper) pair and every payload carries a REAL spec-valid header
+    * whose dimensions come from the shared dimsFor(id) lattice, so a SQL
+    * oracle reconstructs the parsed metadata with integer arithmetic
+    * alone. One definition serves every codec-count variant — adding a
+    * codec is one arm, not a third copied when-chain.
     */
-  def mediaTableV2(spark: SparkSession, dir: String): DataFrame = {
-    val wrapPng = udf((id: Long, body: Array[Byte]) => pngWrap(id, body))
-    val wrapBmp = udf((id: Long, body: Array[Byte]) => bmpWrap(id, body))
-    val wrapGif = udf((id: Long, body: Array[Byte]) => gifWrap(id, body))
-    val wrapMp4 = udf((id: Long, body: Array[Byte]) => mp4Wrap(id, body))
+  private def mediaTableMod(spark: SparkSession, dir: String,
+      arms: Seq[(String, (Long, Array[Byte]) => Array[Byte])]): DataFrame = {
+    val m = arms.length
+    def branch(i: Int) = pmod(col("doc_id"), lit(m)) === i
+    val mime = arms.zipWithIndex.map { case ((mt, _), i) => (branch(i), lit(mt)) }
+      .foldLeft(Option.empty[Column]) {
+        case (None, (c, v)) => Some(when(c, v))
+        case (Some(acc), (c, v)) => Some(acc.when(c, v))
+      }.get
+    val payload = arms.zipWithIndex.map { case ((_, w), i) =>
+      (branch(i), udf(w).apply(col("doc_id"), encode(col("text"), "UTF-8")))
+    }.foldLeft(Option.empty[Column]) {
+      case (None, (c, v)) => Some(when(c, v))
+      case (Some(acc), (c, v)) => Some(acc.when(c, v))
+    }.get
     spark.read.parquet(s"$dir/documents.parquet").select(
-      col("doc_id").as("media_id"),
-      when(pmod(col("doc_id"), lit(4)) === 0, "image/png")
-        .when(pmod(col("doc_id"), lit(4)) === 1, "image/bmp")
-        .when(pmod(col("doc_id"), lit(4)) === 2, "image/gif")
-        .otherwise("video/mp4").as("mime_type"),
-      when(pmod(col("doc_id"), lit(4)) === 0,
-        wrapPng(col("doc_id"), encode(col("text"), "UTF-8")))
-        .when(pmod(col("doc_id"), lit(4)) === 1,
-          wrapBmp(col("doc_id"), encode(col("text"), "UTF-8")))
-        .when(pmod(col("doc_id"), lit(4)) === 2,
-          wrapGif(col("doc_id"), encode(col("text"), "UTF-8")))
-        .otherwise(wrapMp4(col("doc_id"), encode(col("text"), "UTF-8")))
-        .as("payload"))
+      col("doc_id").as("media_id"), mime.as("mime_type"), payload.as("payload"))
   }
+
+  private val CodecArms: Seq[(String, (Long, Array[Byte]) => Array[Byte])] = Seq(
+    "image/png" -> (pngWrap _),
+    "image/bmp" -> (bmpWrap _),
+    "image/gif" -> (gifWrap _),
+    "video/mp4" -> (mp4Wrap _),
+    "video/webm" -> (webmWrap _))
+
+  /** Four-real-codec media table (PNG / BMP / GIF / MP4 by doc_id mod 4). */
+  def mediaTableV2(spark: SparkSession, dir: String): DataFrame =
+    mediaTableMod(spark, dir, CodecArms.take(4))
 
   /** FIVE-real-codec media table (PNG / BMP / GIF / MP4 / WEBM by doc_id
     * mod 5) — the mediaTableV2 lattice with the EBML container joining.
     */
-  def mediaTableV3(spark: SparkSession, dir: String): DataFrame = {
-    val wrapPng = udf((id: Long, body: Array[Byte]) => pngWrap(id, body))
-    val wrapBmp = udf((id: Long, body: Array[Byte]) => bmpWrap(id, body))
-    val wrapGif = udf((id: Long, body: Array[Byte]) => gifWrap(id, body))
-    val wrapMp4 = udf((id: Long, body: Array[Byte]) => mp4Wrap(id, body))
-    val wrapWebm = udf((id: Long, body: Array[Byte]) => webmWrap(id, body))
-    spark.read.parquet(s"$dir/documents.parquet").select(
-      col("doc_id").as("media_id"),
-      when(pmod(col("doc_id"), lit(5)) === 0, "image/png")
-        .when(pmod(col("doc_id"), lit(5)) === 1, "image/bmp")
-        .when(pmod(col("doc_id"), lit(5)) === 2, "image/gif")
-        .when(pmod(col("doc_id"), lit(5)) === 3, "video/mp4")
-        .otherwise("video/webm").as("mime_type"),
-      when(pmod(col("doc_id"), lit(5)) === 0,
-        wrapPng(col("doc_id"), encode(col("text"), "UTF-8")))
-        .when(pmod(col("doc_id"), lit(5)) === 1,
-          wrapBmp(col("doc_id"), encode(col("text"), "UTF-8")))
-        .when(pmod(col("doc_id"), lit(5)) === 2,
-          wrapGif(col("doc_id"), encode(col("text"), "UTF-8")))
-        .when(pmod(col("doc_id"), lit(5)) === 3,
-          wrapMp4(col("doc_id"), encode(col("text"), "UTF-8")))
-        .otherwise(wrapWebm(col("doc_id"), encode(col("text"), "UTF-8")))
-        .as("payload"))
-  }
+  def mediaTableV3(spark: SparkSession, dir: String): DataFrame =
+    mediaTableMod(spark, dir, CodecArms)
 
   /** Partition-batched feature extraction (mapPartitions: decoders open
     * once per partition, rows processed in a batch loop — the shape a real

@@ -98,6 +98,45 @@ class GeoSegIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("MULTILINESTRING: indexed lengthIn stays bit-identical (per-component accumulation)") {
+    val rnd = new Random(63)
+    def leg(lat: Double, lng: Double, n: Int): String = {
+      val c = graft.h3.LatLng.degrees(lat, lng)
+      val pts = (0 until n).scanLeft(c) { (p, _) =>
+        p.destination(rnd.nextDouble() * 2 * math.Pi * 0.3 + 0.7,
+          (0.05 + 0.1 * rnd.nextDouble()) / H3.EarthRadiusKm)
+      }
+      "(" + pts.map(p =>
+        f"${math.toDegrees(p.lng)}%.7f ${math.toDegrees(p.lat)}%.7f").mkString(", ") + ")"
+    }
+    // three legs, one of which re-crosses the first's cells (shared area)
+    val g = reader.read(s"MULTILINESTRING (${leg(47.0, 9.0, 300)}, " +
+      s"${leg(47.001, 9.001, 300)}, ${leg(46.99, 8.99, 200)})")
+    val idx = GeoSegIndex.cached(g)
+    assert(idx != null && idx.isLine && idx.compEnds.length == 3)
+    val cells = graft.engine.GraftFunctions.indexGeometry(g, 9)
+    assert(cells.length > 50)
+    cells.foreach { cell =>
+      val r = H3Geo.cellInfoCached(cell).clip.get
+      val full = ConvexClip.lengthIn(r, g)
+      val fast = GeoSegIndex.lengthIn(r, idx)
+      assert(java.lang.Double.doubleToLongBits(full) ===
+        java.lang.Double.doubleToLongBits(fast), s"cell $cell")
+    }
+  }
+
+  test("GeometryCollection of polygons stays on the legacy path (no prepared-geometry crash)") {
+    val rnd = new Random(8)
+    val a = ringWkt(rnd, 50.0, 10.0, 20, 300, close = true)
+    val b = ringWkt(rnd, 50.5, 10.5, 20, 300, close = true)
+    val g = reader.read(s"GEOMETRYCOLLECTION (POLYGON (($a)), POLYGON (($b)))")
+    assert(GeoSegIndex.cached(g) == null) // >256 segments, but collections never index
+    // the ratio kernel must still answer through the legacy clip
+    val cell = H3.latLngToCell(50.0, 10.0, 8)
+    val ratio = graft.engine.GraftFunctions.ratioAreaCell(g.toText, cell)
+    assert(ratio != null && ratio.doubleValue >= 0.0)
+  }
+
   test("polygon with a hole: interior-of-hole cells report 0 like the full clip") {
     val rnd = new Random(5)
     val outer = ringWkt(rnd, 50.0, 10.0, 30, 400, close = true)

@@ -140,6 +140,12 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeMp4Dims(Multimodal.webmWrap(3L, "b".getBytes)) == None)
     val trunc = Multimodal.webmWrap(7L, "body".getBytes).take(30)
     assert(Multimodal.decodeWebmDims(trunc) == None)
+    // a non-target element declaring a near-Int.MaxValue size must reject
+    // as implausible, not wrap the skip offset negative and crash
+    val huge = b(0x1A, 0x45, 0xDF, 0xA3, 0x84, 0x42, 0x82, 0x81, 'w',
+      0xEC, 0x01, 0x00, 0x00, 0x00, 0x00, 0x7F, 0xFF, 0xFF, 0xFF, // Void size 2^31-1
+      0x18, 0x53, 0x80, 0x67, 0x80)
+    assert(Multimodal.decodeWebmDims(huge) == None)
   }
 
   test("registry routes png/bmp/gif to their own codecs (distinct layouts)") {
