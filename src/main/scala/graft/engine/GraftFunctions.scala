@@ -164,7 +164,9 @@ object GraftFunctions {
     }
   }
 
-  def cellAreaKm2Cached(cell: Long): Double = H3Geo.cellInfoCached(cell).areaKm2
+  // area-only path: rides the light scalar cache, never builds (or
+  // evicts) the geometry memo — see H3Geo.cellAreaKm2Cached
+  def cellAreaKm2Cached(cell: Long): Double = H3Geo.cellAreaKm2Cached(cell)
 
   /** length(g ∩ hex) / length(g) — the PCT_LENGTH ratio
     * (h3_indexer.py:193-199).

@@ -130,9 +130,44 @@ object H3Geo {
     v
   }
 
+  // ---- area-only cache. The epilogue/fold `h3_area_km2` lookups need ONLY
+  // the scalar; paying the full CellInfo construction (JTS polygon + clip
+  // region, ~800 B/entry) per miss let a 10× corpus's ~1M distinct cells
+  // brush the heap-scaled CellInfo cap and thrash BOTH consumers (measured
+  // at the 10× soak: 4.6M misses against 0.3M ratio calls,
+  // h3_resolve_multi 2.6 → 10 s wall). A boxed-Double entry is ~50 B, so
+  // this cache holds ~16× more cells in the same heap share and the
+  // area-only traffic never evicts the geometry memo.
+
+  private[graft] val areaMisses = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val areaStripes = Array.fill(MemoStripes)(
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Double]())
+  private[graft] var areaStripeCap: Int = math.max(512, memoStripeCap * 16)
+
+  /** Cell area in km², computed by the EXACT expression cellInfoCached
+    * uses (bit-identical values) but cached standalone — consults an
+    * already-built CellInfo first so ratio-path cells are free.
+    */
+  def cellAreaKm2Cached(cell: Long): Double = {
+    val boxed = java.lang.Long.valueOf(cell)
+    val stripe = (mix(cell).toInt & 0x7fffffff) % MemoStripes
+    val gHit = stripes(stripe).get(boxed)
+    if (gHit != null) return gHit.areaKm2
+    val m = areaStripes(stripe)
+    val hit = m.get(boxed)
+    if (hit != null) return hit.doubleValue
+    areaMisses.incrementAndGet()
+    val b = H3.cellToBoundary(cell)
+    val areaKm2 = math.abs(GeodesicExact.ringArea(
+      b.map(v => (math.toDegrees(v.lng), math.toDegrees(v.lat))))) / 1e6
+    if (m.size >= areaStripeCap) m.clear() // partial eviction: one stripe only
+    m.put(boxed, java.lang.Double.valueOf(areaKm2))
+    areaKm2
+  }
+
   /** Total entries across stripes (test/diagnostics only). */
   private[graft] def memoSize: Int = { var s = 0; var i = 0; while (i < MemoStripes) { s += stripes(i).size; i += 1 }; s }
-  private[graft] def memoClear(): Unit = stripes.foreach(_.clear())
+  private[graft] def memoClear(): Unit = { stripes.foreach(_.clear()); areaStripes.foreach(_.clear()) }
 
   /** Boundary WKT + geodesic area in one boundary computation (the string
     * surface of the memo, kept for the registered `h3_cell_info` UDF).

@@ -33,6 +33,7 @@ object TimeOne {
         s"ratioLengthCalls=${graft.engine.GraftFunctions.ratioLengthCalls.get()}, " +
         s"indexShapeCalls=${graft.engine.GraftFunctions.indexShapeCalls.get()}, " +
         s"memoMisses=${graft.geo.H3Geo.memoMisses.get()}, " +
+        s"areaMisses=${graft.geo.H3Geo.areaMisses.get()}, " +
         s"memoSize=${graft.geo.H3Geo.memoSize})")
       Thread.sleep(300)
       stages.sortBy(-_._4).take(12).foreach { case (id, nm, nt, run, cpu) =>

@@ -63,6 +63,23 @@ class H3MemoSpec extends AnyFunSuite {
     }
   }
 
+  test("area-only cache is bit-identical to CellInfo.areaKm2 in every hit order") {
+    H3Geo.memoClear()
+    val cells = distinctCells(500) :+
+      H3.latLngToCell(math.toRadians(58.2), math.toRadians(10.4), 6) // near a pentagon basin
+    // cold light-cache path first (no CellInfo built yet)...
+    val light = cells.map(H3Geo.cellAreaKm2Cached)
+    // ...then the full geometry path
+    val full = cells.map(c => H3Geo.cellInfoCached(c).areaKm2)
+    cells.indices.foreach { i =>
+      assert(java.lang.Double.doubleToLongBits(light(i)) ===
+        java.lang.Double.doubleToLongBits(full(i)), s"cell ${cells(i)}")
+    }
+    // and warm CellInfo first → the light call free-rides the geometry memo
+    val again = cells.map(H3Geo.cellAreaKm2Cached)
+    assert(again === full)
+  }
+
   test("inserting far beyond one stripe's cap leaves most entries alive") {
     withSmallCap(64) {
       val cells = distinctCells(64 * H3Geo.MemoStripes * 2)
