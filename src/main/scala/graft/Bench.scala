@@ -133,6 +133,22 @@ object Bench {
       s""""reps_sec":$repsJson,"io_mb_wrs":$ioJson,"gc_sec":$gcJson,""" +
       s""""master":"${sc.master}","parallelism":${sc.defaultParallelism},""" +
       s""""heap_gb":${f"$heapGb%.1f"},"reps":$reps,"sf":"$sfDir"}""")
+    // Compact artifact line LAST: the driver records only the tail of the
+    // bench output, and the full line above outgrew that window in r10
+    // (the per-rep/io/gc maps pushed the `queries` map past the cut —
+    // BENCH_r10.json arrived unparseable). This line carries the total +
+    // per-query min-of-N + failure list only (~1 KB), so whatever tail the
+    // driver keeps always contains one complete, parseable JSON line. The
+    // full diagnostics line stays above for judges reading stdout.
+    val qsCompact = results.map {
+      case (k, Some(v), _, _, _, _) => "\"" + k + "\":" + f"$v%.3f"
+      case (k, None, _, _, _, _)    => "\"" + k + "\":null"
+    }.mkString("{", ",", "}")
+    val failedList = results.filter(_._2.isEmpty)
+      .map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsCompact,""" +
+      s""""failed":$failedList,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._2.isEmpty)) sys.exit(1)
   }

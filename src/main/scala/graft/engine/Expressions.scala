@@ -70,9 +70,9 @@ object Expressions {
     UnsafeArrayData.fromPrimitiveArray(
       GraftFunctions.indexGeometry(GraftFunctions.parseGeomCached(geom.toString), res))
 
-  def polyfillTasksArray(geom: UTF8String, res: Int): ArrayData =
+  def polyfillTasksArray(geom: UTF8String, res: Int, threshold: Double): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(
-      PolySplit.tasks(GraftFunctions.parseGeomCached(geom.toString), res))
+      PolySplit.tasks(GraftFunctions.parseGeomCached(geom.toString), res, threshold))
 
   def cellsUnderArray(geom: UTF8String, task: Long, res: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(
@@ -106,26 +106,30 @@ object Expressions {
         l: Expression, r: Expression): Expression = copy(l, r)
   }
 
-  /** h3_polyfill_tasks_native(geom STRING, res INT) → ARRAY<LONG> — phase 1
-    * of the split polyfill (PolySplit.tasks): the polygon's coarse ancestor
-    * cover when its cell estimate crosses the split threshold, the single
-    * sentinel task 0 otherwise.
+  /** h3_polyfill_tasks_native(geom STRING, res INT, threshold DOUBLE) →
+    * ARRAY<LONG> — phase 1 of the split polyfill (PolySplit.tasks): the
+    * polygon's coarse ancestor cover when its cell estimate crosses
+    * `threshold`, the single sentinel task 0 otherwise. The threshold is an
+    * expression child (baked at plan time by the Indexer) rather than a
+    * task-side read of process state, so a scoped override cannot race a
+    * concurrently-built plan.
     */
-  case class H3PolyfillTasksExpr(left: Expression, right: Expression)
-      extends BinaryExpression {
+  case class H3PolyfillTasksExpr(first: Expression, second: Expression,
+                                 third: Expression) extends TernaryExpression {
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "h3_polyfill_tasks_native"
 
-    override protected def nullSafeEval(geom: Any, res: Any): Any =
-      Expressions.polyfillTasksArray(geom.asInstanceOf[UTF8String], res.asInstanceOf[Int])
+    override protected def nullSafeEval(geom: Any, res: Any, threshold: Any): Any =
+      Expressions.polyfillTasksArray(geom.asInstanceOf[UTF8String],
+        res.asInstanceOf[Int], threshold.asInstanceOf[Double])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, (geom, res) =>
-        s"graft.engine.Expressions.polyfillTasksArray($geom, $res)")
+      nullSafeCodeGen(ctx, ev, (geom, res, threshold) =>
+        s"${ev.value} = graft.engine.Expressions.polyfillTasksArray($geom, $res, $threshold);")
 
     override protected def withNewChildrenInternal(
-        l: Expression, r: Expression): Expression = copy(l, r)
+        f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
   }
 
   /** h3_cells_under_native(geom STRING, task LONG, res INT) → ARRAY<LONG> —
@@ -641,7 +645,11 @@ object Expressions {
     "h3_parent_native" -> (es => H3ParentExpr(asS(es(0)), asI(es(1)))),
     "h3_resolution_native" -> (es => H3ResolutionExpr(asS(es.head))),
     "h3_index_shape_native" -> (es => H3IndexShapeExpr(asS(es(0)), asI(es(1)))),
-    "h3_polyfill_tasks_native" -> (es => H3PolyfillTasksExpr(asS(es(0)), asI(es(1)))),
+    // 2-arg form bakes the CURRENT (plan-time, possibly scope-overridden)
+    // threshold in as a literal — the expression never reads process state
+    "h3_polyfill_tasks_native" -> (es => H3PolyfillTasksExpr(asS(es(0)), asI(es(1)),
+      es.lift(2).map(asD).getOrElse(
+        org.apache.spark.sql.catalyst.expressions.Literal(PolySplit.splitThreshold)))),
     "h3_cells_under_native" -> (es => H3CellsUnderExpr(asS(es(0)), asL(es(1)), asI(es(2)))),
     "h3_parent_long" -> (es => H3ParentLongExpr(asL(es(0)), asI(es(1)))),
     "h3_hex" -> (es => H3HexExpr(asL(es.head))),

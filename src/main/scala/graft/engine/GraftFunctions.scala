@@ -234,7 +234,10 @@ object GraftFunctions {
     u.register("h3_cell_area_cached", (c: java.lang.Long) =>
       if (c == null) null else java.lang.Double.valueOf(cellAreaKm2Cached(c.longValue)))
     u.register("h3_polyfill_est", (g: String, res: Int) =>
-      PolySplit.estimateCells(parseGeomCached(g), res))
+      // null-tolerant like the native expressions' nullSafeEval: the
+      // shouldSplit max-estimate probe must not NPE on a dataset whose
+      // null geometries the legacy single-generator path simply skipped
+      if (g == null) 0.0 else PolySplit.estimateCells(parseGeomCached(g), res))
     u.register("st_area_spheroid_km2", (s: String) => areaSpheroidKm2(s))
     u.register("st_length_spheroid_km", (s: String) => lengthSpheroidKm(s))
     u.register("st_astext", (s: String) =>

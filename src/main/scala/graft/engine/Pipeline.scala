@@ -84,10 +84,15 @@ object Fanout {
     */
   def ensureByKey(spark: SparkSession, df: DataFrame,
                   keys: org.apache.spark.sql.Column*): DataFrame = {
-    val parallelism = spark.sparkContext.defaultParallelism
-    if (alreadyFanned(df, parallelism)) df
-    else if (estimatedScanPartitions(spark, df) < parallelism)
-      df.repartition(parallelism, keys: _*)
+    // Fan to the SHUFFLE-partition count, not defaultParallelism: the
+    // downstream window/aggregate on the same keys plans its exchange with
+    // spark.sql.shuffle.partitions, so the exchange is reusable only when
+    // the keyed fanout lands on exactly that partitioning. (Sessions.local
+    // sets the two equal, but a cluster config routinely doesn't.)
+    val target = spark.sessionState.conf.numShufflePartitions
+    if (alreadyFanned(df, target)) df
+    else if (estimatedScanPartitions(spark, df) < target)
+      df.repartition(target, keys: _*)
     else df
   }
 }
@@ -277,7 +282,10 @@ object Indexer {
           PolySplit.shouldSplit(selected.select(col(Cols.GeomWkt)), Cols.GeomWkt, res)) {
         withTotal
           .withColumn("h3_task",
-            explode(expr(s"h3_polyfill_tasks_native(${Cols.GeomWkt}, $res)")))
+            // threshold baked as a literal at plan time: executor tasks
+            // never read the (scope-overridable) global
+            explode(expr(s"h3_polyfill_tasks_native(${Cols.GeomWkt}, $res, " +
+              s"${PolySplit.splitThreshold})")))
           .repartition(spark.sparkContext.defaultParallelism,
             col(in.uniqueId), col("h3_task"))
           .withColumn(Cols.H3Index,
@@ -295,14 +303,27 @@ object Indexer {
     // extra shuffles and no hexagon WKT travelling through the rows. (The
     // reference needed the dim join because its per-row compute ran in
     // isolated Python workers.)
+    // Experimental A/B knob (session conf, read at plan time — no process
+    // global): co-locate exploded rows by cell BEFORE the ratio stage, so
+    // the CellInfo memo sees each distinct cell's uses contiguously (≈1
+    // miss per cell at ANY cap) at the price of shuffling every
+    // (geometry, cell) pair. Default OFF: the shuffle moves the full
+    // geometry WKT per pair, and on a real cluster rows already arrive
+    // feature-clustered per executor. Exists to MEASURE the trade
+    // (PLAN_r12 h3_index_lines memo-thrash adjudication), not to ship.
+    val preRatio =
+      if (in.method != Method.Within &&
+          spark.conf.getOption("spark.graft.experimental.colocateCells").contains("true"))
+        exploded.repartition(spark.sparkContext.defaultParallelism, col(Cols.H3Index))
+      else exploded
     val withRatio = in.method match {
       case Method.Within =>
-        exploded.withColumn(Cols.Ratio, lit(1.0))
+        preRatio.withColumn(Cols.Ratio, lit(1.0))
       case Method.PctLength =>
-        exploded.withColumn(Cols.Ratio,
+        preRatio.withColumn(Cols.Ratio,
           expr(s"st_ratio_length_cell_native(${Cols.GeomWkt}, ${Cols.H3Index})"))
       case Method.PctArea =>
-        exploded.withColumn(Cols.Ratio,
+        preRatio.withColumn(Cols.Ratio,
           expr(s"st_ratio_area_cell_native(${Cols.GeomWkt}, ${Cols.H3Index})"))
       case other =>
         throw ValidationError(s"method $other has no ratio implementation") // unreachable

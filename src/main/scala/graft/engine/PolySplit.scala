@@ -34,10 +34,30 @@ object PolySplit {
 
   /** Estimated cells-per-polygon above which the split plan engages.
     * 16384 cells ≈ 7 split tasks minimum; below it the per-task overhead
-    * (cover BFS + repartition) outweighs the skew it removes. @volatile
-    * var so the scale demo / spec can force the switch on test fixtures.
+    * (cover BFS + repartition) outweighs the skew it removes.
     */
-  @volatile var splitThreshold: Double = 16384.0
+  val DefaultSplitThreshold: Double = 16384.0
+
+  /** Scoped override for the scale demo / specs: a shared mutable global
+    * raced concurrently-running suites (a temporarily lowered threshold
+    * could leak into another suite's plan construction). The override is
+    * a DynamicVariable read ONLY at plan time — [[shouldSplit]] on the
+    * driver thread, and the Indexer bakes the effective value into the
+    * `h3_polyfill_tasks_native` expression as a literal, so executor
+    * tasks never consult the global.
+    */
+  private val thresholdOverride =
+    new scala.util.DynamicVariable[Double](DefaultSplitThreshold)
+
+  /** The effective threshold on the CURRENT thread (plan-time reads only). */
+  def splitThreshold: Double = thresholdOverride.value
+
+  /** Run `body` with the threshold overridden on this thread (and threads
+    * it spawns). Plans built inside the block capture the value; plans
+    * built concurrently on other threads are unaffected.
+    */
+  def withThreshold[T](t: Double)(body: => T): T =
+    thresholdOverride.withValue(t)(body)
 
   /** Each split task enumerates ≤ 7^CoarseDepth = 2401 candidate
     * centroids — a few ms of CPU, the work quantum the shuffle balances.
@@ -83,6 +103,23 @@ object PolySplit {
     (outer, holes)
   }
 
+  /** True when any ring edge spans more than 180° of raw longitude — the
+    * standard wrap test for a polygon whose coordinates cross ±180.
+    */
+  private def wrapsAntimeridian(p: Polygon): Boolean = {
+    def ringWraps(cs: Array[org.locationtech.jts.geom.Coordinate]): Boolean = {
+      var i = 1
+      while (i < cs.length) {
+        if (math.abs(cs(i).x - cs(i - 1).x) > 180.0) return true
+        i += 1
+      }
+      false
+    }
+    ringWraps(p.getExteriorRing.getCoordinates) ||
+      (0 until p.getNumInteriorRing).exists(i =>
+        ringWraps(p.getInteriorRingN(i).getCoordinates))
+  }
+
   /** Spherical shoelace over the exterior ring (the geojson-area formula)
     * — an ORDER-OF-MAGNITUDE planning estimate only (holes ignored:
     * over-estimating just splits a bit eagerly; antimeridian-crossing
@@ -125,11 +162,20 @@ object PolySplit {
     * WHOLE geometry (never per component) so sentinel and cover tasks
     * can't both emit a shared cell.
     */
-  def tasks(g: Geometry, res: Int): Array[Long] = {
+  def tasks(g: Geometry, res: Int, threshold: Double = splitThreshold): Array[Long] = {
     if (res == 0) return SentinelTasks
     val polys = polygonComponents(g)
     if (polys == null) return SentinelTasks
-    if (estimateCells(g, res) <= splitThreshold) return SentinelTasks
+    // Antimeridian-wrapping rings (any edge spanning >180° of longitude)
+    // never split: the polyfill's planar ray-cast containment and the
+    // cover BFS's spherical edge interpolation disagree about which side
+    // is "inside" near the wrap, so a coarse cover is NOT a guaranteed
+    // superset there (H3 v3 polyfill itself documents no antimeridian
+    // support). Sentinel keeps such inputs bit-identical to the legacy
+    // single-task path — the estimate error on these rings costs at most
+    // a suboptimal plan, never a different result (PolySplitSpec pins it).
+    if (polys.exists(wrapsAntimeridian)) return SentinelTasks
+    if (estimateCells(g, res) <= threshold) return SentinelTasks
     val k = math.max(0, res - CoarseDepth)
     val cover = scala.collection.mutable.HashSet.empty[Long]
     polys.foreach { p =>

@@ -214,10 +214,27 @@ object Multimodal {
     def findBox(from: Int, until: Int, tpe: String): Option[(Int, Int)] = {
       var off = from
       while (off + 8 <= until) {
-        val size = be32(off)
-        if (size < 8 || off + size > until) return None // malformed chain
-        if (fourcc(off + 4, tpe)) return Some((off + 8, off + size.toInt))
-        off += size.toInt
+        val size32 = be32(off)
+        // ISO BMFF size escapes: 0 = box extends to the end of the
+        // enclosing span (legal only as the last box, e.g. a trailing
+        // mdat); 1 = 64-bit largesize follows the fourcc. Both are valid
+        // encodings, not malformed chains.
+        var body = off + 8L
+        val end: Long =
+          if (size32 == 0L) until.toLong
+          else if (size32 == 1L) {
+            if (off + 16 > until) return None
+            val largesize = (be32(off + 8) << 32) | be32(off + 12)
+            if (largesize < 16L) return None
+            body = off + 16L
+            off + largesize
+          } else {
+            if (size32 < 8L) return None
+            off + size32
+          }
+        if (end < body || end > until) return None // malformed chain
+        if (fourcc(off + 4, tpe)) return Some((body.toInt, end.toInt))
+        off = end.toInt
       }
       None
     }

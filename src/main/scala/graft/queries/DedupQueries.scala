@@ -787,7 +787,7 @@ object DedupQueries {
         // bucket width scales with the corpus: a fixed 8-bit band turns the
         // bucket self-join quadratic as occupancy grows (the round-10 soak
         // measured 84x shuffle at 10x rows); bitsFor holds expected
-        // occupancy ≤ ~128 (8-bit floor ⇒ identical behavior at test SFs).
+        // occupancy ≤ 16 (8-bit floor ⇒ identical behavior at test SFs).
         // The count is memoized per canonicalized plan — one job ever.
         val bits = AnnLsh.bitsFor(AnnLsh.memoizedCount(e))
         val buckets = e

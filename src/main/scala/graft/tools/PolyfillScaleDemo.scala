@@ -83,15 +83,12 @@ object PolyfillScaleDemo {
       (row.getLong(0), row.getString(1), sec)
     }
 
-    val saved = PolySplit.splitThreshold
-    try {
-      PolySplit.splitThreshold = Double.MaxValue // force the legacy single-generator plan
-      val (n1, d1, t1) = runOnce("single-task")
-      PolySplit.splitThreshold = saved // the shipped threshold: giants split
-      val (n2, d2, t2) = runOnce("split")
-      println(s"outputs identical = ${n1 == n2 && d1 == d2}")
-      println(f"speedup = ${t1 / t2}%.2fx (threshold=${saved}%.0f, giants estimate ~60k cells each)")
-    } finally PolySplit.splitThreshold = saved
+    // force the legacy single-generator plan, then the shipped threshold
+    val (n1, d1, t1) =
+      PolySplit.withThreshold(Double.MaxValue)(runOnce("single-task"))
+    val (n2, d2, t2) = runOnce("split")
+    println(s"outputs identical = ${n1 == n2 && d1 == d2}")
+    println(f"speedup = ${t1 / t2}%.2fx (threshold=${PolySplit.DefaultSplitThreshold}%.0f, giants estimate ~60k cells each)")
     spark.stop()
   }
 }

@@ -28,8 +28,41 @@ import org.apache.spark.sql.functions._
   *    growth with plan behavior.
   */
 object Soak {
-  val SoakDir = "/tmp/graft_soak_x10"
-  val Reps = 10
+  /** Expansion factor: 10 reproduces the round-10 corpus byte-identically
+    * (replicas 1–9 keep the original letter-rotation transform); larger
+    * factors extend with seeded alphabet permutations that stay pairwise
+    * distinct, so the planted duplicate rate remains constant at any X.
+    */
+  val Reps: Int = sys.env.getOrElse("SPARK_GRAFT_SOAK_X", "10").toInt
+  val SoakDir: String = s"/tmp/graft_soak_x$Reps"
+
+  /** Per-replica permutation of the corpus alphabet 'a'..'j': identity at
+    * k=0, the legacy rotation for k=1..9 (keeps the 10× corpus identical
+    * to the round-10 one), and a deterministic seeded shuffle for k≥10 —
+    * re-drawn until distinct from every earlier replica's permutation, so
+    * no two replicas are textually related (a repeat would plant k-twin
+    * exact duplicates and grow candidate pairs quadratically).
+    */
+  private def alphabetPerms(n: Int): IndexedSeq[String] = {
+    val perms = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 until n).foreach { k =>
+      if (k < 10) perms += (0 until 10).map(i => ('a' + (i + k) % 10).toChar).mkString
+      else {
+        var seed = k.toLong
+        var cand = ""
+        do {
+          val r = new java.util.Random(seed * 0x9e3779b9L)
+          val a = ('a' to 'j').toBuffer
+          var i = a.length - 1
+          while (i > 0) { val j = r.nextInt(i + 1); val t = a(i); a(i) = a(j); a(j) = t; i -= 1 }
+          cand = a.mkString
+          seed += 1000003L
+        } while (perms.contains(cand))
+        perms += cand
+      }
+    }
+    perms.toIndexedSeq
+  }
 
   private val defaultQueries = Seq(
     "dedup_exact", "dedup_minhash_lsh", "embedding_neardup_lsh",
@@ -42,9 +75,10 @@ object Soak {
     val out = new java.io.File(SoakDir); out.mkdirs()
 
     def docs = spark.read.parquet(s"$src/documents.parquet")
+    val perms = alphabetPerms(Reps)
     val docParts = (0 until Reps).map { k =>
       val from = "abcdefghij"
-      val to = (0 until 10).map(i => ('a' + (i + k) % 10).toChar).mkString
+      val to = perms(k)
       docs.select(
         (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
         (if (k == 0) col("text") else translate(col("text"), from, to)).as("text"),
@@ -53,6 +87,7 @@ object Soak {
     docParts.reduce(_.unionByName(_)).repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$SoakDir/documents.parquet")
 
+    require(Reps <= 60, "embedding dimension-rotation supports at most 60 replicas")
     def emb = spark.read.parquet(s"$src/embeddings.parquet")
     val embParts = (0 until Reps).map { k =>
       emb.select(
@@ -116,7 +151,18 @@ object Soak {
       try run(n, "/root/testdata/sf0.001")
       catch { case t: Throwable => System.err.println(s"warm $n: $t") }
     }
-    println(f"${"query"}%-28s ${"sf0.1_s"}%8s ${"x10_s"}%8s ${"t_ratio"}%8s ${"shuf0.1"}%9s ${"shuf_x10"}%9s ${"s_ratio"}%8s")
+    // optional output pinning (env SPARK_GRAFT_SOAK_DIGEST=1): row count +
+    // md5 over the sorted row strings at both scales — use only on queries
+    // with bounded output (the dedup pair lists), it collects the result
+    val digestOn = sys.env.get("SPARK_GRAFT_SOAK_DIGEST").contains("1")
+    def digest(name: String, dir: String): (Long, String) = {
+      val q = graft.SparkEntry.registry.find(_.name == name).get
+      val rows = q.fn(spark, dir).collect().map(_.toString).sorted
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.foreach(r => md.update(r.getBytes("UTF-8")))
+      (rows.length.toLong, md.digest.map("%02x".format(_)).mkString.take(12))
+    }
+    println(f"${"query"}%-28s ${"sf0.1_s"}%8s ${s"x${Reps}_s"}%8s ${"t_ratio"}%8s ${"shuf0.1"}%9s ${"shuf_xN"}%9s ${"s_ratio"}%8s")
     val rows = queries.map { n =>
       val (tA1, mA1) = run(n, src)
       val (tA2, mA2) = run(n, src) // min-of-2, warm
@@ -126,6 +172,11 @@ object Soak {
       val (ma, mb) = (math.max(mA1, mA2), math.max(mB1, mB2))
       val sr = if (ma > 0.05) f"${mb / ma}%8.1f" else "     n/a"
       println(f"$n%-28s $ta%8.2f $tb%8.2f ${tb / ta}%8.1f $ma%9.1f $mb%9.1f $sr")
+      if (digestOn) {
+        val (cA, dA) = digest(n, src)
+        val (cB, dB) = digest(n, SoakDir)
+        println(f"  digest: base n=$cA%d md5=$dA  x$Reps%d n=$cB%d md5=$dB  n_ratio=${cB.toDouble / cA}%.2f")
+      }
       (n, ta, tb, ma, mb)
     }
     val (sta, stb) = (rows.map(_._2).sum, rows.map(_._3).sum)

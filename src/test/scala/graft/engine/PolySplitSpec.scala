@@ -84,15 +84,13 @@ class PolySplitSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PolySplit.tasks(g, res).toSeq === Seq(PolySplit.Sentinel))
     assert(PolySplit.cellsUnder(g, PolySplit.Sentinel, res).toSet === whole)
     // force the switch: cover tasks, exact union, no duplicates
-    val saved = PolySplit.splitThreshold
-    try {
-      PolySplit.splitThreshold = 10.0
+    PolySplit.withThreshold(10.0) {
       val tasks = PolySplit.tasks(g, res)
       assert(tasks.length > 3 && !tasks.contains(PolySplit.Sentinel))
       val split = tasks.flatMap(PolySplit.cellsUnder(g, _, res))
       assert(split.length === split.distinct.length)
       assert(split.toSet === whole)
-    } finally PolySplit.splitThreshold = saved
+    }
   }
 
   test("multipolygon with overlapping components: split equals the distinct whole-path") {
@@ -101,14 +99,47 @@ class PolySplitSpec extends AnyFunSuite with BeforeAndAfterAll {
     val g = GraftFunctions.parseGeomCached(wkt)
     val res = 7
     val whole = GraftFunctions.indexGeometry(g, res).toSet
-    val saved = PolySplit.splitThreshold
-    try {
-      PolySplit.splitThreshold = 10.0
+    PolySplit.withThreshold(10.0) {
       val split = PolySplit.tasks(g, res).flatMap(PolySplit.cellsUnder(g, _, res))
       assert(split.length === split.distinct.length,
         "overlapping components must not double-emit a cell")
       assert(split.toSet === whole)
-    } finally PolySplit.splitThreshold = saved
+    }
+  }
+
+  test("antimeridian-crossing ring: estimate error is plan-quality-only " +
+      "(split output identical to the whole path on both sides of the threshold)") {
+    // ringAreaKm2 mis-estimates rings whose longitudes wrap ±180, and the
+    // coarse cover is not a guaranteed superset for them (planar ray-cast
+    // containment vs spherical edge seeding disagree near the wrap) — so
+    // PolySplit keeps wrapping rings on the sentinel path at ANY
+    // threshold. Pin that: output is identical to the whole path on both
+    // sides of the threshold because the split plan never engages.
+    val wkt = "POLYGON ((179.9 0.06, -179.9 0.06, -179.9 -0.06, 179.9 -0.06, 179.9 0.06))"
+    val g = GraftFunctions.parseGeomCached(wkt)
+    val res = 4
+    val whole = GraftFunctions.indexGeometry(g, res).toSet
+    // sentinel side: a huge threshold keeps it on the single-task path
+    PolySplit.withThreshold(Double.MaxValue) {
+      assert(PolySplit.tasks(g, res).toSeq === Seq(PolySplit.Sentinel))
+      assert(PolySplit.cellsUnder(g, PolySplit.Sentinel, res).toSet === whole)
+    }
+    // forced side: even at threshold 1.0 the wrap detector holds sentinel
+    PolySplit.withThreshold(1.0) {
+      val tasks = PolySplit.tasks(g, res)
+      assert(tasks.toSeq === Seq(PolySplit.Sentinel),
+        "antimeridian-wrapping rings must never take the split plan")
+      val split = tasks.flatMap(PolySplit.cellsUnder(g, _, res))
+      assert(split.toSet === whole)
+    }
+    // a multipolygon with one wrapping component is held back as a WHOLE
+    // (tasks are decided per geometry, never per component)
+    val mixed = GraftFunctions.parseGeomCached(
+      "MULTIPOLYGON (((179.9 0.06, -179.9 0.06, -179.9 -0.06, 179.9 -0.06, 179.9 0.06)), " +
+        "((10 50, 10.4 50, 10.4 50.3, 10 50.3, 10 50)))")
+    PolySplit.withThreshold(1.0) {
+      assert(PolySplit.tasks(mixed, 7).toSeq === Seq(PolySplit.Sentinel))
+    }
   }
 
   test("non-polygon geometries never split") {
@@ -142,13 +173,11 @@ class PolySplitSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = "/root/testdata/sf0.001"
     val default = GeoQueries.qs.find(_.name == "h3_index_polygons").get
       .fn(spark, dir).collect().map(_.toSeq).sortBy(_.toString)
-    val saved = PolySplit.splitThreshold
     val forced =
-      try {
-        PolySplit.splitThreshold = 1.0 // every polygon crosses it
+      PolySplit.withThreshold(1.0) { // every polygon crosses it
         GeoQueries.qs.find(_.name == "h3_index_polygons").get
           .fn(spark, dir).collect().map(_.toSeq).sortBy(_.toString)
-      } finally PolySplit.splitThreshold = saved
+      }
     assert(forced.length === default.length)
     assert(forced.toSeq === default.toSeq)
   }

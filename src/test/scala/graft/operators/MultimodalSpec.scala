@@ -107,6 +107,44 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeMp4Dims(trunc) == None)
   }
 
+  test("ISO BMFF size escapes: size==0 (box to end of file) and size==1 (largesize)") {
+    // layout of mp4Wrap output: ftyp [0,20), moov..tkhd [20,128), mdat [128,..)
+    val dims = Multimodal.dimsFor(5L)
+    val v0 = Multimodal.mp4Wrap(5L, "body".getBytes("UTF-8"))
+    val ftyp = v0.slice(0, 20)
+    val moov = v0.slice(20, 128)
+    val mdat = v0.slice(128, v0.length)
+    // moov as the LAST top-level box with size==0 (extends to end of file) —
+    // the mdat-first arrangement real muxers emit with a trailing moov
+    val toEnd = {
+      val m = moov.clone()
+      m(0) = 0; m(1) = 0; m(2) = 0; m(3) = 0
+      ftyp ++ mdat ++ m
+    }
+    assert(Multimodal.decodeMp4Dims(toEnd) == Some(dims))
+    // moov encoded with size==1 + 64-bit largesize (16-byte header)
+    val large = {
+      val bb = java.nio.ByteBuffer.allocate(v0.length + 8)
+      bb.put(ftyp)
+      bb.putInt(1).put("moov".getBytes("ASCII")).putLong(16L + (moov.length - 8))
+      bb.put(moov, 8, moov.length - 8) // trak..tkhd payload unchanged
+      bb.put(mdat)
+      bb.array()
+    }
+    assert(Multimodal.decodeMp4Dims(large) == Some(dims))
+    // a largesize below the 16-byte header is still malformed
+    val badLs = large.clone()
+    java.nio.ByteBuffer.wrap(badLs).putLong(28, 8L)
+    assert(Multimodal.decodeMp4Dims(badLs) == None)
+    // size==0 NOT at the end (moov after it would be unreachable) rejects
+    val zeroFirst = {
+      val m = mdat.clone()
+      m(0) = 0; m(1) = 0; m(2) = 0; m(3) = 0
+      ftyp ++ m ++ moov
+    }
+    assert(Multimodal.decodeMp4Dims(zeroFirst) == None)
+  }
+
   test("webmWrap → decodeWebmDims walks the EBML tree; malformed rejected") {
     Seq(0L, 42L, 448L, 123456L).foreach { id =>
       val body = s"cluster_$id".getBytes("UTF-8")
