@@ -314,7 +314,12 @@ object Indexer {
     val preRatio =
       if (in.method != Method.Within &&
           spark.conf.getOption("spark.graft.experimental.colocateCells").contains("true"))
+        // sort within partitions too: the exchange alone only ROUTES each
+        // cell to one task — without contiguity a cell's uses still span
+        // the task and evictions between them re-miss (measured: exchange
+        // alone kept the 2.7x thrash slope AND doubled shuffle bytes)
         exploded.repartition(spark.sparkContext.defaultParallelism, col(Cols.H3Index))
+          .sortWithinPartitions(col(Cols.H3Index))
       else exploded
     val withRatio = in.method match {
       case Method.Within =>

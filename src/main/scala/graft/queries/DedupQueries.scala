@@ -261,10 +261,21 @@ object DedupQueries {
     // identity, which changes every build, so probing the checkpointed
     // frame would defeat the fitsBroadcast memo and re-pay the probe job
     // on every bench rep.
-    // shingle arrays sorted ONCE per doc at the build boundary so the
-    // per-candidate verify below can count the exact intersection with a
-    // merge walk (SortedIntersectCountExpr) instead of a per-pair hash set
-    val shPlan = shingleSets(s, d).withColumn("sh", array_sort(col("sh")))
+    // Shingles become 64-bit hashes at the build boundary, sorted ONCE per
+    // doc: every downstream stage — document-frequency count, rank window,
+    // bucket self-join, and the sorted-merge verify kernel — then runs on
+    // 8-byte longs instead of ~25-byte strings. This is the same contract
+    // the minhash verify pins (Dedup.shingleHashesSorted): inter/union/
+    // jaccard values are identical to the string-set computation absent a
+    // 64-bit collision, and JaccardPrefixSpec asserts set equality against
+    // a STRING brute force across thresholds. The concrete win is the
+    // verify payload join: the broadcast relation build of the string
+    // arrays was measured single-threaded at ~4.3 s on the 10x soak corpus
+    // (jstack: UnsafeHashedRelation.apply on one core) — hash arrays are
+    // ~5x smaller to build and to ship, and the honest default array
+    // estimator (8 B/element) prices them correctly at any corpus size.
+    val shPlan = shingleSets(s, d)
+      .withColumn("sh", array_sort(expr("transform(sh, x -> xxhash64(x))")))
     val small = Dedup.fitsBroadcast(shPlan)
     val sh = shPlan.localCheckpoint()
     // global shingle order = (document frequency asc, shingle): total within

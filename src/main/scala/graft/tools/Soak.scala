@@ -28,40 +28,38 @@ import org.apache.spark.sql.functions._
   *    growth with plan behavior.
   */
 object Soak {
-  /** Expansion factor: 10 reproduces the round-10 corpus byte-identically
-    * (replicas 1–9 keep the original letter-rotation transform); larger
-    * factors extend with seeded alphabet permutations that stay pairwise
-    * distinct, so the planted duplicate rate remains constant at any X.
+  /** Expansion factor (≤ 52 — see [[alphabetPerms]]). NOTE: the text
+    * transform changed after round 10 (full-alphabet permutations), so
+    * X=10 corpora regenerate differently than the round-10 table's; the
+    * geo/embedding tables are unchanged.
     */
   val Reps: Int = sys.env.getOrElse("SPARK_GRAFT_SOAK_X", "10").toInt
   val SoakDir: String = s"/tmp/graft_soak_x$Reps"
 
-  /** Per-replica permutation of the corpus alphabet 'a'..'j': identity at
-    * k=0, the legacy rotation for k=1..9 (keeps the 10× corpus identical
-    * to the round-10 one), and a deterministic seeded shuffle for k≥10 —
-    * re-drawn until distinct from every earlier replica's permutation, so
-    * no two replicas are textually related (a repeat would plant k-twin
-    * exact duplicates and grow candidate pairs quadratically).
+  /** Per-replica permutation of the FULL alphabet 'a'..'z' (identity at
+    * k=0): rotation by k for k=1..25, and rotation∘reversal for k≥26.
+    *
+    * Full alphabet matters: the round-10 harness rotated only 'a'..'j',
+    * but the corpus vocabulary spans a..y — words with no a–j letter
+    * ("sort", "slow", …) survived the transform UNCHANGED, so replicas
+    * shared vocabulary and loose-threshold dedup (simhash hamming ≤ 3)
+    * accumulated CROSS-replica pairs quadratically in the replica count
+    * (measured: 84× output for 30× docs before this fix, 30.0× after).
+    * Any two of these permutations agree on at most 2 letters (two
+    * rotations: none; rotation vs rotation∘reversal: the mod-26 equation
+    * c + j ≡ (25 − c) + k has ≤ 2 solutions), so no real word survives
+    * from one replica to another — replicas are textually unrelated and
+    * the planted duplicate rate stays constant at any X ≤ 52.
     */
   private def alphabetPerms(n: Int): IndexedSeq[String] = {
-    val perms = scala.collection.mutable.ArrayBuffer.empty[String]
-    (0 until n).foreach { k =>
-      if (k < 10) perms += (0 until 10).map(i => ('a' + (i + k) % 10).toChar).mkString
-      else {
-        var seed = k.toLong
-        var cand = ""
-        do {
-          val r = new java.util.Random(seed * 0x9e3779b9L)
-          val a = ('a' to 'j').toBuffer
-          var i = a.length - 1
-          while (i > 0) { val j = r.nextInt(i + 1); val t = a(i); a(i) = a(j); a(j) = t; i -= 1 }
-          cand = a.mkString
-          seed += 1000003L
-        } while (perms.contains(cand))
-        perms += cand
-      }
+    require(n <= 52, "the rotation/reversal family supports at most 52 replicas")
+    (0 until n).map { k =>
+      val d = k % 26
+      (0 until 26).map { i =>
+        val base = if (k >= 26) 25 - i else i
+        ('a' + (base + d) % 26).toChar
+      }.mkString
     }
-    perms.toIndexedSeq
   }
 
   private val defaultQueries = Seq(
@@ -77,7 +75,7 @@ object Soak {
     def docs = spark.read.parquet(s"$src/documents.parquet")
     val perms = alphabetPerms(Reps)
     val docParts = (0 until Reps).map { k =>
-      val from = "abcdefghij"
+      val from = "abcdefghijklmnopqrstuvwxyz"
       val to = perms(k)
       docs.select(
         (col("doc_id") + lit(k * 10000000L)).as("doc_id"),

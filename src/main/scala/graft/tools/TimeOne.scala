@@ -12,8 +12,11 @@ object TimeOne {
     val stages = mutable.ArrayBuffer.empty[(Int, String, Int, Double, Double)]
     val tRef = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        println(f"    [job ${j.jobId}%3d start t=${(System.nanoTime() - tRef.get()) / 1e9}%6.2f]")
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val names = j.stageInfos.map(s =>
+          s"${s.stageId}:" + s.name.takeWhile(_ != '\n').take(40)).mkString(" | ")
+        println(f"    [job ${j.jobId}%3d start t=${(System.nanoTime() - tRef.get()) / 1e9}%6.2f  $names]")
+      }
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
         println(f"    [job ${j.jobId}%3d   end t=${(System.nanoTime() - tRef.get()) / 1e9}%6.2f]")
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
