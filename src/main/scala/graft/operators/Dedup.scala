@@ -409,6 +409,13 @@ object Dedup {
     if (!registeredSessions.add(spark)) return
     val u = spark.udf
     u.register("minhash_bands", (t: String) => minHashBands(t))
+    // bands from an already-built shingle-hash array: min over a multiset
+    // is order- and duplicate-invariant, so feeding the SORTED DISTINCT
+    // array (shingle_hashes_sorted) yields bit-identical bands to
+    // minhash_bands(text) — lets a plan tokenize/shingle ONCE and derive
+    // both the banding and the verify payload from the same checkpoint
+    u.register("minhash_bands_hashed",
+      (shs: Seq[Long]) => bandHashes(minHashSignature(shs.toArray)))
     u.register("minhash_sig", (t: String) => minHashSignature(shingleHashes(t)))
     u.register("minhash_bbit", (t: String, b: Int) =>
       bBitSignature(minHashSignature(shingleHashes(t)), b))

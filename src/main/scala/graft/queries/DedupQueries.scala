@@ -454,11 +454,28 @@ object DedupQueries {
       (s, d) => {
         Dedup.register(s)
         val docs = docsWithDups(s, d)
-        val buckets = docs
-          .withColumn("bands", callUDF("minhash_bands", col("text")))
+        // the BROADCAST side is the hash-array payload below (~8 bytes per
+        // token), not the text — estimate those bytes or a 10× corpus
+        // broadcasts ~3× past the cap (caught by the round-10 soak rerun).
+        // Probe keyed on the STABLE pre-checkpoint plan (jaccard pattern).
+        val small = Dedup.fitsBroadcast(docs, rowBytes = Some(
+          lit(24L) + size(split(col("text"), " +")).cast("long") * 8L))
+        // Tokenize + shingle + hash ONCE: the sorted distinct shingle-hash
+        // array is both the verify payload AND the banding input
+        // (minhash_bands_hashed — min over a multiset is order/duplicate-
+        // invariant, so bands are bit-identical to minhash_bands(text)).
+        // Before the checkpoint the corpus text was scanned and shingled
+        // three times (banding + both verify sides); at 30× that was the
+        // dominant CPU.
+        val payload = docs.withColumn(
+          "shs", callUDF("shingle_hashes_sorted", col("text")))
+          .select(col("doc_id"), col("shs"))
+          .localCheckpoint()
+        val buckets = payload
+          .withColumn("bands", callUDF("minhash_bands_hashed", col("shs")))
           .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
-        // candidates carry ids only; texts re-join afterwards. The corpus is
-        // broadcast only when a capped row probe proves it small — above the
+        // candidates carry ids only; payloads re-join afterwards. The corpus
+        // is broadcast only when a capped probe proves it small — above the
         // cap both sides shuffle on the id (the only 100 TB-viable plan)
         val cand = buckets.as("x").join(buckets.as("y"),
             col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -468,19 +485,10 @@ object DedupQueries {
           // AQE coalesces the small candidate shuffle to ~1 partition; the
           // exact-jaccard verify is CPU-bound, so fan it back out
           .repartition(s.sparkContext.defaultParallelism)
-        // the BROADCAST side is the hash-array payload below (~8 bytes per
-        // token), not the text — estimate those bytes or a 10× corpus
-        // broadcasts ~3× past the cap (caught by the round-10 soak rerun)
-        val small = Dedup.fitsBroadcast(docs, rowBytes = Some(
-          lit(24L) + size(split(col("text"), " +")).cast("long") * 8L))
-        // payload = each doc's SORTED distinct shingle-hash array, built
-        // once per document — the verify then merge-counts |A ∩ B| with the
-        // native kernel instead of re-deriving boxed Set[Long]s per
-        // candidate pair (the old shingle_jaccard UDF path; identical sets,
-        // identical double division, so the output is bit-equal)
-        val payload = docs.withColumn(
-          "shs", callUDF("shingle_hashes_sorted", col("text")))
-          .select(col("doc_id"), col("shs"))
+        // the verify then merge-counts |A ∩ B| with the native kernel
+        // instead of re-deriving boxed Set[Long]s per candidate pair (the
+        // old shingle_jaccard UDF path; identical sets, identical double
+        // division, so the output is bit-equal)
         cand
           .join(Dedup.hintIf(payload.select(col("doc_id").as("a"), col("shs").as("sha")), small), "a")
           .join(Dedup.hintIf(payload.select(col("doc_id").as("b"), col("shs").as("shb")), small), "b")
@@ -1179,8 +1187,18 @@ object DedupQueries {
       (s, d) => {
         Dedup.register(s)
         val docs = docsWithDups(s, d)
-        val buckets = docs
-          .withColumn("bands", callUDF("minhash_bands", col("text")))
+        // same one-tokenize structure as dedup_minhash_lsh: the sorted
+        // shingle-hash checkpoint feeds banding AND both verify sides, and
+        // the verify is the native merge kernel over the same hashed sets
+        // shingle_jaccard compared — identical pair set
+        val small = Dedup.fitsBroadcast(docs, rowBytes = Some(
+          lit(24L) + size(split(col("text"), " +")).cast("long") * 8L))
+        val payload = docs.withColumn(
+          "shs", callUDF("shingle_hashes_sorted", col("text")))
+          .select(col("doc_id"), col("shs"))
+          .localCheckpoint()
+        val buckets = payload
+          .withColumn("bands", callUDF("minhash_bands_hashed", col("shs")))
           .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
         val cand = buckets.as("x").join(buckets.as("y"),
             col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -1188,11 +1206,13 @@ object DedupQueries {
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .distinct()
           .repartition(s.sparkContext.defaultParallelism)
-        val small = Dedup.fitsBroadcast(docs)
         val pairs = cand
-          .join(Dedup.hintIf(docs.select(col("doc_id").as("a"), col("text").as("ta")), small), "a")
-          .join(Dedup.hintIf(docs.select(col("doc_id").as("b"), col("text").as("tb")), small), "b")
-          .where(callUDF("shingle_jaccard", col("ta"), col("tb")) >= 0.5)
+          .join(Dedup.hintIf(payload.select(col("doc_id").as("a"), col("shs").as("sha")), small), "a")
+          .join(Dedup.hintIf(payload.select(col("doc_id").as("b"), col("shs").as("shb")), small), "b")
+          .withColumn("inter", graft.engine.Expressions.sortedIntersectCount(
+            col("sha"), col("shb")))
+          .where(col("inter").cast("double") * 2 >=
+            (size(col("sha")) + size(col("shb"))).cast("double") - col("inter"))
           .select("a", "b")
         graft.operators.ConnectedComponents.components(s, pairs, "a", "b")
           .groupBy("comp").agg(count(lit(1)).cast("long").as("n_members"))

@@ -51,6 +51,15 @@ class DedupSpec extends AnyFunSuite {
       val union = sa.length.toLong + sb.length - inter
       val viaArrays = if (union == 0) 1.0 else inter.toDouble / union
       assert(viaArrays === Dedup.shingleJaccard(ta, tb))
+      // the integer threshold form dedup_lsh_clusters uses: j >= 0.5 iff
+      // 2*inter >= union (exact — a correctly-rounded double quotient
+      // cannot cross 0.5 while union <= 2^53)
+      assert((2 * inter >= union) === (Dedup.shingleJaccard(ta, tb) >= 0.5))
+      // bands from the sorted-distinct hash array are bit-identical to
+      // bands from the raw text (min over a multiset ignores order and
+      // duplicates) — the one-tokenize plan's banding contract
+      assert(Dedup.bandHashes(Dedup.minHashSignature(sa)).toSeq ===
+        Dedup.minHashBands(ta).toSeq)
     }
   }
 
