@@ -377,6 +377,37 @@ object Expressions {
       org.apache.spark.sql.GraftBridge.expression(a),
       org.apache.spark.sql.GraftBridge.expression(b)))
 
+  /** vec_cosine_f_native(a ARRAY<FLOAT>, b ARRAY<FLOAT>) → DOUBLE — the
+    * candidate-verify cosine as a codegen kernel over the float arrays in
+    * place. Semantics (min-length, fused accumulators, float→double
+    * widening) are bit-identical to the legacy `cosine_f` UDF
+    * (DedupSpec pins doubleToLongBits equality), without the UDF's
+    * Array[Float] encoder materialization or the vec_cosine_native
+    * builder's per-row array<float>→array<double> Cast.
+    */
+  case class VecCosineFloatExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_cosine_f_native"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VecOps.cosineFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.engine.VecOps.cosineFloat($a, $b)")
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+  }
+
+  /** Column wrapper for VecCosineFloatExpr (the embedding near-dup verify). */
+  def vecCosineFloat(a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(VecCosineFloatExpr(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
+
   /** nearest_centroid(v ARRAY<DOUBLE>) → INT against a plan-embedded
     * centroid matrix (k×dim, a few KB — small enough to ship in the
     * serialized plan; a broadcast would only add a lookup). Replaces the
@@ -660,6 +691,9 @@ object Expressions {
     "l2_normalize_native" -> (es => L2NormalizeExpr(asAD(es.head))),
     "vec_dot_native" -> (es => VecDotExpr(asAD(es(0)), asAD(es(1)))),
     "vec_cosine_native" -> (es => VecCosineExpr(asAD(es(0)), asAD(es(1)))),
+    "vec_cosine_f_native" -> (es => VecCosineFloatExpr(
+      org.apache.spark.sql.catalyst.expressions.Cast(es(0), ArrayType(FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Cast(es(1), ArrayType(FloatType)))),
     "st_contains_point_native" ->
       (es => ContainsPointExpr(asS(es(0)), asD(es(1)), asD(es(2))))
   )

@@ -33,6 +33,24 @@ object VecOps {
     if (na == 0.0 || nb == 0.0) 0.0 else d / (na * nb)
   }
 
+  /** Cosine over ARRAY<FLOAT> ArrayData, reading floats in place — the
+    * exact accumulation order of AnnLsh.cosine (fused dot/na/nb loop,
+    * min-length, float→double widening per element), so the native
+    * expression reproduces the legacy `cosine_f` UDF bit-for-bit without
+    * the per-row array<float>→array<double> Cast allocation.
+    */
+  def cosineFloat(a: ArrayData, b: ArrayData): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.numElements(), b.numElements())
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Cosine DISTANCE from a primitive centroid row to an ArrayData vector —
     * the exact operation order of IvfIndex.cosineDist, so native assignment
     * reproduces the boxed UDF's clusters bit-for-bit.

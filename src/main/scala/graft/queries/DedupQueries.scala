@@ -340,6 +340,100 @@ object DedupQueries {
   }
 
   /** The identical plan in DuckDB SQL (same integer thresholds). */
+  /** Containment self-join at threshold num/den: pairs whose shingle
+    * overlap covers ≥ t of the SMALLER document — C(A,B) =
+    * |A∩B| / min(|A|,|B|). The asymmetric dual of the Jaccard join:
+    * a short document quoted inside a long one has high containment but
+    * arbitrarily low Jaccard, so RefinedWeb/Dolma-style pipelines run
+    * both. Candidate generation is the containment prefix filter
+    * (Chaudhuri et al. ICDE'06 / PPJoin): a qualifying pair's SMALLER
+    * side must share a shingle within its own (df-ascending) prefix of
+    * length sz − ceil(t·sz) + 1 (pigeonhole: only ceil(t·sz) − 1
+    * shingles sit outside it, fewer than the required overlap), so
+    * prefix(x) ⋈ full(y) is a complete candidate set under ANY total
+    * shingle order — the verify recomputes exact containment from the
+    * full sorted-hash arrays through the merge kernel, so the output is
+    * order-independent (the DuckDB oracle ranks by the string shingle,
+    * this plan by its hash; both verify exactly). Same scale shape as
+    * the Jaccard join: hashes end-to-end, one tokenize checkpoint,
+    * ids-only candidates, byte-guarded broadcast of the payload.
+    */
+  private[graft] def containmentJoin(s: SparkSession, d: String,
+                                     num: Int, den: Int): DataFrame = {
+    val shPlan = shingleSets(s, d)
+      .withColumn("sh", array_sort(expr("transform(sh, x -> xxhash64(x))")))
+    val small = Dedup.fitsBroadcast(shPlan)
+    val sh = shPlan.localCheckpoint()
+    val ex = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
+    val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(df, "s")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("s"))))
+    val pref = ranked.where(
+      col("rn") <= col("sz") - expr(s"(($num * sz) + $den - 1) div $den") + 1)
+    // prefix side ⋈ FULL side (not prefix ⋈ prefix — containment's filter
+    // constrains only the smaller document); unordered pair + distinct
+    val cand = pref.select(col("doc_id").as("p_id"), col("s").as("ps"))
+      .join(ex.select(col("doc_id").as("f_id"), col("s").as("fs")),
+        col("ps") === col("fs") && col("p_id") =!= col("f_id"))
+      .select(least(col("p_id"), col("f_id")).as("a_id"),
+        greatest(col("p_id"), col("f_id")).as("b_id"))
+      .distinct()
+      .repartition(s.sparkContext.defaultParallelism)
+    cand
+      .join(Dedup.hintIf(
+        sh.select(col("doc_id").as("a_id"), col("sh").as("sha")), small), "a_id")
+      .join(Dedup.hintIf(
+        sh.select(col("doc_id").as("b_id"), col("sh").as("shb")), small), "b_id")
+      .withColumn("inter", graft.engine.Expressions.sortedIntersectCount(
+        col("sha"), col("shb")))
+      .withColumn("min_sz", least(size(col("sha")), size(col("shb"))).cast("bigint"))
+      .where(lit(den) * col("inter") >= lit(num) * col("min_sz"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("min_sz"),
+        round(col("inter").cast("double") / col("min_sz"), 6).as("containment"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The identical plan in DuckDB SQL (string shingles — the exact verify
+    * makes the candidate order difference immaterial, see containmentJoin).
+    */
+  private def containmentOracle(num: Int, den: Int): String =
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000,
+       |    substr(text, instr(text, ' ') + 1) || ' zzz' FROM documents),
+       |t AS (SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+       |    x -> x <> '') AS ws FROM all_docs),
+       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+       |    THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+       |    ELSE [array_to_string(ws, ' ')] END) AS sh FROM t),
+       |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+       |df AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+       |ranked AS (
+       |  SELECT ex.doc_id, ex.sz, ex.s,
+       |         row_number() OVER (PARTITION BY ex.doc_id ORDER BY df.df, ex.s) AS rn
+       |  FROM ex JOIN df USING (s)),
+       |pref AS (
+       |  SELECT doc_id, sz, s FROM ranked
+       |  WHERE rn <= sz - (($num*sz + $den-1) // $den) + 1),
+       |cand AS (
+       |  SELECT DISTINCT least(p.doc_id, f.doc_id) AS a_id,
+       |                  greatest(p.doc_id, f.doc_id) AS b_id
+       |  FROM pref p JOIN ex f ON p.s = f.s AND p.doc_id <> f.doc_id),
+       |verified AS (
+       |  SELECT a_id, b_id,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+       |    CAST(least(len(sa.sh), len(sb.sh)) AS BIGINT) AS min_sz
+       |  FROM cand JOIN sh sa ON sa.doc_id = a_id
+       |            JOIN sh sb ON sb.doc_id = b_id)
+       |SELECT a_id, b_id, inter, min_sz,
+       |       round(CAST(inter AS DOUBLE) / min_sz, 6) AS containment
+       |FROM verified WHERE $den * inter >= $num * min_sz
+       |ORDER BY a_id, b_id""".stripMargin
+
   private def jaccardPrefixOracle(num: Int, den: Int): String =
     s"""WITH all_docs AS (
        |  SELECT doc_id, text FROM documents
@@ -448,6 +542,13 @@ object DedupQueries {
     QueryDef("dedup_jaccard_prefix",
       (s, d) => jaccardPrefixJoin(s, d, 8, 10),
       Some(jaccardPrefixOracle(8, 10))),
+
+    // Containment dedup at t = 0.9 on the smaller side — the asymmetric
+    // dual of dedup_jaccard_prefix (sub-document duplication: a short doc
+    // quoted inside a long one). See containmentJoin for the filter proof.
+    QueryDef("dedup_containment",
+      (s, d) => containmentJoin(s, d, 9, 10),
+      Some(containmentOracle(9, 10))),
 
     // MinHash + LSH banding: one shuffle on (band, hash); collisions only
     QueryDef("dedup_minhash_lsh",
@@ -826,7 +927,11 @@ object DedupQueries {
         cand
           .join(Dedup.hintIf(e.select(col("vec_id").as("a"), col("vf").as("va")), small), "a")
           .join(Dedup.hintIf(e.select(col("vec_id").as("b"), col("vf").as("vb")), small), "b")
-          .withColumn("cos", round(callUDF("cosine_f", col("va"), col("vb")), 6))
+          // candidate-verify cosine as a codegen kernel over the float
+          // arrays in place — bit-identical to the cosine_f UDF
+          // (DedupSpec), no Array[Float] encoder boxing per pair
+          .withColumn("cos", round(
+            graft.engine.Expressions.vecCosineFloat(col("va"), col("vb")), 6))
           .where(col("cos") >= 0.9)
           .select("a", "b", "cos")
           .orderBy("a", "b")

@@ -74,6 +74,26 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(graft.engine.VecOps.cosine(ad(Array(0.0, 0.0)), ad(Array(1.0, 2.0))) == 0.0)
   }
 
+  test("float cosine kernel is bit-identical to the legacy cosine_f UDF body") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    def af(a: Array[Float]): ArrayData = UnsafeArrayData.fromPrimitiveArray(a)
+    val rnd = new scala.util.Random(0x5eedL)
+    (1 to 300).foreach { _ =>
+      val n = 1 + rnd.nextInt(96)
+      val m = if (rnd.nextInt(8) == 0) 1 + rnd.nextInt(96) else n // ragged too
+      val a = Array.fill(n)(rnd.nextFloat() * 4 - 2)
+      val b = Array.fill(m)(rnd.nextFloat() * 4 - 2)
+      val viaKernel = graft.engine.VecOps.cosineFloat(af(a), af(b))
+      val viaUdf = graft.operators.AnnLsh.cosine(a, b)
+      assert(java.lang.Double.doubleToLongBits(viaKernel) ===
+        java.lang.Double.doubleToLongBits(viaUdf))
+    }
+    // zero-norm convention preserved
+    assert(graft.engine.VecOps.cosineFloat(
+      af(Array(0f, 0f)), af(Array(1f, 2f))) == 0.0)
+  }
+
   test("PQ encode is deterministic and stable under re-encoding its own centroid") {
     val rnd = new scala.util.Random(0x9abL)
     // tiny synthetic model: 2 subspaces × 4 codes × 3 dims
