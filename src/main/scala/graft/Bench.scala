@@ -10,6 +10,13 @@ package graft
   * non-zero so a broken build can't masquerade as a fast one.
   */
 object Bench {
+  /** Locale-independent fixed-point formatting: the artifact lines must
+    * be valid JSON on ANY JVM default locale (the f interpolator renders
+    * a comma decimal separator under e.g. de_DE, which would make the
+    * "always parseable" compact line itself unparseable). */
+  def num(v: Double, places: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
+
   /** Cumulative stop-the-world GC time across all collectors, for per-rep
     * attribution (a slow rep whose wall delta matches its gc delta is heap
     * noise from the shared bench JVM, not the query under test). */
@@ -113,17 +120,17 @@ object Bench {
     // host-load spike shows as one outlier rep, a real regression as all
     // reps high.
     val repsJson = results.map { case (k, _, _, ts, _, _) =>
-      "\"" + k + "\":[" + ts.map(t => f"$t%.4f").mkString(",") + "]"
+      "\"" + k + "\":[" + ts.map(t => Bench.num(t, 4)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     // Per-query data movement (avg MB/rep): shuffle write, shuffle read,
     // disk spill — attributes any slowdown to plan change vs host noise.
     val ioJson = results.map { case (k, _, _, _, io, _) =>
-      "\"" + k + "\":[" + io.map(v => f"$v%.1f").mkString(",") + "]"
+      "\"" + k + "\":[" + io.map(v => Bench.num(v, 1)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     // Per-rep JVM GC seconds, aligned with reps_sec: rep slowness that
     // co-moves with gc is shared-heap noise, not the query's plan.
     val gcJson = results.map { case (k, _, _, _, _, gc) =>
-      "\"" + k + "\":[" + gc.map(v => f"$v%.2f").mkString(",") + "]"
+      "\"" + k + "\":[" + gc.map(v => Bench.num(v, 2)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val sc = spark.sparkContext
@@ -132,7 +139,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$statuses,""" +
       s""""reps_sec":$repsJson,"io_mb_wrs":$ioJson,"gc_sec":$gcJson,""" +
       s""""master":"${sc.master}","parallelism":${sc.defaultParallelism},""" +
-      s""""heap_gb":${f"$heapGb%.1f"},"reps":$reps,"sf":"$sfDir"}""")
+      s""""heap_gb":${Bench.num(heapGb, 1)},"reps":$reps,"sf":"$sfDir"}""")
     // Compact artifact line LAST: the driver records only the tail of the
     // bench output, and the full line above outgrew that window in r10
     // (the per-rep/io/gc maps pushed the `queries` map past the cut —
@@ -141,13 +148,13 @@ object Bench {
     // driver keeps always contains one complete, parseable JSON line. The
     // full diagnostics line stays above for judges reading stdout.
     val qsCompact = results.map {
-      case (k, Some(v), _, _, _, _) => "\"" + k + "\":" + f"$v%.3f"
+      case (k, Some(v), _, _, _, _) => "\"" + k + "\":" + Bench.num(v, 3)
       case (k, None, _, _, _, _)    => "\"" + k + "\":null"
     }.mkString("{", ",", "}")
     val failedList = results.filter(_._2.isEmpty)
       .map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsCompact,""" +
+      s"""{"metric":"total","value":${Bench.num(total, 3)},"unit":"sec","queries":$qsCompact,""" +
       s""""failed":$failedList,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._2.isEmpty)) sys.exit(1)

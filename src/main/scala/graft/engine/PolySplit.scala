@@ -103,14 +103,18 @@ object PolySplit {
     (outer, holes)
   }
 
-  /** True when any ring edge spans more than 180° of raw longitude — the
-    * standard wrap test for a polygon whose coordinates cross ±180.
+  /** True when any ring edge spans more than 180° of raw longitude (the
+    * standard wrap test for coordinates crossing ±180) OR any longitude
+    * lies outside [−180, 180] — a non-normalized representation like
+    * `179..181` crosses the antimeridian with no >180° jump, so the
+    * out-of-range check is what keeps those rings on the sentinel path.
     */
   private def wrapsAntimeridian(p: Polygon): Boolean = {
     def ringWraps(cs: Array[org.locationtech.jts.geom.Coordinate]): Boolean = {
-      var i = 1
+      var i = 0
       while (i < cs.length) {
-        if (math.abs(cs(i).x - cs(i - 1).x) > 180.0) return true
+        if (math.abs(cs(i).x) > 180.0) return true
+        if (i > 0 && math.abs(cs(i).x - cs(i - 1).x) > 180.0) return true
         i += 1
       }
       false

@@ -211,17 +211,19 @@ object Multimodal {
     def fourcc(off: Int, s: String): Boolean =
       off + 4 <= payload.length &&
         s.indices.forall(i => payload(off + i) == s.charAt(i).toByte)
-    def findBox(from: Int, until: Int, tpe: String): Option[(Int, Int)] = {
+    def findBox(from: Int, until: Int, tpe: String,
+                topLevel: Boolean = false): Option[(Int, Int)] = {
       var off = from
       while (off + 8 <= until) {
         val size32 = be32(off)
-        // ISO BMFF size escapes: 0 = box extends to the end of the
-        // enclosing span (legal only as the last box, e.g. a trailing
-        // mdat); 1 = 64-bit largesize follows the fourcc. Both are valid
-        // encodings, not malformed chains.
+        // ISO BMFF size escapes: 0 = box extends to the end of the FILE
+        // (the spec permits it only for the last top-level box, e.g. a
+        // trailing mdat — accepting it nested would let a corrupted inner
+        // size swallow sibling boxes and read garbage dimensions);
+        // 1 = 64-bit largesize follows the fourcc.
         var body = off + 8L
         val end: Long =
-          if (size32 == 0L) until.toLong
+          if (size32 == 0L) { if (!topLevel) return None; until.toLong }
           else if (size32 == 1L) {
             if (off + 16 > until) return None
             val largesize = (be32(off + 8) << 32) | be32(off + 12)
@@ -240,7 +242,7 @@ object Multimodal {
     }
     if (payload.length < 16 || !fourcc(4, "ftyp")) return None
     for {
-      (moovS, moovE) <- findBox(0, payload.length, "moov")
+      (moovS, moovE) <- findBox(0, payload.length, "moov", topLevel = true)
       (trakS, trakE) <- findBox(moovS, moovE, "trak")
       (tkhdS, tkhdE) <- findBox(trakS, trakE, "tkhd")
       dims <- {

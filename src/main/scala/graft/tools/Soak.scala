@@ -34,7 +34,14 @@ object Soak {
     * geo/embedding tables are unchanged.
     */
   val Reps: Int = sys.env.getOrElse("SPARK_GRAFT_SOAK_X", "10").toInt
-  val SoakDir: String = s"/tmp/graft_soak_x$Reps"
+
+  /** Corpus directory — versioned by the TRANSFORM, not just X: the _DONE
+    * guard caches by path, so a machine holding a corpus generated with
+    * the old a–j rotation must not silently reuse it after the
+    * full-alphabet fix (the stale corpus has the cross-replica vocabulary
+    * leak the fix removes). Bump the suffix when the expansion changes.
+    */
+  val SoakDir: String = s"/tmp/graft_soak_x${Reps}_p2"
 
   /** Per-replica permutation of the FULL alphabet 'a'..'z' (identity at
     * k=0): rotation by k for k=1..25, and rotation∘reversal for k≥26.

@@ -140,6 +140,14 @@ class PolySplitSpec extends AnyFunSuite with BeforeAndAfterAll {
     PolySplit.withThreshold(1.0) {
       assert(PolySplit.tasks(mixed, 7).toSeq === Seq(PolySplit.Sentinel))
     }
+    // NON-NORMALIZED representation (179..181): crosses the antimeridian
+    // with no >180° longitude jump — the out-of-range check must still
+    // hold it on the sentinel path
+    val nonNorm = GraftFunctions.parseGeomCached(
+      "POLYGON ((179 0, 181 0, 181 0.1, 179 0.1, 179 0))")
+    PolySplit.withThreshold(1.0) {
+      assert(PolySplit.tasks(nonNorm, 7).toSeq === Seq(PolySplit.Sentinel))
+    }
   }
 
   test("non-polygon geometries never split") {

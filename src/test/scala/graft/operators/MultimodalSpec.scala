@@ -143,6 +143,12 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       ftyp ++ m ++ moov
     }
     assert(Multimodal.decodeMp4Dims(zeroFirst) == None)
+    // size==0 on a NESTED box (spec allows it only top-level-last): a
+    // corrupted tkhd size must yield None, not dimensions read from
+    // whatever sibling bytes sit past the inflated span
+    val nestedZero = v0.clone()
+    nestedZero(36) = 0; nestedZero(37) = 0; nestedZero(38) = 0; nestedZero(39) = 0
+    assert(Multimodal.decodeMp4Dims(nestedZero) == None)
   }
 
   test("webmWrap → decodeWebmDims walks the EBML tree; malformed rejected") {
