@@ -381,7 +381,7 @@ object Expressions {
     * candidate-verify cosine as a codegen kernel over the float arrays in
     * place. Semantics (min-length, fused accumulators, float→double
     * widening) are bit-identical to the legacy `cosine_f` UDF
-    * (DedupSpec pins doubleToLongBits equality), without the UDF's
+    * (OperatorPropertySpec pins doubleToLongBits equality), without the UDF's
     * Array[Float] encoder materialization or the vec_cosine_native
     * builder's per-row array<float>→array<double> Cast.
     */
@@ -401,12 +401,18 @@ object Expressions {
         l: Expression, r: Expression): Expression = copy(l, r)
   }
 
-  /** Column wrapper for VecCosineFloatExpr (the embedding near-dup verify). */
+  /** Column wrapper for VecCosineFloatExpr (the embedding near-dup verify).
+    * Inputs are cast to ARRAY<FLOAT> like the SQL-registration path —
+    * without the cast, an array<double> column would silently read
+    * 4-byte halves of 8-byte doubles (BinaryExpression does no input
+    * validation); the cast is a no-op on float arrays. */
   def vecCosineFloat(a: org.apache.spark.sql.Column,
                      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.GraftBridge.column(VecCosineFloatExpr(
-      org.apache.spark.sql.GraftBridge.expression(a),
-      org.apache.spark.sql.GraftBridge.expression(b)))
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.GraftBridge.expression(a), ArrayType(FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.GraftBridge.expression(b), ArrayType(FloatType))))
 
   /** nearest_centroid(v ARRAY<DOUBLE>) → INT against a plan-embedded
     * centroid matrix (k×dim, a few KB — small enough to ship in the

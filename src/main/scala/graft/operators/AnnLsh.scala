@@ -109,6 +109,9 @@ object AnnLsh {
     u.register("ann_band_sigs", (v: Array[Float]) => bandSignatures(v))
     u.register("ann_band_sigs_scaled",
       (v: Array[Float], bits: Int) => bandSignatures(v, bits))
+    // SQL-surface convenience (the registered queries verify through the
+    // codegen VecCosineFloatExpr, which OperatorPropertySpec pins
+    // bit-identical to this body)
     u.register("cosine_f", (a: Array[Float], b: Array[Float]) => cosine(a, b))
     u.register("cosine_d", (a: Array[Double], b: Array[Double]) => cosineD(a, b))
     ()

@@ -251,36 +251,41 @@ object DedupQueries {
     * dedup_jaccard_prefix QueryDef for the algorithm notes. Exposed with the
     * threshold parameterized so JaccardPrefixSpec can sweep it.
     */
-  private[graft] def jaccardPrefixJoin(s: SparkSession, d: String,
-                                       num: Int, den: Int): DataFrame = {
-    // The shingle table feeds three consumers (prefix build + both verify
-    // sides); checkpoint it so the tokenize/shingle pass runs once. At
-    // scale the same boundary is where a production pipeline would persist
-    // its tokenized corpus. The broadcast probe runs against the STABLE
-    // pre-checkpoint plan: a localCheckpoint canonicalizes to its RDD
-    // identity, which changes every build, so probing the checkpointed
-    // frame would defeat the fitsBroadcast memo and re-pay the probe job
-    // on every bench rep.
-    // Shingles become 64-bit hashes at the build boundary, sorted ONCE per
-    // doc: every downstream stage — document-frequency count, rank window,
-    // bucket self-join, and the sorted-merge verify kernel — then runs on
-    // 8-byte longs instead of ~25-byte strings. This is the same contract
-    // the minhash verify pins (Dedup.shingleHashesSorted): inter/union/
-    // jaccard values are identical to the string-set computation absent a
-    // 64-bit collision, and JaccardPrefixSpec asserts set equality against
-    // a STRING brute force across thresholds. The concrete win is the
-    // verify payload join: the broadcast relation build of the string
-    // arrays was measured single-threaded at ~4.3 s on the 10x soak corpus
-    // (jstack: UnsafeHashedRelation.apply on one core) — hash arrays are
-    // ~5x smaller to build and to ship, and the honest default array
-    // estimator (8 B/element) prices them correctly at any corpus size.
+  /** Shared scaffolding of the prefix-filtered set-similarity joins
+    * (jaccardPrefixJoin, containmentJoin): the hash-sorted shingle
+    * checkpoint, its exploded form, the df-ranked prefix rows, and the
+    * broadcast decision. Returns (sh, ex, pref, small).
+    *
+    * - Shingles become 64-bit xxhash64 hashes at the build boundary,
+    *   sorted ONCE per doc: every downstream stage — document-frequency
+    *   count, rank window, candidate join, and the sorted-merge verify
+    *   kernel — runs on 8-byte longs instead of ~25-byte strings. Same
+    *   contract the minhash verify pins (Dedup.shingleHashesSorted):
+    *   inter/union values identical to the string-set computation absent
+    *   a 64-bit collision; JaccardPrefixSpec asserts set equality against
+    *   STRING brute forces across thresholds for both joins. The concrete
+    *   win is the verify payload join: the broadcast relation build of
+    *   the string arrays measured single-threaded at ~4.3 s on the 10x
+    *   soak corpus (jstack: UnsafeHashedRelation.apply on one core) —
+    *   hash arrays are ~5x smaller, and the honest default array
+    *   estimator (8 B/element) prices them correctly at any corpus size.
+    * - The checkpoint makes the tokenize/shingle pass run once for its
+    *   multiple consumers; at scale that boundary is where a production
+    *   pipeline would persist its tokenized corpus. The broadcast probe
+    *   runs against the STABLE pre-checkpoint plan (a localCheckpoint
+    *   canonicalizes to its per-build RDD identity, which would defeat
+    *   the fitsBroadcast memo and re-pay the probe every bench rep).
+    * - Global shingle order = (document frequency asc, hash): total
+    *   within a doc because shingles are distinct per doc — row_number
+    *   is stable cross-engine, and ANY total order keeps the prefix
+    *   filters complete (the oracles rank by the string shingle).
+    */
+  private def rankedPrefixPlan(s: SparkSession, d: String, num: Int, den: Int)
+      : (DataFrame, DataFrame, DataFrame, Boolean) = {
     val shPlan = shingleSets(s, d)
       .withColumn("sh", array_sort(expr("transform(sh, x -> xxhash64(x))")))
     val small = Dedup.fitsBroadcast(shPlan)
     val sh = shPlan.localCheckpoint()
-    // global shingle order = (document frequency asc, shingle): total within
-    // a doc because shingles are distinct per doc — row_number is stable
-    // cross-engine.
     val ex = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
     val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
     // repartition on the window key = the exchange the window needs anyway,
@@ -291,11 +296,17 @@ object DedupQueries {
       .withColumn("rn",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("df"), col("s"))))
-    // prefix length p = sz - ceil(t*sz) + 1, all-integer ceil division;
-    // checkpointed because both join sides consume it.
+    // prefix length p = sz - ceil(t*sz) + 1, all-integer ceil division
     val pref = ranked.where(
       col("rn") <= col("sz") - expr(s"(($num * sz) + $den - 1) div $den") + 1)
-      .localCheckpoint()
+    (sh, ex, pref, small)
+  }
+
+  private[graft] def jaccardPrefixJoin(s: SparkSession, d: String,
+                                       num: Int, den: Int): DataFrame = {
+    val (sh, _, pref0, small) = rankedPrefixPlan(s, d, num, den)
+    // the prefix set feeds BOTH sides of the self-join — checkpoint it
+    val pref = pref0.localCheckpoint()
     val x = pref.select(col("doc_id").as("a_id"), col("sz").as("sa"),
       col("s").as("xs"), col("rn").as("xrn"))
     val y = pref.select(col("doc_id").as("b_id"), col("sz").as("sb"),
@@ -339,7 +350,6 @@ object DedupQueries {
       .orderBy("a_id", "b_id")
   }
 
-  /** The identical plan in DuckDB SQL (same integer thresholds). */
   /** Containment self-join at threshold num/den: pairs whose shingle
     * overlap covers ≥ t of the SMALLER document — C(A,B) =
     * |A∩B| / min(|A|,|B|). The asymmetric dual of the Jaccard join:
@@ -360,19 +370,7 @@ object DedupQueries {
     */
   private[graft] def containmentJoin(s: SparkSession, d: String,
                                      num: Int, den: Int): DataFrame = {
-    val shPlan = shingleSets(s, d)
-      .withColumn("sh", array_sort(expr("transform(sh, x -> xxhash64(x))")))
-    val small = Dedup.fitsBroadcast(shPlan)
-    val sh = shPlan.localCheckpoint()
-    val ex = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
-    val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
-    val ranked = ex.join(df, "s")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .withColumn("rn",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("df"), col("s"))))
-    val pref = ranked.where(
-      col("rn") <= col("sz") - expr(s"(($num * sz) + $den - 1) div $den") + 1)
+    val (sh, ex, pref, small) = rankedPrefixPlan(s, d, num, den)
     // prefix side ⋈ FULL side (not prefix ⋈ prefix — containment's filter
     // constrains only the smaller document); unordered pair + distinct
     val cand = pref.select(col("doc_id").as("p_id"), col("s").as("ps"))
@@ -434,6 +432,7 @@ object DedupQueries {
        |FROM verified WHERE $den * inter >= $num * min_sz
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** The identical Jaccard plan in DuckDB SQL (same integer thresholds). */
   private def jaccardPrefixOracle(num: Int, den: Int): String =
     s"""WITH all_docs AS (
        |  SELECT doc_id, text FROM documents
@@ -929,7 +928,7 @@ object DedupQueries {
           .join(Dedup.hintIf(e.select(col("vec_id").as("b"), col("vf").as("vb")), small), "b")
           // candidate-verify cosine as a codegen kernel over the float
           // arrays in place — bit-identical to the cosine_f UDF
-          // (DedupSpec), no Array[Float] encoder boxing per pair
+          // (OperatorPropertySpec), no Array[Float] encoder boxing per pair
           .withColumn("cos", round(
             graft.engine.Expressions.vecCosineFloat(col("va"), col("vb")), 6))
           .where(col("cos") >= 0.9)

@@ -11,12 +11,12 @@ import org.apache.spark.sql.functions._
   * super-linearly) has a hidden all-pairs/global stage the sf0.1 bench
   * can't see.
   *
-  * Expansion design (replica k = 0..9):
+  * Expansion design (replica k = 0..X−1, X ≤ 52):
   *  - documents: doc_id += k·10⁷; for k>0 the text goes through a per-k
-  *    letter rotation (translate of 'a'..'j'), so replicas are textually
-  *    UNRELATED — the planted duplicate/near-dup rate stays constant
-  *    instead of every doc gaining 9 twins (which would grow candidate
-  *    pairs quadratically and measure a different workload).
+  *    FULL-alphabet permutation (see [[alphabetPerms]]), so replicas are
+  *    textually UNRELATED — the planted duplicate/near-dup rate stays
+  *    constant instead of every doc gaining X−1 twins (which would grow
+  *    candidate pairs quadratically and measure a different workload).
   *  - embeddings: vec_id += k·10⁷; the vector is dimension-ROTATED by k
   *    (norm-preserving, direction-changing) — cluster occupancy stays
   *    balanced, near-dup rate stays constant.
@@ -77,6 +77,17 @@ object Soak {
     "text_pack_sequences", "text_decontaminate", "corpus_curation")
 
   def generate(spark: SparkSession, src: String): Unit = {
+    // GC superseded corpora: unversioned (pre-_p2) dirs hold the a-j
+    // rotation data this transform replaced — multi-GB each, and a stale
+    // _DONE there would mislead a manual run pointed at the old path
+    val tmp = new java.io.File("/tmp")
+    val stale = tmp.listFiles((_, n) =>
+      n.startsWith("graft_soak_x") && !n.contains("_p"))
+    if (stale != null) stale.foreach { d =>
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d.toPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     if (new java.io.File(s"$SoakDir/_DONE").exists()) return
     val out = new java.io.File(SoakDir); out.mkdirs()
 
@@ -93,7 +104,6 @@ object Soak {
     docParts.reduce(_.unionByName(_)).repartition(32)
       .write.mode(SaveMode.Overwrite).parquet(s"$SoakDir/documents.parquet")
 
-    require(Reps <= 60, "embedding dimension-rotation supports at most 60 replicas")
     def emb = spark.read.parquet(s"$src/embeddings.parquet")
     val embParts = (0 until Reps).map { k =>
       emb.select(
