@@ -414,6 +414,61 @@ object Expressions {
       org.apache.spark.sql.catalyst.expressions.Cast(
         org.apache.spark.sql.GraftBridge.expression(b), ArrayType(FloatType))))
 
+  /** shingle_hashes_sorted_native(text STRING) → ARRAY<BIGINT> — the
+    * sorted-distinct shingle-hash build (Dedup.shingleHashesSorted) as a
+    * codegen expression: the tokenize/shingle/hash/sort runs identically,
+    * but the result lands as a primitive-backed UnsafeArrayData instead of
+    * round-tripping through the Scala UDF's CatalystTypeConverters element
+    * walk. Null text → null (nullSafeEval), matching the other native
+    * expressions; the corpus plans filter null texts upstream.
+    */
+  case class ShingleHashesSortedExpr(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hashes_sorted_native"
+
+    override protected def nullSafeEval(t: Any): Any =
+      graft.operators.Dedup.shingleHashesSortedData(t.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, t =>
+        s"graft.operators.Dedup.shingleHashesSortedData($t)")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def shingleHashesSortedNative(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(ShingleHashesSortedExpr(
+      org.apache.spark.sql.GraftBridge.expression(t)))
+
+  /** minhash_bands_native(shs ARRAY<BIGINT>) → ARRAY<BIGINT> — LSH band
+    * hashes from an already-built shingle-hash array, reading the longs in
+    * place (no Seq[Long] boxing per row). Arithmetic and order are exactly
+    * Dedup.bandHashes(minHashSignature(_)), so bands are bit-identical to
+    * both the `minhash_bands_hashed` UDF and `minhash_bands(text)`
+    * (DedupSpec pins the chain).
+    */
+  case class MinhashBandsExpr(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_bands_native"
+
+    override protected def nullSafeEval(sh: Any): Any =
+      graft.operators.Dedup.bandsFromHashesData(sh.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, sh =>
+        s"graft.operators.Dedup.bandsFromHashesData($sh)")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def minhashBandsNative(shs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(MinhashBandsExpr(
+      org.apache.spark.sql.GraftBridge.expression(shs)))
+
   /** nearest_centroid(v ARRAY<DOUBLE>) → INT against a plan-embedded
     * centroid matrix (k×dim, a few KB — small enough to ship in the
     * serialized plan; a broadcast would only add a lookup). Replaces the

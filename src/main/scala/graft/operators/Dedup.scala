@@ -173,6 +173,42 @@ object Dedup {
     java.util.Arrays.copyOf(h, n)
   }
 
+  /** In-place forms of [[shingleHashesSorted]] / bands-from-hashes for the
+    * native codegen expressions (Expressions.ShingleHashesSortedExpr /
+    * MinhashBandsExpr): the shingle-hash longs are read straight out of the
+    * row buffer and returned as a primitive-backed UnsafeArrayData — no Seq
+    * boxing on the input side and no CatalystTypeConverters element walk on
+    * the output side of the Scala UDFs they replace. Same arithmetic in the
+    * same order, so outputs are bit-identical (DedupSpec pins both against
+    * the UDF-path functions). One semantic difference, deliberate: the
+    * expressions are null-in-null-out (nullSafeEval), while the legacy
+    * String UDF hashed a null text like an empty one — the corpus plans
+    * filter nulls upstream, and null-propagation is the semantics every
+    * other native expression here already has.
+    */
+  def shingleHashesSortedData(t: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      shingleHashesSorted(t.toString))
+
+  def bandsFromHashesData(sh: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      val x = sh.getLong(i)
+      var k = 0
+      while (k < NumHashes) {
+        val v = hashA(k) * x + hashB(k)
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(bandHashes(sig))
+  }
+
   /** Exact Jaccard over hashed shingle sets. */
   def shingleJaccard(ta: String, tb: String): Double = {
     val a = shingleSet(ta)

@@ -92,6 +92,26 @@ object IvfIndex {
     Model(centroids)
   }
 
+  /** Map-only cluster assignment against a trained model: the k×dim centroid
+    * matrix rides in the plan and assignment is the native codegen argmin —
+    * no shuffle, no per-row boxing. Public so cluster-scoped operators
+    * (semantic dedup) reuse the quantizer without re-deriving the column.
+    */
+  def assignCol(v: org.apache.spark.sql.Column, model: Model): org.apache.spark.sql.Column =
+    nearestCentroidCol(v, model.centroids)
+
+  /** Cluster count for an n-row corpus, holding expected occupancy ≈ 2048:
+    * cluster-scoped pairwise work is quadratic IN THE CLUSTER (that is the
+    * SemDeDup design — Abbas et al. 2023 run k-means precisely to bound the
+    * pairwise stage), so k must grow with the corpus the same way
+    * AnnLsh.bitsFor grows LSH bands. At the test SFs this floors at 8
+    * (identical to the fixed-k ANN queries); at 10⁹ rows it yields ~500k
+    * budget-capped at 2¹⁶ — past that cap, occupancy grows linearly again
+    * and the operator docs call for hierarchical (two-level) quantization.
+    */
+  def kFor(n: Long): Int =
+    math.max(8L, math.min(1L << 16, n / 2048L)).toInt
+
   /** Native codegen centroid-assignment columns (no per-row boxing). */
   private[operators] def nearestCentroidCol(
       v: org.apache.spark.sql.Column, cents: Array[Array[Double]]) =

@@ -493,6 +493,43 @@ object DedupQueries {
   }
 
 
+  /** SemDeDup scaffolding (Abbas et al. 2023, arXiv:2303.09540 — semantic
+    * deduplication for web-scale training data): k-means cluster the
+    * embedding corpus, then find exact-cosine duplicate pairs WITHIN each
+    * cluster. The quadratic pairwise stage is confined to one cluster —
+    * IvfIndex.kFor grows k with the corpus so expected occupancy (and the
+    * per-task pair count) stays bounded, exactly why the paper runs k-means
+    * before the pairwise sweep. Pairs in different clusters are deliberately
+    * missed (the paper's recall trade); dedup_semantic_checked proves every
+    * planted miss is cross-cluster and every same-cluster planted pair is
+    * found. Returns (model, assigned, pairs): pairs carry (a, b, cos) with
+    * a < b and cos = round(exact cosine, 6) ≥ 0.9 — the within-cluster
+    * candidate set is EXHAUSTIVE (an equi-join, not LSH), so there is no
+    * approximation inside a cluster to verify.
+    */
+  private[queries] def semanticScaffold(s: SparkSession, d: String)
+      : (graft.operators.IvfIndex.Model, DataFrame, DataFrame) = {
+    graft.engine.Expressions.register(s)
+    val e = embWithDups(s, d)
+    val k = graft.operators.IvfIndex.kFor(graft.operators.AnnLsh.memoizedCount(e))
+    val model = graft.operators.IvfIndex.train(
+      s, e.select(col("vec_id").as("id"), col("ve").as("v")), k, iters = 3)
+    // map-only assignment: the k×dim centroid matrix rides in the plan
+    val assigned = e.withColumn(
+      "cluster", graft.operators.IvfIndex.assignCol(col("ve"), model))
+    // within-cluster pairs: vectors shuffle ONCE on the cluster id (both
+    // self-join sides share the exchange) and the codegen cosine filter
+    // consumes joined pairs streamingly — nothing quadratic materializes
+    val x = assigned.select(col("vec_id").as("a"), col("cluster"), col("ve").as("va"))
+    val y = assigned.select(col("vec_id").as("b"), col("cluster"), col("ve").as("vb"))
+    val pairs = x.as("x").join(y.as("y"),
+        col("x.cluster") === col("y.cluster") && col("a") < col("b"))
+      .withColumn("cos", round(expr("vec_cosine_native(va, vb)"), 6))
+      .where(col("cos") >= 0.9)
+      .select(col("a"), col("b"), col("cos"))
+    (model, assigned, pairs)
+  }
+
   val qs: Seq[QueryDef] = Seq(
     // n-gram/token Jaccard verification on deterministic pairs (oracle-able)
     QueryDef("dedup_jaccard_pairs",
@@ -561,18 +598,19 @@ object DedupQueries {
         val small = Dedup.fitsBroadcast(docs, rowBytes = Some(
           lit(24L) + size(split(col("text"), " +")).cast("long") * 8L))
         // Tokenize + shingle + hash ONCE: the sorted distinct shingle-hash
-        // array is both the verify payload AND the banding input
-        // (minhash_bands_hashed — min over a multiset is order/duplicate-
-        // invariant, so bands are bit-identical to minhash_bands(text)).
-        // Before the checkpoint the corpus text was scanned and shingled
-        // three times (banding + both verify sides); at 30× that was the
-        // dominant CPU.
+        // array is both the verify payload AND the banding input (min over
+        // a multiset is order/duplicate-invariant, so bands are
+        // bit-identical to minhash_bands(text)). Before the checkpoint the
+        // corpus text was scanned and shingled three times (banding + both
+        // verify sides); at 30× that was the dominant CPU. Both steps run
+        // as native codegen expressions — same arithmetic as the UDFs,
+        // minus the converter boxing (DedupSpec pins bit-identity).
         val payload = docs.withColumn(
-          "shs", callUDF("shingle_hashes_sorted", col("text")))
+          "shs", graft.engine.Expressions.shingleHashesSortedNative(col("text")))
           .select(col("doc_id"), col("shs"))
           .localCheckpoint()
         val buckets = payload
-          .withColumn("bands", callUDF("minhash_bands_hashed", col("shs")))
+          .withColumn("bands", graft.engine.Expressions.minhashBandsNative(col("shs")))
           .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
         // candidates carry ids only; payloads re-join afterwards. The corpus
         // is broadcast only when a capped probe proves it small — above the
@@ -1105,6 +1143,104 @@ object DedupQueries {
           nprobe = 3, topK = 10, rerank = 8)
       }),
 
+    // SemDeDup (Abbas et al. 2023): k-means cluster the embeddings, exact
+    // within-cluster cosine pairs ≥ 0.9, connected components over the
+    // pairs, keep the min-id representative per semantic group. Rows-only
+    // (k-means isn't SQL-expressible); dedup_semantic_checked is the
+    // DuckDB-oracled twin pinning the operator's contract.
+    QueryDef("dedup_semantic",
+      (s, d) => {
+        val (_, _, pairs) = semanticScaffold(s, d)
+        graft.operators.ConnectedComponents
+          .components(s, pairs.select("a", "b"), "a", "b")
+          .select(col("node").as("vec_id"), col("comp").as("rep"),
+            (col("node") === col("comp")).as("keep"))
+          .orderBy("vec_id")
+      }),
+
+    // ORACLED contract check for dedup_semantic. DuckDB can't run k-means,
+    // but it CAN compute the planted-duplicate geometry exactly: each
+    // corpus vector's perturbed copy (+0.05/component) is a function of the
+    // SAME row, so the planted cosine needs no join on either side. The
+    // Spark side re-derives the operator's full output and reduces it to
+    // claims DuckDB can either compute (counts) or adjudicate (booleans
+    // that are true iff the operator honored its contract):
+    //   n_planted_ge_t      — planted pairs at/above threshold (exact,
+    //                         DuckDB computes the identical rounded cosine);
+    //   planted_recall_complete — every SAME-CLUSTER planted pair ≥ t was
+    //                         found (within-cluster search is exhaustive);
+    //   planted_split_consistent — found + cross-cluster = all planted ≥ t
+    //                         (every miss is the documented recall trade,
+    //                         never a within-cluster false negative);
+    //   cc_structure_ok     — drops = nodes − components (survivor pick);
+    //   drops_have_verified_partner — every dropped id sits in ≥ 1 verified
+    //                         ≥ t pair (no vector dropped without evidence).
+    QueryDef("dedup_semantic_checked",
+      (s, d) => {
+        val (model, _, pairsPlan) = semanticScaffold(s, d)
+        // the verified pair set feeds four independent aggregates below —
+        // pin it once (CC re-derives it internally per star round otherwise)
+        val pairs = pairsPlan.localCheckpoint()
+        val comps = graft.operators.ConnectedComponents
+          .components(s, pairs.select("a", "b"), "a", "b")
+        // planted geometry from one row: vp is bit-identical to the +100000
+        // copy embWithDups builds (same transform expression), so cluster
+        // assignments and cosines match the operator's exactly
+        val planted = T(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+          .withColumn("vp", expr("transform(ve, x -> x + 0.05d)"))
+          .withColumn("pcos", round(expr("vec_cosine_native(ve, vp)"), 6))
+          .withColumn("ge_t", col("pcos") >= 0.9)
+          .withColumn("same_cluster",
+            graft.operators.IvfIndex.assignCol(col("ve"), model) ===
+              graft.operators.IvfIndex.assignCol(col("vp"), model))
+        val plantedAgg = planted.agg(
+          sum(when(col("ge_t"), 1L).otherwise(0L)).as("n_planted_ge_t"),
+          sum(when(col("ge_t") && col("same_cluster"), 1L).otherwise(0L))
+            .as("n_planted_same"),
+          sum(when(col("ge_t") && !col("same_cluster"), 1L).otherwise(0L))
+            .as("n_planted_cross"))
+        val foundPlanted = planted.where(col("ge_t"))
+          .select(col("vec_id").as("a"), (col("vec_id") + 100000).as("b"))
+          .join(pairs.select("a", "b"), Seq("a", "b"))
+          .agg(count(lit(1)).as("n_planted_found"))
+        val nodeStats = comps.agg(
+          count(lit(1)).as("n_nodes"),
+          sum(when(col("node") =!= col("comp"), 1L).otherwise(0L)).as("n_dropped"),
+          countDistinct(col("comp")).as("n_comps"))
+        val endpoints = pairs.select(col("a").as("id"))
+          .unionAll(pairs.select(col("b").as("id"))).distinct()
+        val orphanDrops = comps.where(col("node") =!= col("comp"))
+          .join(endpoints, col("node") === col("id"), "left_anti")
+          .agg(count(lit(1)).as("n_orphan_drops"))
+        embWithDups(s, d).agg(count(lit(1)).as("n_input"))
+          .crossJoin(broadcast(plantedAgg))
+          .crossJoin(broadcast(foundPlanted))
+          .crossJoin(broadcast(nodeStats))
+          .crossJoin(broadcast(orphanDrops))
+          .select(
+            col("n_input").cast("long").as("n_input"),
+            col("n_planted_ge_t").cast("long").as("n_planted_ge_t"),
+            (col("n_dropped") === col("n_nodes") - col("n_comps")).as("cc_structure_ok"),
+            (col("n_orphan_drops") === 0L).as("drops_have_verified_partner"),
+            (col("n_planted_found") === col("n_planted_same"))
+              .as("planted_recall_complete"),
+            (col("n_planted_found") + col("n_planted_cross") === col("n_planted_ge_t"))
+              .as("planted_split_consistent"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+             |pl AS (SELECT round(list_dot_product(ve, list_transform(ve, x -> x + 0.05)) /
+             |    (sqrt(list_dot_product(ve, ve)) *
+             |     sqrt(list_dot_product(list_transform(ve, x -> x + 0.05),
+             |                           list_transform(ve, x -> x + 0.05)))), 6) AS pcos
+             |  FROM e)
+             |SELECT CAST(2 * (SELECT count(*) FROM e) AS BIGINT) AS n_input,
+             |  CAST((SELECT count(*) FROM pl WHERE pcos >= 0.9) AS BIGINT) AS n_planted_ge_t,
+             |  true AS cc_structure_ok,
+             |  true AS drops_have_verified_partner,
+             |  true AS planted_recall_complete,
+             |  true AS planted_split_consistent""".stripMargin)),
+
     // Multimodal: binary payload + per-mime decode through mapPartitions.
     // FULLY ORACLED: every feature is a deterministic function of
     // (doc_id, text) — PNG rows carry a spec-valid header whose bytes are
@@ -1298,11 +1434,11 @@ object DedupQueries {
         val small = Dedup.fitsBroadcast(docs, rowBytes = Some(
           lit(24L) + size(split(col("text"), " +")).cast("long") * 8L))
         val payload = docs.withColumn(
-          "shs", callUDF("shingle_hashes_sorted", col("text")))
+          "shs", graft.engine.Expressions.shingleHashesSortedNative(col("text")))
           .select(col("doc_id"), col("shs"))
           .localCheckpoint()
         val buckets = payload
-          .withColumn("bands", callUDF("minhash_bands_hashed", col("shs")))
+          .withColumn("bands", graft.engine.Expressions.minhashBandsNative(col("shs")))
           .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
         val cand = buckets.as("x").join(buckets.as("y"),
             col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&

@@ -71,7 +71,7 @@ object Soak {
 
   private val defaultQueries = Seq(
     "dedup_exact", "dedup_minhash_lsh", "embedding_neardup_lsh",
-    "dedup_jaccard_prefix", "dedup_containment",
+    "dedup_jaccard_prefix", "dedup_containment", "dedup_semantic",
     "sim_cosine_topk_bruteforce", "h3_index_points", "h3_index_lines",
     "h3_index_polygons", "h3_resolve_multi", "geo_spatial_join",
     "text_pack_sequences", "text_decontaminate", "corpus_curation")

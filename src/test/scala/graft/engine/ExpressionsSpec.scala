@@ -89,6 +89,44 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "long and string index_shape surfaces disagree"))
   }
 
+  test("minhash/shingle natives are bit-identical to the UDF surface and stay in codegen") {
+    graft.operators.Dedup.register(spark)
+    // deterministic multi-token corpus with repeats (so shingle sets have
+    // duplicates to dedup) and short docs (the < n-token edge)
+    val docs = spark.range(300).selectExpr(
+      "id AS doc_id",
+      """concat_ws(' ', transform(sequence(0, CAST(id % 41 AS INT)),
+        |  i -> elt(CAST((i * (id % 7 + 2)) % 9 AS INT) + 1,
+        |    'alpha','beta','gamma','delta','eps','zeta','eta','theta','iota')))
+        |AS text""".stripMargin)
+    val df = docs
+      .withColumn("shs_n", Expressions.shingleHashesSortedNative(col("text")))
+      .withColumn("shs_u", callUDF("shingle_hashes_sorted", col("text")))
+      .withColumn("bands_n", Expressions.minhashBandsNative(col("shs_n")))
+      .withColumn("bands_u", callUDF("minhash_bands", col("text")))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), s"shs mismatch doc ${r.getLong(0)}")
+      assert(r.getSeq[Long](4) == r.getSeq[Long](5), s"bands mismatch doc ${r.getLong(0)}")
+    }
+    // null-in-null-out (the expressions' documented semantic)
+    val nr = spark.range(1).select(
+      Expressions.shingleHashesSortedNative(lit(null).cast("string")).as("a"),
+      Expressions.minhashBandsNative(lit(null).cast("array<bigint>")).as("b")).head()
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+    // the natives-only projection stays inside whole-stage codegen
+    val nativeOnly = docs
+      .withColumn("shs", Expressions.shingleHashesSortedNative(col("text")))
+      .withColumn("bands", Expressions.minhashBandsNative(col("shs")))
+    // the native projections must sit inside a WholeStageCodegen span (the
+    // "*(n)" marker); the lambda-HOF text generator above them is its own
+    // non-codegen Project, so the span index is whatever comes next
+    val plan = nativeOnly.queryExecution.executedPlan.toString()
+    assert("""\*\(\d+\) Project \[[^\n]*minhash_bands_native""".r
+      .findFirstIn(plan).isDefined, plan)
+    assert("""\*\(\d+\) Project \[[^\n]*shingle_hashes_sorted_native""".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
   test("optimizer collapses hex/unhex round-trips and parent chains") {
     // cell as int64 (the hot-path representation the rule targets)
     val df = spark.range(100)

@@ -60,6 +60,15 @@ class DedupSpec extends AnyFunSuite {
       // duplicates) — the one-tokenize plan's banding contract
       assert(Dedup.bandHashes(Dedup.minHashSignature(sa)).toSeq ===
         Dedup.minHashBands(ta).toSeq)
+      // the ArrayData kernels behind the codegen expressions reproduce the
+      // boxed functions bit-for-bit (interpreted-eval side of the contract;
+      // ExpressionsSpec pins the codegen side end-to-end)
+      assert(Dedup.shingleHashesSortedData(
+        org.apache.spark.unsafe.types.UTF8String.fromString(ta))
+        .toLongArray().toSeq === sa.toSeq)
+      assert(Dedup.bandsFromHashesData(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sa))
+        .toLongArray().toSeq === Dedup.minHashBands(ta).toSeq)
     }
   }
 
