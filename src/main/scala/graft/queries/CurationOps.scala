@@ -499,6 +499,198 @@ object CurationOps {
              |       FROM e JOIN h1 USING (c) GROUP BY 1)
              |SELECT sup AS s_suppkey, auth1, auth2
              |FROM a1 JOIN a2 USING (sup) ORDER BY 1""".stripMargin)
+    ),
+
+    // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    // arXiv:2302.03169): score every document by the log-likelihood ratio
+    // of a TARGET hashed-n-gram bag model over the RAW corpus model, keep
+    // the top K. Target distribution = the English slice (lang = 'en');
+    // features are unigram tokens hashed into B = 1024 buckets via the
+    // md5-derived bucket id both engines compute identically (the paper's
+    // hashed n-gram features). Scale shape: BOTH bucket-count models come
+    // from ONE aggregation pass (raw count + conditional target count per
+    // bucket) and are B-BOUNDED — 1024 rows regardless of corpus size —
+    // so they broadcast; scoring is map-only into one per-doc aggregate;
+    // the selection is a fixed-K TakeOrderedAndProject (each map
+    // partition ships at most K rows — never a global sort of the
+    // corpus). Cross-engine float contract: per-token log-ratio rounds
+    // to 9 dp and DECIMAL-sums (the perplexity pattern — exact,
+    // order-independent), only the final per-token average rounds at 6.
+    QueryDef(
+      "corpus_dsir_select",
+      (s, d) => {
+        val B = 1024
+        val K = 128
+        val toks = T(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(expr("filter(split(text, ' +'), x -> x != '')")).as("tok"))
+          .withColumn("b", expr(
+            s"pmod(cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint), $B)"))
+        val bt = toks.groupBy("b").agg(
+          count(lit(1)).as("cr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        val totals = bt.agg(
+          sum("cr").cast("long").as("nr"), sum("ct").cast("long").as("nt"))
+        toks
+          .join(broadcast(bt), Seq("b"))
+          .crossJoin(broadcast(totals))
+          .withColumn("lr", expr(
+            s"""CAST(round(ln((ct + 1) / CAST(nt + $B AS DOUBLE)) -
+               |          ln((cr + 1) / CAST(nr + $B AS DOUBLE)), 9)
+               |     AS DECIMAL(18,9))""".stripMargin))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_toks"),
+            sum(col("lr")).as("logw_dec"))
+          .withColumn("logw_avg",
+            round(col("logw_dec").cast("double") / col("n_toks"), 6))
+          .orderBy(col("logw_avg").desc, col("doc_id")).limit(K)
+          .select(col("doc_id"), col("n_toks"), col("logw_avg"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, tok,
+             |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1024 AS b
+             |  FROM (SELECT doc_id, lang,
+             |          unnest(list_filter(string_split_regex(text, ' +'),
+             |                             x -> x <> '')) AS tok
+             |        FROM documents)),
+             |bt AS (SELECT b, count(*) AS cr,
+             |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+             |       FROM toks GROUP BY b),
+             |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+             |               CAST(sum(ct) AS BIGINT) AS nt FROM bt),
+             |scored AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             |    round(CAST(sum(CAST(round(
+             |        ln((ct + 1) / CAST(nt + 1024 AS DOUBLE)) -
+             |        ln((cr + 1) / CAST(nr + 1024 AS DOUBLE)), 9)
+             |      AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS logw_avg
+             |  FROM toks JOIN bt USING (b) CROSS JOIN tot
+             |  GROUP BY doc_id),
+             |sel AS (SELECT * FROM scored
+             |        ORDER BY logw_avg DESC, doc_id LIMIT 128)
+             |SELECT doc_id, n_toks, logw_avg FROM sel ORDER BY doc_id""".stripMargin)
+    ),
+
+    // CCNet-style quality bucketing (Wenzek et al. 2020, "CCNet:
+    // Extracting high-quality monolingual datasets from web crawl
+    // data"): per-language LM perplexity terciles — head (best third,
+    // lowest perplexity), middle, tail — the split CCNet publishes and
+    // downstream pipelines sample from. The LM here is the per-language
+    // unigram model (the engine's perplexity pattern: per-token -ln(p)
+    // rounded to 9 dp, DECIMAL-summed, exp at the end).
+    // Scale shape: the per-(lang, token) count table is vocab-bounded;
+    // the per-lang tercile does NOT use a per-lang window (a billion-doc
+    // language would sort in one task) — instead ONE salted
+    // ScalableWindow global rank over the total order (lang, ppl,
+    // doc_id), per-lang rank by subtracting broadcast lang offsets, and
+    // the exact SQL ntile arithmetic in integers. DuckDB oracles the
+    // plain ntile(3) window — the two forms are value-identical.
+    QueryDef(
+      "corpus_ccnet_buckets",
+      (s, d) => {
+        val toks = T(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(expr("filter(split(text, ' +'), x -> x != '')")).as("tok"))
+        val freq = toks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+        val nl = toks.groupBy("lang").agg(count(lit(1)).as("nl"))
+        val ppl = toks
+          .join(freq, Seq("lang", "tok"))
+          .join(broadcast(nl), Seq("lang"))
+          .withColumn("nll", expr(
+            "CAST(round(-ln(cnt / CAST(nl AS DOUBLE)), 9) AS DECIMAL(18,9))"))
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).cast("long").as("n_toks"),
+            round(exp(sum(col("nll")).cast("double") / count(lit(1))), 6).as("ppl"))
+        // salted global rank: lang exact-leading, ppl integer-bucketed
+        // (monotone, equal-preserving) — every task sorts one salt group
+        val ranked = graft.operators.ScalableWindow.withGlobalRowNumber(
+          ppl, "grn")(
+          Seq(col("lang"), floor(col("ppl")).cast("long")),
+          col("lang"), col("ppl"), col("doc_id"))
+        // per-lang sizes and cumulative offsets: a |langs|-row frame
+        val counts = ppl.groupBy("lang").agg(count(lit(1)).as("nlang"))
+        val offs = counts.withColumn("off", coalesce(
+          sum("nlang").over(org.apache.spark.sql.expressions.Window
+            .orderBy("lang").rowsBetween(Long.MinValue, -1)), lit(0L)))
+        ranked.join(broadcast(offs), Seq("lang"))
+          .withColumn("rl", col("grn") - col("off"))
+          // exact SQL ntile(3): the first (nlang mod 3) tiles take
+          // ceil(nlang/3) rows, the rest floor(nlang/3)
+          .withColumn("q", expr("nlang div 3"))
+          .withColumn("rem", expr("nlang % 3"))
+          .withColumn("cut", col("rem") * (col("q") + 1))
+          .withColumn("bucket", when(col("q") === 0, col("rl")).otherwise(
+            when(col("rl") <= col("cut"),
+              expr("(rl - 1) div (q + 1) + 1"))
+              .otherwise(expr("rem + (rl - cut - 1) div q + 1"))).cast("long"))
+          .select(col("doc_id"), col("lang"), col("n_toks"), col("ppl"),
+            col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |    unnest(list_filter(string_split_regex(text, ' +'),
+             |                       x -> x <> '')) AS tok
+             |  FROM documents),
+             |freq AS (SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+             |nl AS (SELECT lang, count(*) AS nl FROM toks GROUP BY 1),
+             |ppl AS (
+             |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_toks,
+             |    round(exp(CAST(sum(CAST(round(-ln(cnt / CAST(nl AS DOUBLE)), 9)
+             |      AS DECIMAL(18,9))) AS DOUBLE) / count(*)), 6) AS ppl
+             |  FROM toks JOIN freq USING (lang, tok) JOIN nl USING (lang)
+             |  GROUP BY doc_id, lang)
+             |SELECT doc_id, lang, n_toks, ppl,
+             |  CAST(ntile(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS BIGINT) AS bucket
+             |FROM ppl ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Temperature-scaled language sampling (the mT5 / XLM-R multilingual
+    // mixing rule, α = 0.3): q_i ∝ p_i^α flattens the language
+    // distribution so low-resource languages are up-sampled without
+    // swamping the head. One corpus aggregate (per-lang doc/token
+    // counts — |langs|-bounded), then scalar math on the tiny frame:
+    // natural share in integer basis points, p^α rounded to 9 dp, the
+    // normalizer as an exact DECIMAL sum of the rounded terms, and the
+    // final q at 6 dp — the established cross-engine float contract.
+    QueryDef(
+      "corpus_temperature_mix",
+      (s, d) => {
+        val byLang = T(s, d, "documents")
+          .groupBy("lang")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(expr("size(filter(split(text, ' +'), x -> x != ''))")
+              .cast("long")).as("n_tokens"))
+        val tot = byLang.agg(sum("n_tokens").cast("long").as("t"))
+        val pw = byLang.crossJoin(broadcast(tot))
+          .withColumn("p_bp", expr("n_tokens * 10000 div t"))
+          .withColumn("pw", expr(
+            "CAST(round(power(n_tokens / CAST(t AS DOUBLE), 0.3D), 9) AS DECIMAL(18,9))"))
+        val z = pw.agg(sum("pw").as("z"))
+        pw.crossJoin(broadcast(z))
+          .withColumn("q", round(
+            col("pw").cast("double") / col("z").cast("double"), 6))
+          .select(col("lang"), col("n_docs"), col("n_tokens"), col("p_bp"),
+            col("q"))
+          .orderBy("lang")
+      },
+      Some("""WITH by_lang AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(len(list_filter(string_split_regex(text, ' +'),
+             |                             x -> x <> ''))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY lang),
+             |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM by_lang),
+             |pw AS (
+             |  SELECT lang, n_docs, n_tokens,
+             |    n_tokens * 10000 // t AS p_bp,
+             |    CAST(round(pow(n_tokens / CAST(t AS DOUBLE), 0.3), 9)
+             |      AS DECIMAL(18,9)) AS pw
+             |  FROM by_lang CROSS JOIN tot),
+             |z AS (SELECT sum(pw) AS z FROM pw)
+             |SELECT lang, n_docs, n_tokens, p_bp,
+             |  round(CAST(pw AS DOUBLE) / CAST(z AS DOUBLE), 6) AS q
+             |FROM pw CROSS JOIN z ORDER BY lang""".stripMargin)
     )
   )
 }
