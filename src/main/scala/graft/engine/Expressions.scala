@@ -420,7 +420,9 @@ object Expressions {
     * but the result lands as a primitive-backed UnsafeArrayData instead of
     * round-tripping through the Scala UDF's CatalystTypeConverters element
     * walk. Null text → null (nullSafeEval), matching the other native
-    * expressions; the corpus plans filter null texts upstream.
+    * expressions; callers needing the legacy UDF's hash-null-as-empty
+    * behavior coalesce the text to '' at the call site (the minhash
+    * plans do), byte-identical to what the UDF computed on null.
     */
   case class ShingleHashesSortedExpr(child: Expression) extends UnaryExpression {
 

@@ -173,18 +173,19 @@ object Dedup {
     java.util.Arrays.copyOf(h, n)
   }
 
-  /** In-place forms of [[shingleHashesSorted]] / bands-from-hashes for the
+  /** ArrayData forms of [[shingleHashesSorted]] / bands-from-hashes for the
     * native codegen expressions (Expressions.ShingleHashesSortedExpr /
-    * MinhashBandsExpr): the shingle-hash longs are read straight out of the
-    * row buffer and returned as a primitive-backed UnsafeArrayData — no Seq
-    * boxing on the input side and no CatalystTypeConverters element walk on
-    * the output side of the Scala UDFs they replace. Same arithmetic in the
-    * same order, so outputs are bit-identical (DedupSpec pins both against
-    * the UDF-path functions). One semantic difference, deliberate: the
-    * expressions are null-in-null-out (nullSafeEval), while the legacy
-    * String UDF hashed a null text like an empty one — the corpus plans
-    * filter nulls upstream, and null-propagation is the semantics every
-    * other native expression here already has.
+    * MinhashBandsExpr): inputs read straight off the row buffer, outputs
+    * returned as primitive-backed UnsafeArrayData — no Seq boxing and no
+    * CatalystTypeConverters element walk on either side of the Scala UDFs
+    * they replace. Both delegate to the SAME boxed functions DedupSpec
+    * pins, so there is exactly one owner of the hash arithmetic
+    * (toLongArray on an UnsafeArrayData is a single primitive copy). One
+    * semantic difference, deliberate: the expressions are null-in-null-out
+    * (nullSafeEval), while the legacy String UDF hashed a null text like
+    * an empty one — the minhash plans therefore coalesce the text to ''
+    * at the call site, which reproduces the legacy banding byte-for-byte
+    * even on a null-text row.
     */
   def shingleHashesSortedData(t: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.sql.catalyst.util.ArrayData =
@@ -192,22 +193,9 @@ object Dedup {
       shingleHashesSorted(t.toString))
 
   def bandsFromHashesData(sh: org.apache.spark.sql.catalyst.util.ArrayData)
-      : org.apache.spark.sql.catalyst.util.ArrayData = {
-    val sig = Array.fill(NumHashes)(Long.MaxValue)
-    val n = sh.numElements()
-    var i = 0
-    while (i < n) {
-      val x = sh.getLong(i)
-      var k = 0
-      while (k < NumHashes) {
-        val v = hashA(k) * x + hashB(k)
-        if (v < sig(k)) sig(k) = v
-        k += 1
-      }
-      i += 1
-    }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(bandHashes(sig))
-  }
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      bandHashes(minHashSignature(sh.toLongArray())))
 
   /** Exact Jaccard over hashed shingle sets. */
   def shingleJaccard(ta: String, tb: String): Double = {

@@ -32,11 +32,14 @@ object IvfIndex {
   }
 
   /** Train the coarse quantizer. `emb` needs columns (id: long, v:
-    * array<double>).
+    * array<double>). Callers that already know the corpus size (e.g. from
+    * AnnLsh.memoizedCount) pass it via `knownN` so training doesn't run a
+    * second full count pass over the corpus.
     */
-  def train(spark: SparkSession, emb: DataFrame, k: Int, iters: Int): Model = {
+  def train(spark: SparkSession, emb: DataFrame, k: Int, iters: Int,
+            knownN: Option[Long] = None): Model = {
     import spark.implicits._
-    val n = emb.count()
+    val n = knownN.getOrElse(emb.count())
     val stride = math.max(1, n / k)
     // deterministic init: evenly spaced ids (corpus order is stable). This
     // assumes roughly dense ids; with sparse or clustered ids (e.g. all
@@ -105,12 +108,18 @@ object IvfIndex {
     * SemDeDup design — Abbas et al. 2023 run k-means precisely to bound the
     * pairwise stage), so k must grow with the corpus the same way
     * AnnLsh.bitsFor grows LSH bands. At the test SFs this floors at 8
-    * (identical to the fixed-k ANN queries); at 10⁹ rows it yields ~500k
-    * budget-capped at 2¹⁶ — past that cap, occupancy grows linearly again
-    * and the operator docs call for hierarchical (two-level) quantization.
+    * (identical to the fixed-k ANN queries). Capped at 2¹² — NOT for
+    * occupancy but because this flat quantizer's mechanics stop being
+    * right past it: NearestCentroidExpr embeds the k×dim matrix in the
+    * serialized plan (4096×64 doubles ≈ 2 MB — the ceiling of "small
+    * enough to ship in the plan") and assignment scans all k centroids
+    * per row. Past n ≈ 8.4M rows (cap × 2048) a semantic-dedup corpus
+    * needs a two-level (hierarchical) quantizer with broadcast codebooks;
+    * the flat path deliberately saturates rather than silently building
+    * a quarter-GB plan.
     */
   def kFor(n: Long): Int =
-    math.max(8L, math.min(1L << 16, n / 2048L)).toInt
+    math.max(8L, math.min(1L << 12, n / 2048L)).toInt
 
   /** Native codegen centroid-assignment columns (no per-row boxing). */
   private[operators] def nearestCentroidCol(

@@ -79,20 +79,64 @@ object ScalableWindow {
       salts: Seq[Column], sortCols: Column*): DataFrame = {
     val (local, offs, counts, saltNames) = ranked(df, salts, sortCols, lit(1L))
     val total = counts.agg(sum(CNT).cast("long").as(TOT))
-    // ntile arithmetic over rn = lrk + off: q = N div n, r = N mod n;
-    // tiles 1..r hold q+1 rows. CASE is lazy per-row, so the q=0
-    // (N < n) edge never divides by zero — the WHEN branch covers all rn.
-    val fid =
-      s"""CAST(CASE WHEN ($LRK + $OFF) <= ($TOT div $n + 1L) * ($TOT % $n)
-         |  THEN ($LRK + $OFF - 1L) div ($TOT div $n + 1L) + 1L
-         |  ELSE ($TOT % $n) +
-         |    (($LRK + $OFF) - 1L - ($TOT div $n + 1L) * ($TOT % $n)) div ($TOT div $n) + 1L
-         |END AS BIGINT)""".stripMargin
     local.join(broadcast(offs), saltNames)
       .crossJoin(broadcast(total))
-      .withColumn(outCol, expr(fid))
+      .withColumn(outCol, expr(ntileExpr(n)))
       .drop(saltNames: _*).drop(LRK, OFF, TOT)
   }
+
+  /** Adds `outCol` = ntile(n) (BIGINT) WITHIN each `partSalts` group over
+    * the per-group total order `sortCols` — `ntile(n) OVER (PARTITION BY
+    * part ORDER BY …)` without the per-partition single-task sort (a
+    * billion-row partition would otherwise sort in one task). Same
+    * two-phase scheme as the global forms: `extraSalts` sub-bucket the
+    * leading sort column (same ASC-monotone, equal-preserving contract;
+    * `partSalts` must be the EXACT partition keys, never coarsened), the
+    * big frame shuffles once on (part, salt), and the per-salt counts
+    * frame — bounded by the salt space — yields within-partition offsets
+    * and partition totals via tiny windows.
+    */
+  def withPartitionedNtile(df: DataFrame, outCol: String, n: Int)(
+      partSalts: Seq[Column], extraSalts: Seq[Column], sortCols: Column*): DataFrame = {
+    require(extraSalts.nonEmpty,
+      "withPartitionedNtile needs ≥1 extra salt; with none, use a plain partitioned window")
+    val pNames = partSalts.indices.map(i => s"__sw_p$i")
+    val eNames = extraSalts.indices.map(i => s"__sw_e$i")
+    val allNames = pNames ++ eNames
+    val withSalt = (pNames.zip(partSalts) ++ eNames.zip(extraSalts))
+      .foldLeft(df) { case (acc, (nm, c)) => acc.withColumn(nm, c) }
+    val wLocal = Window.partitionBy(allNames.map(col): _*).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = withSalt.withColumn(LRK, sum(lit(1L)).over(wLocal).cast("long"))
+    val counts = withSalt.groupBy(allNames.map(col): _*)
+      .agg(count(lit(1)).cast("long").as(CNT))
+    // both windows run over the ≤|salt space| counts frame (bounded by
+    // salt design, not data) — partitioned by the exact partition keys
+    val wOff = Window.partitionBy(pNames.map(col): _*)
+      .orderBy(eNames.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(pNames.map(col): _*)
+    val offs = counts
+      .withColumn(OFF, coalesce(sum(CNT).over(wOff), lit(0L)))
+      .withColumn(TOT, sum(CNT).over(wTot).cast("long"))
+      .select((allNames :+ OFF :+ TOT).map(col): _*)
+    local.join(broadcast(offs), allNames)
+      .withColumn(outCol, expr(ntileExpr(n)))
+      .drop(allNames: _*).drop(LRK, OFF, TOT)
+  }
+
+  /** SQL ntile(n) over rank rn = LRK + OFF within a frame of TOT rows:
+    * q = TOT div n, r = TOT mod n; tiles 1..r hold q+1 rows. The CASE is
+    * lazy per-row, so the q=0 (TOT < n) edge never divides by zero — the
+    * WHEN branch covers every rn there. One owner for the tile
+    * arithmetic (global and partitioned forms share it).
+    */
+  private def ntileExpr(n: Int): String =
+    s"""CAST(CASE WHEN ($LRK + $OFF) <= ($TOT div $n + 1L) * ($TOT % $n)
+       |  THEN ($LRK + $OFF - 1L) div ($TOT div $n + 1L) + 1L
+       |  ELSE ($TOT % $n) +
+       |    (($LRK + $OFF) - 1L - ($TOT div $n + 1L) * ($TOT % $n)) div ($TOT div $n) + 1L
+       |END AS BIGINT)""".stripMargin
 
   private val LRK = "__sw_lrk"
   private val OFF = "__sw_off"

@@ -594,6 +594,9 @@ object CurationOps {
             explode(expr("filter(split(text, ' +'), x -> x != '')")).as("tok"))
         val freq = toks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
         val nl = toks.groupBy("lang").agg(count(lit(1)).as("nl"))
+        // the per-doc ppl frame feeds both phases of the salted tercile —
+        // pin it once or the tokenize+join+aggregate subtree re-runs per
+        // branch (the one-tokenize lesson from the minhash plans)
         val ppl = toks
           .join(freq, Seq("lang", "tok"))
           .join(broadcast(nl), Seq("lang"))
@@ -602,28 +605,15 @@ object CurationOps {
           .groupBy("doc_id", "lang")
           .agg(count(lit(1)).cast("long").as("n_toks"),
             round(exp(sum(col("nll")).cast("double") / count(lit(1))), 6).as("ppl"))
-        // salted global rank: lang exact-leading, ppl integer-bucketed
-        // (monotone, equal-preserving) — every task sorts one salt group
-        val ranked = graft.operators.ScalableWindow.withGlobalRowNumber(
-          ppl, "grn")(
-          Seq(col("lang"), floor(col("ppl")).cast("long")),
-          col("lang"), col("ppl"), col("doc_id"))
-        // per-lang sizes and cumulative offsets: a |langs|-row frame
-        val counts = ppl.groupBy("lang").agg(count(lit(1)).as("nlang"))
-        val offs = counts.withColumn("off", coalesce(
-          sum("nlang").over(org.apache.spark.sql.expressions.Window
-            .orderBy("lang").rowsBetween(Long.MinValue, -1)), lit(0L)))
-        ranked.join(broadcast(offs), Seq("lang"))
-          .withColumn("rl", col("grn") - col("off"))
-          // exact SQL ntile(3): the first (nlang mod 3) tiles take
-          // ceil(nlang/3) rows, the rest floor(nlang/3)
-          .withColumn("q", expr("nlang div 3"))
-          .withColumn("rem", expr("nlang % 3"))
-          .withColumn("cut", col("rem") * (col("q") + 1))
-          .withColumn("bucket", when(col("q") === 0, col("rl")).otherwise(
-            when(col("rl") <= col("cut"),
-              expr("(rl - 1) div (q + 1) + 1"))
-              .otherwise(expr("rem + (rl - cut - 1) div q + 1"))).cast("long"))
+          .localCheckpoint()
+        // per-lang ntile(3) without a per-lang single-task window: lang is
+        // the exact partition salt, ppl integer-bucketed (monotone,
+        // equal-preserving) sub-salts the sort — the shared two-phase
+        // tile arithmetic lives in ScalableWindow
+        graft.operators.ScalableWindow.withPartitionedNtile(
+          ppl, "bucket", 3)(
+          Seq(col("lang")), Seq(floor(col("ppl")).cast("long")),
+          col("ppl"), col("doc_id"))
           .select(col("doc_id"), col("lang"), col("n_toks"), col("ppl"),
             col("bucket"))
           .orderBy("doc_id")

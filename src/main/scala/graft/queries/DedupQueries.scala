@@ -511,9 +511,10 @@ object DedupQueries {
       : (graft.operators.IvfIndex.Model, DataFrame, DataFrame) = {
     graft.engine.Expressions.register(s)
     val e = embWithDups(s, d)
-    val k = graft.operators.IvfIndex.kFor(graft.operators.AnnLsh.memoizedCount(e))
+    val n = graft.operators.AnnLsh.memoizedCount(e)
     val model = graft.operators.IvfIndex.train(
-      s, e.select(col("vec_id").as("id"), col("ve").as("v")), k, iters = 3)
+      s, e.select(col("vec_id").as("id"), col("ve").as("v")),
+      graft.operators.IvfIndex.kFor(n), iters = 3, knownN = Some(n))
     // map-only assignment: the k×dim centroid matrix rides in the plan
     val assigned = e.withColumn(
       "cluster", graft.operators.IvfIndex.assignCol(col("ve"), model))
@@ -606,7 +607,8 @@ object DedupQueries {
         // as native codegen expressions — same arithmetic as the UDFs,
         // minus the converter boxing (DedupSpec pins bit-identity).
         val payload = docs.withColumn(
-          "shs", graft.engine.Expressions.shingleHashesSortedNative(col("text")))
+          "shs", graft.engine.Expressions.shingleHashesSortedNative(
+            coalesce(col("text"), lit(""))))
           .select(col("doc_id"), col("shs"))
           .localCheckpoint()
         val buckets = payload
@@ -1173,8 +1175,9 @@ object DedupQueries {
     //                         (every miss is the documented recall trade,
     //                         never a within-cluster false negative);
     //   cc_structure_ok     — drops = nodes − components (survivor pick);
-    //   drops_have_verified_partner — every dropped id sits in ≥ 1 verified
-    //                         ≥ t pair (no vector dropped without evidence).
+    //   reps_are_component_minima — every component label IS its minimum
+    //                         member (catches a CC emitting non-min labels
+    //                         or representatives outside their component).
     QueryDef("dedup_semantic_checked",
       (s, d) => {
         val (model, _, pairsPlan) = semanticScaffold(s, d)
@@ -1208,21 +1211,24 @@ object DedupQueries {
           count(lit(1)).as("n_nodes"),
           sum(when(col("node") =!= col("comp"), 1L).otherwise(0L)).as("n_dropped"),
           countDistinct(col("comp")).as("n_comps"))
-        val endpoints = pairs.select(col("a").as("id"))
-          .unionAll(pairs.select(col("b").as("id"))).distinct()
-        val orphanDrops = comps.where(col("node") =!= col("comp"))
-          .join(endpoints, col("node") === col("id"), "left_anti")
-          .agg(count(lit(1)).as("n_orphan_drops"))
+        // non-vacuous survivor-pick check: every component's label must BE
+        // its minimum member (a broken CC could emit labels that are not
+        // the component min, or representatives outside their own
+        // component — this catches both; "every node is a pair endpoint"
+        // would be true by construction and prove nothing)
+        val badReps = comps.groupBy("comp").agg(min("node").as("mn"))
+          .where(col("mn") =!= col("comp"))
+          .agg(count(lit(1)).as("n_bad_reps"))
         embWithDups(s, d).agg(count(lit(1)).as("n_input"))
           .crossJoin(broadcast(plantedAgg))
           .crossJoin(broadcast(foundPlanted))
           .crossJoin(broadcast(nodeStats))
-          .crossJoin(broadcast(orphanDrops))
+          .crossJoin(broadcast(badReps))
           .select(
             col("n_input").cast("long").as("n_input"),
             col("n_planted_ge_t").cast("long").as("n_planted_ge_t"),
             (col("n_dropped") === col("n_nodes") - col("n_comps")).as("cc_structure_ok"),
-            (col("n_orphan_drops") === 0L).as("drops_have_verified_partner"),
+            (col("n_bad_reps") === 0L).as("reps_are_component_minima"),
             (col("n_planted_found") === col("n_planted_same"))
               .as("planted_recall_complete"),
             (col("n_planted_found") + col("n_planted_cross") === col("n_planted_ge_t"))
@@ -1237,7 +1243,7 @@ object DedupQueries {
              |SELECT CAST(2 * (SELECT count(*) FROM e) AS BIGINT) AS n_input,
              |  CAST((SELECT count(*) FROM pl WHERE pcos >= 0.9) AS BIGINT) AS n_planted_ge_t,
              |  true AS cc_structure_ok,
-             |  true AS drops_have_verified_partner,
+             |  true AS reps_are_component_minima,
              |  true AS planted_recall_complete,
              |  true AS planted_split_consistent""".stripMargin)),
 
@@ -1434,7 +1440,8 @@ object DedupQueries {
         val small = Dedup.fitsBroadcast(docs, rowBytes = Some(
           lit(24L) + size(split(col("text"), " +")).cast("long") * 8L))
         val payload = docs.withColumn(
-          "shs", graft.engine.Expressions.shingleHashesSortedNative(col("text")))
+          "shs", graft.engine.Expressions.shingleHashesSortedNative(
+            coalesce(col("text"), lit(""))))
           .select(col("doc_id"), col("shs"))
           .localCheckpoint()
         val buckets = payload

@@ -59,18 +59,15 @@ class SelectionOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("dsir selection is exactly the top-K of the full ranking") {
-    val sel = q("corpus_dsir_select").collect()
+    val df = q("corpus_dsir_select")
+    assert(df.columns.toSeq === Seq("doc_id", "n_toks", "logw_avg"))
+    val sel = df.collect()
     assert(sel.length === 128 ||
       sel.length === spark.read.parquet(s"$dir/documents.parquet")
         .select("doc_id").distinct().count().toInt.min(128))
-    // recompute the full ranking without the limit: the selected set must
-    // be the lexicographic-(logw_avg desc, doc_id) prefix
-    val full = q("corpus_dsir_select") // same plan, but rank over ALL docs:
-    // rebuild scores by joining the selected rows against a window rank of
-    // the union — instead, verify the boundary property directly: every
-    // selected row outranks every non-selected doc. Use the registered
-    // query's own scores for selected docs and assert the threshold is a
-    // clean cut on (logw_avg, -doc_id).
+    // verify the boundary property directly: every selected row outranks
+    // every non-selected doc on the (logw_avg desc, doc_id asc) key, with
+    // the scores recomputed independently below
     val selSet = sel.map(_.getLong(0)).toSet
     val worst = sel.map(r => (r.getDouble(2), -r.getLong(0))).min
     // docs absent from the selection with a strictly better key would
@@ -104,6 +101,5 @@ class SelectionOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (nt, lw) = byId(r.getLong(0))
       assert(r.getLong(1) == nt && r.getDouble(2) == lw)
     }
-    assert(full.columns.toSeq === Seq("doc_id", "n_toks", "logw_avg"))
   }
 }

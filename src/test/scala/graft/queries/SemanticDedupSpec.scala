@@ -75,11 +75,12 @@ class SemanticDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (i <- 2 to 5) assert(row.getBoolean(i), s"contract boolean $i false: $row")
   }
 
-  test("kFor holds expected occupancy: floor 8, linear middle, 2^16 cap") {
+  test("kFor holds expected occupancy: floor 8, linear middle, 2^12 plan-size cap") {
     import graft.operators.IvfIndex.kFor
     assert(kFor(0) == 8 && kFor(10000) == 8)
     assert(kFor(1 << 20) == (1 << 20) / 2048)
-    assert(kFor(1L << 40) == (1 << 16))
+    // capped where the plan-embedded centroid matrix stops being small
+    assert(kFor(1L << 40) == (1 << 12))
     val ns = Seq(1L, 100L, 1L << 14, 1L << 21, 1L << 30, 1L << 45)
     assert(ns.map(kFor) == ns.map(kFor).sorted)
   }
