@@ -526,9 +526,13 @@ object CurationOps {
             explode(expr("filter(split(text, ' +'), x -> x != '')")).as("tok"))
           .withColumn("b", expr(
             s"pmod(cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint), $B)"))
+        // materialize the trained model ONCE (≤ B rows): without the pin,
+        // the totals branch re-runs the whole tokenize+hash+count subtree —
+        // a third full corpus pass for two scalars
         val bt = toks.groupBy("b").agg(
           count(lit(1)).as("cr"),
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+          .localCheckpoint()
         val totals = bt.agg(
           sum("cr").cast("long").as("nr"), sum("ct").cast("long").as("nt"))
         toks
