@@ -139,4 +139,34 @@ class ScalableWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.isDefined
     assert(hasAggBelow, "offset window must run over the per-salt aggregate")
   }
+
+  test("withPartitionedNtile equals the plain partitioned window under skew") {
+    import spark.implicits._
+    // adversarial partition sizes: one giant group, one exactly-n group,
+    // one singleton, one smaller-than-n group — plus heavy salt ties
+    val rows =
+      (1 to 900).map(i => ("big", i.toLong, (i * 7 % 5).toLong)) ++
+      (1 to 3).map(i => ("n", i.toLong + 1000, 0L)) ++
+      Seq(("one", 2000L, 0L)) ++
+      (1 to 2).map(i => ("small", i.toLong + 3000, 1L))
+    val df = rows.toDF("g", "id", "v")
+    for (n <- Seq(2, 3, 7)) {
+      val ref = df.withColumn("t", ntile(n).over(
+        Window.partitionBy("g").orderBy(col("v"), col("id"))).cast("long"))
+      val got = ScalableWindow.withPartitionedNtile(df, "t2", n)(
+        Seq(col("g")), Seq(col("v")), col("v"), col("id"))
+      assert(ref.join(got, Seq("g", "id"))
+        .where(col("t") =!= col("t2")).count() === 0, s"ntile($n) mismatch")
+    }
+    // the big-frame rank window must be (partition, salt)-partitioned —
+    // never a per-partition single-task sort
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = ScalableWindow.withPartitionedNtile(df, "t", 3)(
+      Seq(col("g")), Seq(col("v")), col("v"), col("id"))
+      .queryExecution.executedPlan
+    val rankWins = plan.collect {
+      case w: WindowExec if w.partitionSpec.size >= 2 => w
+    }
+    assert(rankWins.nonEmpty, "rank window must partition by (part, salt)")
+  }
 }
