@@ -26,6 +26,41 @@ object Bench {
       .map(b => math.max(0L, b.getCollectionTime)).sum
   }
 
+  /** Host self-calibration: a fixed CPU-bound probe (no I/O, no data
+    * dependence) whose wall time scales with single-core speed, plus one
+    * tiny in-memory Spark job that adds scheduler/codegen overhead and
+    * multi-core throughput. Cross-round comparisons divide query times by
+    * these to normalize for host/boot speed — replacing the manual
+    * "untouched-query canary" protocol with a number IN the artifact.
+    * Returns (cpu_sec, spark_sec), each min-of-3.
+    */
+  def hostCal(spark: org.apache.spark.sql.SparkSession): (Double, Double) = {
+    import org.apache.spark.sql.functions._
+    def minOf3(f: () => Unit): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }.min
+    // single-core integer mix, 2^27 rounds of a 64-bit LCG+xor fold; the
+    // checksum is printed to stderr so the loop cannot be dead-code'd
+    var acc = 0x9e3779b97f4a7c15L
+    val cpu = minOf3 { () =>
+      var x = acc; var i = 0
+      while (i < (1 << 27)) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        x ^= (x >>> 29)
+        i += 1
+      }
+      acc ^= x
+    }
+    val sparkSec = minOf3 { () =>
+      spark.range(1L << 24).select(xxhash64(col("id")).as("h"))
+        .agg(sum("h")).write.format("noop").mode("overwrite").save()
+    }
+    System.err.println(s"[bench] host_cal cpu=${num(cpu, 3)}s " +
+      s"spark=${num(sparkSec, 3)}s checksum=$acc")
+    (cpu, sparkSec)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
@@ -57,6 +92,9 @@ object Bench {
       try q.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // calibrate AFTER warmup (codegen/classloading paid) so the probe
+    // reads host speed, not first-call overhead
+    val (calCpu, calSpark) = Bench.hostCal(spark)
     val results = defs.map { q =>
       // one UNTIMED rep at the TARGET SF first: the sf0.001 warmup covers
       // classloading but not target-scale one-time costs (file listing,
@@ -139,6 +177,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$statuses,""" +
       s""""reps_sec":$repsJson,"io_mb_wrs":$ioJson,"gc_sec":$gcJson,""" +
       s""""master":"${sc.master}","parallelism":${sc.defaultParallelism},""" +
+      s""""host_cal":{"cpu_sec":${Bench.num(calCpu, 3)},"spark_sec":${Bench.num(calSpark, 3)}},""" +
       s""""heap_gb":${Bench.num(heapGb, 1)},"reps":$reps,"sf":"$sfDir"}""")
     // Compact artifact line LAST: the driver records only the tail of the
     // bench output, and the full line above outgrew that window in r10
@@ -155,7 +194,8 @@ object Bench {
       .map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":${Bench.num(total, 3)},"unit":"sec","queries":$qsCompact,""" +
-      s""""failed":$failedList,"reps":$reps,"sf":"$sfDir"}""")
+      s""""failed":$failedList,"host_cal":{"cpu_sec":${Bench.num(calCpu, 3)},""" +
+      s""""spark_sec":${Bench.num(calSpark, 3)}},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._2.isEmpty)) sys.exit(1)
   }

@@ -66,7 +66,7 @@ object ScalableWindow {
   def withGlobalCumSum(df: DataFrame, outCol: String, value: Column)(
       salts: Seq[Column], sortCols: Column*): DataFrame = {
     val (local, offs, _, saltNames) = ranked(df, salts, sortCols, value)
-    local.join(broadcast(offs), saltNames)
+    joinOffsets(local, offs, saltNames)
       .withColumn(outCol, col(LRK) + col(OFF))
       .drop(saltNames: _*).drop(LRK, OFF)
   }
@@ -79,7 +79,7 @@ object ScalableWindow {
       salts: Seq[Column], sortCols: Column*): DataFrame = {
     val (local, offs, counts, saltNames) = ranked(df, salts, sortCols, lit(1L))
     val total = counts.agg(sum(CNT).cast("long").as(TOT))
-    local.join(broadcast(offs), saltNames)
+    joinOffsets(local, offs, saltNames)
       .crossJoin(broadcast(total))
       .withColumn(outCol, expr(ntileExpr(n)))
       .drop(saltNames: _*).drop(LRK, OFF, TOT)
@@ -120,9 +120,25 @@ object ScalableWindow {
       .withColumn(OFF, coalesce(sum(CNT).over(wOff), lit(0L)))
       .withColumn(TOT, sum(CNT).over(wTot).cast("long"))
       .select((allNames :+ OFF :+ TOT).map(col): _*)
-    local.join(broadcast(offs), allNames)
+    joinOffsets(local, offs, allNames)
       .withColumn(outCol, expr(ntileExpr(n)))
       .drop(allNames: _*).drop(LRK, OFF, TOT)
+  }
+
+  /** Broadcast-join the offsets frame back onto the salted rows with
+    * NULL-SAFE equality on every salt column: a plain equi-join would
+    * silently DROP rows whose partition or salt key is NULL (e.g. a null
+    * lang), diverging from the plain window these helpers are proven
+    * value-identical to — `PARTITION BY`/`ORDER BY` both keep a NULL
+    * group, and so do the groupBy counts feeding `offs`, so `<=>` makes
+    * the round trip lossless. EqualNullSafe is still a hashable join key,
+    * so the plan stays a BroadcastHashJoin.
+    */
+  private def joinOffsets(local: DataFrame, offs: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val renamed = keys.foldLeft(offs)((acc, k) => acc.withColumnRenamed(k, "__sw_o_" + k))
+    val cond = keys.map(k => col(k) <=> col("__sw_o_" + k)).reduce(_ && _)
+    local.join(broadcast(renamed), cond).drop(keys.map("__sw_o_" + _): _*)
   }
 
   /** SQL ntile(n) over rank rn = LRK + OFF within a frame of TOT rows:

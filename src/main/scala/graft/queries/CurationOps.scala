@@ -501,10 +501,16 @@ object CurationOps {
              |FROM a1 JOIN a2 USING (sup) ORDER BY 1""".stripMargin)
     ),
 
-    // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
-    // arXiv:2302.03169): score every document by the log-likelihood ratio
-    // of a TARGET hashed-n-gram bag model over the RAW corpus model, keep
-    // the top K. Target distribution = the English slice (lang = 'en');
+    // DSIR-style data selection (after Xie et al. 2023, arXiv:2302.03169):
+    // score every document by the log-likelihood ratio of a TARGET
+    // hashed-n-gram bag model over the RAW corpus model, keep the top K.
+    // DETERMINISTIC VARIANT, two deliberate departures from the paper so
+    // the result is oracle-able: (1) the score is the per-token AVERAGE
+    // log-ratio (length-normalized), where the paper sums over the doc's
+    // hashed n-grams — normalization changes which long/short docs rank
+    // ahead; (2) selection is exact top-K, not the paper's Gumbel-noise
+    // importance RESAMPLING. Target distribution = the English slice
+    // (lang = 'en');
     // features are unigram tokens hashed into B = 1024 buckets via the
     // md5-derived bucket id both engines compute identically (the paper's
     // hashed n-gram features). Scale shape: BOTH bucket-count models come
@@ -611,12 +617,18 @@ object CurationOps {
             round(exp(sum(col("nll")).cast("double") / count(lit(1))), 6).as("ppl"))
           .localCheckpoint()
         // per-lang ntile(3) without a per-lang single-task window: lang is
-        // the exact partition salt, ppl integer-bucketed (monotone,
-        // equal-preserving) sub-salts the sort — the shared two-phase
-        // tile arithmetic lives in ScalableWindow
+        // the exact partition salt; the sub-salt is LOG-bucketed ppl —
+        // floor(ln(ppl)·8) — because unigram perplexity is heavy-tailed
+        // per language, so floor(ppl) would make the "bounded" offsets
+        // frame data-dependent (one salt per integer ppl). ln caps the
+        // distinct-salt count by the double exponent range (≤ ~5.7k
+        // buckets ever, ≲ dozens in practice) independent of the ppl
+        // distribution, and stays ASC-monotone + equal-preserving, so the
+        // two-phase tile arithmetic in ScalableWindow is value-identical
         graft.operators.ScalableWindow.withPartitionedNtile(
           ppl, "bucket", 3)(
-          Seq(col("lang")), Seq(floor(col("ppl")).cast("long")),
+          Seq(col("lang")),
+          Seq(floor(log(greatest(col("ppl"), lit(1.0))) * 8).cast("long")),
           col("ppl"), col("doc_id"))
           .select(col("doc_id"), col("lang"), col("n_toks"), col("ppl"),
             col("bucket"))

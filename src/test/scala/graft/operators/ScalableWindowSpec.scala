@@ -169,4 +169,33 @@ class ScalableWindowSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(rankWins.nonEmpty, "rank window must partition by (part, salt)")
   }
+
+  test("NULL partition and salt keys are kept, matching the plain window") {
+    import spark.implicits._
+    // a plain `ntile() OVER (PARTITION BY g ...)` keeps the NULL-g group;
+    // the offsets round trip must too (null-safe join) — a plain equi-join
+    // would silently drop every NULL-keyed row
+    val rows = Seq[(Option[String], Long, Long)](
+      (Some("en"), 1, 5), (Some("en"), 2, 3), (Some("en"), 3, 9),
+      (None, 4, 1), (None, 5, 8), (None, 6, 2), (None, 7, 7),
+      (Some("de"), 8, 4))
+    val df = rows.toDF("g", "id", "v")
+    val ref = df.withColumn("t", ntile(3).over(
+      Window.partitionBy("g").orderBy(col("v"), col("id"))).cast("long"))
+    val got = ScalableWindow.withPartitionedNtile(df, "t2", 3)(
+      Seq(col("g")), Seq(expr("v div 3")), col("v"), col("id"))
+    assert(got.count() === rows.size, "no row may be dropped on a NULL key")
+    assert(ref.join(got, Seq("id")).where(col("t") =!= col("t2")).count() === 0)
+
+    // global form: a salt expression that is NULL for some rows (e.g. a
+    // derived bucket of a nullable column) must still rank every row
+    val dfn = Seq[(Long, Option[Long])]((1L, Some(10L)), (2L, None),
+      (3L, Some(4L)), (4L, None), (5L, Some(7L))).toDF("id", "v")
+    val refG = dfn.withColumn("r", row_number().over(
+      Window.orderBy(col("v").asc_nulls_first, col("id"))).cast("long"))
+    val gotG = ScalableWindow.withGlobalRowNumber(dfn, "r2")(
+      Seq(col("v")), col("v").asc_nulls_first, col("id"))
+    assert(gotG.count() === 5)
+    assert(refG.join(gotG, "id").where(col("r") =!= col("r2")).count() === 0)
+  }
 }

@@ -150,6 +150,32 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ANN search top-k windows plan a WindowGroupLimit (no full per-query sort)") {
+    // ProductQuantizer.search and IvfIndex.search compose top-k as
+    // row_number + filter, relying on Spark 4's rank-based group-limit
+    // pushdown: the PARTIAL WindowGroupLimit bounds what each map
+    // partition ships to k·rerank rows per query BEFORE the exchange. If
+    // a conf or a plan refactor (e.g. casting the rank before the filter)
+    // silently broke the pushdown, every query group would shuffle and
+    // sort its entire candidate set — the 100 TB regression this pins.
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    val ivf = graft.operators.IvfIndex.train(spark, e, k = 8, iters = 1)
+    val pIvf = graft.operators.IvfIndex
+      .search(spark, e, Seq(0L, 1L), ivf, nprobe = 2, topK = 5)
+      .queryExecution.executedPlan.toString()
+    assert("WindowGroupLimit".r.findAllIn(pIvf).size >= 2,
+      s"ivf search: expected partial+final WindowGroupLimit:\n${pIvf.take(3000)}")
+    val pq = graft.operators.ProductQuantizer.train(spark, e, m = 8, k = 4, iters = 1)
+    val pPq = graft.operators.ProductQuantizer
+      .search(spark, e, Seq(0L, 1L), pq, topK = 5, rerank = 2)
+      .queryExecution.executedPlan.toString()
+    // two top-k windows (ADC approximate + exact rerank) → 4 nodes
+    assert("WindowGroupLimit".r.findAllIn(pPq).size >= 4,
+      s"pq search: expected partial+final WindowGroupLimit on both windows:\n${pPq.take(3000)}")
+  }
+
   test("q21 plans one window pass: no second lineitem scan, bounded exchanges") {
     val p = planOf("tpch_q21_waiting_orders")
     // the whole NOT-EXISTS derivation rides chained window functions over
