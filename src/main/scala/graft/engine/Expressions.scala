@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, TernaryExpression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -424,8 +424,14 @@ object Expressions {
     * behavior coalesce the text to '' at the call site (the minhash
     * plans do), byte-identical to what the UDF computed on null.
     */
-  case class ShingleHashesSortedExpr(child: Expression) extends UnaryExpression {
+  case class ShingleHashesSortedExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
 
+    // analysis-time input contract: a mistyped child surfaces as an
+    // AnalysisException instead of a codegen compile failure / runtime CCE
+    // (no explicit Seq[AbstractDataType] annotation — that type is
+    // private[sql] in Spark 4; Seq[DataType] conforms covariantly)
+    override def inputTypes = Seq(StringType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "shingle_hashes_sorted_native"
 
@@ -451,8 +457,12 @@ object Expressions {
     * both the `minhash_bands_hashed` UDF and `minhash_bands(text)`
     * (DedupSpec pins the chain).
     */
-  case class MinhashBandsExpr(child: Expression) extends UnaryExpression {
+  case class MinhashBandsExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
 
+    // accepts array<bigint> regardless of containsNull (sameType ignores
+    // nullability); anything else fails at analysis, not codegen
+    override def inputTypes = Seq(ArrayType(LongType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_bands_native"
 
@@ -519,6 +529,38 @@ object Expressions {
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }
+
+  /** nearest_in_codebook(v ARRAY<DOUBLE>, cents ARRAY<ARRAY<DOUBLE>>) → INT:
+    * argmin cosine distance over a codebook carried in a COLUMN — the fine
+    * level of the two-level IVF quantizer. Unlike NearestCentroidExpr the
+    * centroid matrix never rides in the serialized plan (that path caps at
+    * ~2 MB of plan bytes); it arrives per-row from a broadcast/shuffle join
+    * on the coarse cell id, so total k scales with the cluster, not the
+    * plan. Same distance arithmetic and first-min tie-break as the flat
+    * kernel (VecOps.cosineDistAD mirrors cosineDistCent op-for-op).
+    */
+  case class NearestInCodebookExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+
+    override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "nearest_in_codebook_native"
+
+    override protected def nullSafeEval(v: Any, cents: Any): Any =
+      VecOps.nearestInCodebook(v.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (v, c) => s"graft.engine.VecOps.nearestInCodebook($v, $c)")
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
+  def nearestInCodebook(v: org.apache.spark.sql.Column,
+      cents: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(NearestInCodebookExpr(
+      org.apache.spark.sql.GraftBridge.expression(v),
+      org.apache.spark.sql.GraftBridge.expression(cents)))
 
   /** pq_assign(sub INT, sv ARRAY<DOUBLE>) → INT: nearest code in the
     * sub-th PQ codebook by L2² — the native twin of the boxed PQ training

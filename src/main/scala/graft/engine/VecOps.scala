@@ -81,6 +81,40 @@ object VecOps {
     best
   }
 
+  /** Cosine distance where BOTH sides are ArrayData — the per-element
+    * arithmetic and operation order of cosineDistCent (dot/na/nb fused,
+    * min-length, zero-norm → 1.0), so two-level assignment agrees exactly
+    * with what flat assignment would compute on the same centroid values.
+    */
+  def cosineDistAD(cent: ArrayData, v: ArrayData): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(cent.numElements(), v.numElements())
+    while (i < n) {
+      val a = cent.getDouble(i); val b = v.getDouble(i)
+      dot += a * b; na += a * a; nb += b * b
+      i += 1
+    }
+    if (na == 0 || nb == 0) 1.0 else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Argmin over a COLUMN-carried codebook (array<array<double>>) — the
+    * fine level of the two-level IVF quantizer, where the centroid matrix
+    * arrives via a join instead of riding in the serialized plan (the
+    * flat path's ceiling). First minimum on ties, like nearestCentroid.
+    */
+  def nearestInCodebook(v: ArrayData, cents: ArrayData): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    val k = cents.numElements()
+    while (c < k) {
+      val d = cosineDistAD(cents.getArray(c), v)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** The n nearest centroid indices, distance asc with index tie-break —
     * same ordering as Model.nearest's stable sortBy.
     */

@@ -108,18 +108,141 @@ object IvfIndex {
     * SemDeDup design — Abbas et al. 2023 run k-means precisely to bound the
     * pairwise stage), so k must grow with the corpus the same way
     * AnnLsh.bitsFor grows LSH bands. At the test SFs this floors at 8
-    * (identical to the fixed-k ANN queries). Capped at 2¹² — NOT for
-    * occupancy but because this flat quantizer's mechanics stop being
-    * right past it: NearestCentroidExpr embeds the k×dim matrix in the
-    * serialized plan (4096×64 doubles ≈ 2 MB — the ceiling of "small
-    * enough to ship in the plan") and assignment scans all k centroids
-    * per row. Past n ≈ 8.4M rows (cap × 2048) a semantic-dedup corpus
-    * needs a two-level (hierarchical) quantizer with broadcast codebooks;
-    * the flat path deliberately saturates rather than silently building
-    * a quarter-GB plan.
+    * (identical to the fixed-k ANN queries). Up to FlatCap the flat
+    * plan-embedded quantizer serves k; past it (n ≈ 8.4M rows, the old
+    * hard cap) callers switch to the TWO-LEVEL quantizer, where only the
+    * coarse √k matrix is plan-resident and fine codebooks ride a join —
+    * so k keeps tracking n/2048 to 2²⁰ (n ≈ 2.1 B vectors; the next
+    * doubling is a coarse-width bump, not a mechanics change — the 2²⁰
+    * cap is id-packing hygiene for cluster = c·kf + f, not a design
+    * ceiling).
     */
   def kFor(n: Long): Int =
-    math.max(8L, math.min(1L << 12, n / 2048L)).toInt
+    math.max(8L, math.min(1L << 20, n / 2048L)).toInt
+
+  /** Ceiling of the FLAT quantizer's mechanics: NearestCentroidExpr embeds
+    * the k×dim matrix in the serialized plan (4096×64 doubles ≈ 2 MB — the
+    * most that should ever ship in a plan) and assignment scans all k
+    * centroids per row. Past this, use trainTwoLevel/assignTwoLevel, whose
+    * fine codebooks travel as DATA (broadcast or shuffle join), never plan
+    * bytes.
+    */
+  val FlatCap: Int = 1 << 12
+
+  /** Two-level (hierarchical) quantizer — the scale path past FlatCap.
+    *
+    * Level 1: a flat coarse model of kc = ⌈√k⌉ centroids (plan-embedded,
+    * kc ≤ FlatCap always since k ≤ 2²⁰ → kc ≤ 2¹⁰ — well under the 2 MB
+    * plan budget). Level 2: per-coarse-cell codebooks of kf = ⌈k/kc⌉ fine
+    * centroids each, held in a DataFrame (c, cents: array<array<double>>)
+    * that NEVER reaches the driver or the plan — at k = 2²⁰ × dim 64 the
+    * full fine matrix is ~512 MB of distributed data, exactly what the
+    * flat design refused to serialize. Assignment is coarse map-side +
+    * one join on c (broadcast below 64 MB, shuffle above — and that
+    * shuffle is on the same key the downstream cluster-scoped work
+    * groups by, so it is reused, not extra). Final cluster id packs as
+    * c·kf + f.
+    */
+  final case class TwoLevelModel(coarse: Model, kf: Int, codebooks: DataFrame) {
+    def k: Int = coarse.centroids.length * kf
+    def dim: Int = if (coarse.centroids.isEmpty) 0 else coarse.centroids(0).length
+    /** Estimated fine-matrix bytes, for the broadcast-vs-shuffle choice. */
+    def fineBytes: Long = coarse.centroids.length.toLong * kf * dim * 8L
+  }
+
+  /** Train the two-level quantizer. `emb` needs (id: long, v: array<double>).
+    * Deterministic end-to-end: coarse seeds/iterations via the flat
+    * trainer, fine seeds per cell by (md5(id), id) rank — a rank ≤ kf
+    * filter that Spark 4 turns into a partial WindowGroupLimit, so no
+    * cell ever sorts more than its own members and the shuffle carries
+    * ≤ kf rows per cell per map partition. Fine Lloyd passes are plain
+    * DataFrame aggregations; per-(cell, fine, dim) partial sums mean no
+    * cluster's members ever materialize in one row, and only the kc-row
+    * codebook frame is ever checkpointed. Empty fine cells keep their
+    * previous centroid (same rule as the flat trainer's driver-side merge).
+    */
+  def trainTwoLevel(spark: SparkSession, emb: DataFrame, k: Int, iters: Int,
+                    knownN: Option[Long] = None): TwoLevelModel = {
+    import org.apache.spark.sql.expressions.Window
+    val kc = math.min(FlatCap.toLong, math.ceil(math.sqrt(k.toDouble)).toLong).toInt
+    val kf = math.max(1, math.ceil(k.toDouble / kc).toInt)
+    val coarse = train(spark, emb, kc, iters, knownN)
+    val assigned = emb.withColumn("__tl_c", assignCol(col("v"), coarse))
+
+    // deterministic fine seeds: first kf members of each cell in
+    // (md5(id), id) order — WindowGroupLimit bounds the per-cell work
+    val wSeed = Window.partitionBy("__tl_c")
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    val seeds = assigned
+      .withColumn("__tl_f", row_number().over(wSeed))
+      .where(col("__tl_f") <= kf)
+      .groupBy(col("__tl_c").as("c"))
+      .agg(expr("transform(sort_array(collect_list(struct(__tl_f, v))), s -> s.v)")
+        .as("cents"))
+    var cb = seeds.localCheckpoint()
+
+    val fineBytes = kc.toLong * kf * coarse.centroids.headOption.map(_.length).getOrElse(0) * 8L
+    for (_ <- 1 to iters) {
+      val joined = joinCodebooks(assigned, cb, fineBytes, "inner")
+        .withColumn("__tl_f",
+          graft.engine.Expressions.nearestInCodebook(col("v"), col("__tl_cents")))
+      // per-(cell, fine, dim) partial sums — the same bounded-buffer shape
+      // as the flat trainer, but aggregated fully distributed (at k = 2²⁰
+      // the k×dim means table is 67M tiny rows: fine as a shuffle, fatal
+      // as a collect)
+      val means = joined
+        .select(col("__tl_c").as("c"), col("__tl_f").as("f"),
+          posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("c", "f", "d")
+        .agg((sum("x") / count(lit(1))).as("m"))
+        .groupBy("c", "f")
+        .agg(expr("transform(sort_array(collect_list(struct(d, m))), s -> s.m)")
+          .as("newc"))
+      // empty fine cells keep their previous centroid
+      val prevExpl = cb.select(col("c"),
+        posexplode(col("cents")).as(Seq("f", "prev")))
+      cb = prevExpl.join(means, Seq("c", "f"), "left")
+        .withColumn("cent", coalesce(col("newc"), col("prev")))
+        .groupBy("c")
+        .agg(expr("transform(sort_array(collect_list(struct(f, cent))), s -> s.cent)")
+          .as("cents"))
+        .localCheckpoint()
+    }
+    TwoLevelModel(coarse, kf, cb)
+  }
+
+  /** Adds `outCol` = two-level cluster id (LONG, = coarse·kf + fine) for
+    * vector column `v`. Coarse assignment is map-side codegen; the fine
+    * codebook arrives via ONE join on the coarse id — broadcast while the
+    * fine matrix fits (≤ 64 MB), a hash-partitioned join past that, which
+    * co-locates rows by coarse cell: the exchange every downstream
+    * cluster-scoped stage (within-cell pairs, per-cell top-k) reuses.
+    */
+  def assignTwoLevel(df: DataFrame, v: org.apache.spark.sql.Column,
+                     model: TwoLevelModel, outCol: String): DataFrame =
+    // LEFT join so a null vector keeps flat-path semantics: the row
+    // survives with a null cluster (its null coarse id matches no
+    // codebook, the fine argmin propagates the null)
+    joinCodebooks(df.withColumn("__tl_c", assignCol(v, model.coarse)),
+        model.codebooks, model.fineBytes, "left")
+      .withColumn(outCol,
+        col("__tl_c").cast("long") * model.kf +
+          graft.engine.Expressions.nearestInCodebook(v, col("__tl_cents")).cast("long"))
+      .drop("__tl_c", "__tl_cents")
+
+  /** Join rows (carrying `__tl_c`) to their coarse cell's fine codebook.
+    * The codebook side is kc rows; what decides broadcast-vs-shuffle is
+    * the ARRAY payload (kc·kf·dim doubles), estimated analytically —
+    * ≤ 64 MB broadcasts, past that it hash-joins on the coarse id, which
+    * co-locates rows by cell: the exchange every downstream cluster-
+    * scoped stage reuses.
+    */
+  private def joinCodebooks(rows: DataFrame, cb: DataFrame,
+      fineBytes: Long, joinType: String): DataFrame = {
+    val renamed = cb.select(col("c").as("__tl_c"), col("cents").as("__tl_cents"))
+    val side = if (fineBytes <= (64L << 20)) broadcast(renamed) else renamed
+    rows.join(side, Seq("__tl_c"), joinType)
+  }
 
   /** Native codegen centroid-assignment columns (no per-row boxing). */
   private[operators] def nearestCentroidCol(

@@ -507,17 +507,44 @@ object DedupQueries {
     * candidate set is EXHAUSTIVE (an equi-join, not LSH), so there is no
     * approximation inside a cluster to verify.
     */
-  private[queries] def semanticScaffold(s: SparkSession, d: String)
-      : (graft.operators.IvfIndex.Model, DataFrame, DataFrame) = {
+  /** Cluster-assignment handle abstracting the flat vs two-level quantizer:
+    * the flat path is a pure map-side column; the two-level path needs a
+    * codebook JOIN, so "add a cluster column" is the common shape both
+    * support (and what the checked twin needs to test same-cluster-ness
+    * of the planted perturbation under either quantizer).
+    */
+  private[graft] trait SemQuantizer {
+    def withCluster(df: DataFrame, v: org.apache.spark.sql.Column,
+        out: String): DataFrame
+  }
+
+  private[graft] def semanticScaffold(s: SparkSession, d: String,
+      forceTwoLevel: Boolean = false)
+      : (SemQuantizer, DataFrame, DataFrame) = {
     graft.engine.Expressions.register(s)
     val e = embWithDups(s, d)
     val n = graft.operators.AnnLsh.memoizedCount(e)
-    val model = graft.operators.IvfIndex.train(
-      s, e.select(col("vec_id").as("id"), col("ve").as("v")),
-      graft.operators.IvfIndex.kFor(n), iters = 3, knownN = Some(n))
-    // map-only assignment: the k×dim centroid matrix rides in the plan
-    val assigned = e.withColumn(
-      "cluster", graft.operators.IvfIndex.assignCol(col("ve"), model))
+    val k = graft.operators.IvfIndex.kFor(n)
+    // flat (plan-embedded) quantizer while k fits the plan-bytes budget;
+    // two-level past FlatCap (n ≈ 8.4M vectors) — identical contract,
+    // codebooks as data instead of plan. At the test SFs the flat path
+    // runs, so registered outputs are unchanged; dedup_semantic_twolevel_
+    // checked forces the scale path through the same oracled contract.
+    val quant: SemQuantizer =
+      if (k <= graft.operators.IvfIndex.FlatCap && !forceTwoLevel) {
+        val model = graft.operators.IvfIndex.train(
+          s, e.select(col("vec_id").as("id"), col("ve").as("v")),
+          k, iters = 3, knownN = Some(n))
+        (df: DataFrame, v: org.apache.spark.sql.Column, out: String) =>
+          df.withColumn(out, graft.operators.IvfIndex.assignCol(v, model))
+      } else {
+        val m2 = graft.operators.IvfIndex.trainTwoLevel(
+          s, e.select(col("vec_id").as("id"), col("ve").as("v")),
+          k, iters = 3, knownN = Some(n))
+        (df: DataFrame, v: org.apache.spark.sql.Column, out: String) =>
+          graft.operators.IvfIndex.assignTwoLevel(df, v, m2, out)
+      }
+    val assigned = quant.withCluster(e, col("ve"), "cluster")
     // within-cluster pairs: vectors shuffle ONCE on the cluster id (both
     // self-join sides share the exchange) and the codegen cosine filter
     // consumes joined pairs streamingly — nothing quadratic materializes
@@ -528,8 +555,87 @@ object DedupQueries {
       .withColumn("cos", round(expr("vec_cosine_native(va, vb)"), 6))
       .where(col("cos") >= 0.9)
       .select(col("a"), col("b"), col("cos"))
-    (model, assigned, pairs)
+    (quant, assigned, pairs)
   }
+
+  /** Shared body of the dedup_semantic contract twins (flat and forced
+    * two-level): reduces the operator's output to claims DuckDB can either
+    * compute exactly (planted cosines are a function of ONE row) or
+    * adjudicate as booleans that hold iff the operator honored its
+    * contract — under ANY quantizer.
+    */
+  private[graft] def semanticCheckedPlan(s: SparkSession, d: String,
+      forceTwoLevel: Boolean): DataFrame = {
+    val (quant, _, pairsPlan) = semanticScaffold(s, d, forceTwoLevel)
+    // the verified pair set feeds four independent aggregates below —
+    // pin it once (CC re-derives it internally per star round otherwise)
+    val pairs = pairsPlan.localCheckpoint()
+    val comps = graft.operators.ConnectedComponents
+      .components(s, pairs.select("a", "b"), "a", "b")
+    // planted geometry from one row: vp is bit-identical to the +100000
+    // copy embWithDups builds (same transform expression), so cluster
+    // assignments and cosines match the operator's exactly. same_cluster
+    // goes through the quantizer handle — a map-side column on the flat
+    // path, two codebook joins on the two-level path.
+    val base = T(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+      .withColumn("vp", expr("transform(ve, x -> x + 0.05d)"))
+      .withColumn("pcos", round(expr("vec_cosine_native(ve, vp)"), 6))
+      .withColumn("ge_t", col("pcos") >= 0.9)
+    val planted = quant.withCluster(
+        quant.withCluster(base, col("ve"), "c_ve"), col("vp"), "c_vp")
+      .withColumn("same_cluster", col("c_ve") === col("c_vp"))
+    val plantedAgg = planted.agg(
+      sum(when(col("ge_t"), 1L).otherwise(0L)).as("n_planted_ge_t"),
+      sum(when(col("ge_t") && col("same_cluster"), 1L).otherwise(0L))
+        .as("n_planted_same"),
+      sum(when(col("ge_t") && !col("same_cluster"), 1L).otherwise(0L))
+        .as("n_planted_cross"))
+    val foundPlanted = planted.where(col("ge_t"))
+      .select(col("vec_id").as("a"), (col("vec_id") + 100000).as("b"))
+      .join(pairs.select("a", "b"), Seq("a", "b"))
+      .agg(count(lit(1)).as("n_planted_found"))
+    val nodeStats = comps.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(when(col("node") =!= col("comp"), 1L).otherwise(0L)).as("n_dropped"),
+      countDistinct(col("comp")).as("n_comps"))
+    // non-vacuous survivor-pick check: every component's label must BE
+    // its minimum member (a broken CC could emit labels that are not
+    // the component min, or representatives outside their own
+    // component — this catches both; "every node is a pair endpoint"
+    // would be true by construction and prove nothing)
+    val badReps = comps.groupBy("comp").agg(min("node").as("mn"))
+      .where(col("mn") =!= col("comp"))
+      .agg(count(lit(1)).as("n_bad_reps"))
+    embWithDups(s, d).agg(count(lit(1)).as("n_input"))
+      .crossJoin(broadcast(plantedAgg))
+      .crossJoin(broadcast(foundPlanted))
+      .crossJoin(broadcast(nodeStats))
+      .crossJoin(broadcast(badReps))
+      .select(
+        col("n_input").cast("long").as("n_input"),
+        col("n_planted_ge_t").cast("long").as("n_planted_ge_t"),
+        (col("n_dropped") === col("n_nodes") - col("n_comps")).as("cc_structure_ok"),
+        (col("n_bad_reps") === 0L).as("reps_are_component_minima"),
+        (col("n_planted_found") === col("n_planted_same"))
+          .as("planted_recall_complete"),
+        (col("n_planted_found") + col("n_planted_cross") === col("n_planted_ge_t"))
+          .as("planted_split_consistent"))
+  }
+
+  private[queries] val semanticCheckedOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      |pl AS (SELECT round(list_dot_product(ve, list_transform(ve, x -> x + 0.05)) /
+      |    (sqrt(list_dot_product(ve, ve)) *
+      |     sqrt(list_dot_product(list_transform(ve, x -> x + 0.05),
+      |                           list_transform(ve, x -> x + 0.05)))), 6) AS pcos
+      |  FROM e)
+      |SELECT CAST(2 * (SELECT count(*) FROM e) AS BIGINT) AS n_input,
+      |  CAST((SELECT count(*) FROM pl WHERE pcos >= 0.9) AS BIGINT) AS n_planted_ge_t,
+      |  true AS cc_structure_ok,
+      |  true AS reps_are_component_minima,
+      |  true AS planted_recall_complete,
+      |  true AS planted_split_consistent""".stripMargin
 
   val qs: Seq[QueryDef] = Seq(
     // n-gram/token Jaccard verification on deterministic pairs (oracle-able)
@@ -1179,73 +1285,19 @@ object DedupQueries {
     //                         member (catches a CC emitting non-min labels
     //                         or representatives outside their component).
     QueryDef("dedup_semantic_checked",
-      (s, d) => {
-        val (model, _, pairsPlan) = semanticScaffold(s, d)
-        // the verified pair set feeds four independent aggregates below —
-        // pin it once (CC re-derives it internally per star round otherwise)
-        val pairs = pairsPlan.localCheckpoint()
-        val comps = graft.operators.ConnectedComponents
-          .components(s, pairs.select("a", "b"), "a", "b")
-        // planted geometry from one row: vp is bit-identical to the +100000
-        // copy embWithDups builds (same transform expression), so cluster
-        // assignments and cosines match the operator's exactly
-        val planted = T(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
-          .withColumn("vp", expr("transform(ve, x -> x + 0.05d)"))
-          .withColumn("pcos", round(expr("vec_cosine_native(ve, vp)"), 6))
-          .withColumn("ge_t", col("pcos") >= 0.9)
-          .withColumn("same_cluster",
-            graft.operators.IvfIndex.assignCol(col("ve"), model) ===
-              graft.operators.IvfIndex.assignCol(col("vp"), model))
-        val plantedAgg = planted.agg(
-          sum(when(col("ge_t"), 1L).otherwise(0L)).as("n_planted_ge_t"),
-          sum(when(col("ge_t") && col("same_cluster"), 1L).otherwise(0L))
-            .as("n_planted_same"),
-          sum(when(col("ge_t") && !col("same_cluster"), 1L).otherwise(0L))
-            .as("n_planted_cross"))
-        val foundPlanted = planted.where(col("ge_t"))
-          .select(col("vec_id").as("a"), (col("vec_id") + 100000).as("b"))
-          .join(pairs.select("a", "b"), Seq("a", "b"))
-          .agg(count(lit(1)).as("n_planted_found"))
-        val nodeStats = comps.agg(
-          count(lit(1)).as("n_nodes"),
-          sum(when(col("node") =!= col("comp"), 1L).otherwise(0L)).as("n_dropped"),
-          countDistinct(col("comp")).as("n_comps"))
-        // non-vacuous survivor-pick check: every component's label must BE
-        // its minimum member (a broken CC could emit labels that are not
-        // the component min, or representatives outside their own
-        // component — this catches both; "every node is a pair endpoint"
-        // would be true by construction and prove nothing)
-        val badReps = comps.groupBy("comp").agg(min("node").as("mn"))
-          .where(col("mn") =!= col("comp"))
-          .agg(count(lit(1)).as("n_bad_reps"))
-        embWithDups(s, d).agg(count(lit(1)).as("n_input"))
-          .crossJoin(broadcast(plantedAgg))
-          .crossJoin(broadcast(foundPlanted))
-          .crossJoin(broadcast(nodeStats))
-          .crossJoin(broadcast(badReps))
-          .select(
-            col("n_input").cast("long").as("n_input"),
-            col("n_planted_ge_t").cast("long").as("n_planted_ge_t"),
-            (col("n_dropped") === col("n_nodes") - col("n_comps")).as("cc_structure_ok"),
-            (col("n_bad_reps") === 0L).as("reps_are_component_minima"),
-            (col("n_planted_found") === col("n_planted_same"))
-              .as("planted_recall_complete"),
-            (col("n_planted_found") + col("n_planted_cross") === col("n_planted_ge_t"))
-              .as("planted_split_consistent"))
-      },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-             |pl AS (SELECT round(list_dot_product(ve, list_transform(ve, x -> x + 0.05)) /
-             |    (sqrt(list_dot_product(ve, ve)) *
-             |     sqrt(list_dot_product(list_transform(ve, x -> x + 0.05),
-             |                           list_transform(ve, x -> x + 0.05)))), 6) AS pcos
-             |  FROM e)
-             |SELECT CAST(2 * (SELECT count(*) FROM e) AS BIGINT) AS n_input,
-             |  CAST((SELECT count(*) FROM pl WHERE pcos >= 0.9) AS BIGINT) AS n_planted_ge_t,
-             |  true AS cc_structure_ok,
-             |  true AS reps_are_component_minima,
-             |  true AS planted_recall_complete,
-             |  true AS planted_split_consistent""".stripMargin)),
+      (s, d) => semanticCheckedPlan(s, d, forceTwoLevel = false),
+      Some(semanticCheckedOracle)),
+
+    // The SAME oracled contract, with the TWO-LEVEL quantizer FORCED —
+    // the quantizer the operator switches to past FlatCap (n ≈ 8.4M
+    // vectors), exercised and cross-engine-adjudicated at the test SFs.
+    // Every contract boolean is quantizer-independent (within-cluster
+    // search is exhaustive under ANY partition of the corpus; CC
+    // structure and planted-cosine counts don't depend on k-means), so
+    // one oracle serves both paths.
+    QueryDef("dedup_semantic_twolevel_checked",
+      (s, d) => semanticCheckedPlan(s, d, forceTwoLevel = true),
+      Some(semanticCheckedOracle)),
 
     // Multimodal: binary payload + per-mime decode through mapPartitions.
     // FULLY ORACLED: every feature is a deterministic function of

@@ -125,6 +125,16 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .findFirstIn(plan).isDefined, plan)
     assert("""\*\(\d+\) Project \[[^\n]*shingle_hashes_sorted_native""".r
       .findFirstIn(plan).isDefined, plan)
+    // mistyped children fail at ANALYSIS (ExpectsInputTypes), not as a
+    // codegen compile error or a runtime ClassCastException
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).select(
+        Expressions.shingleHashesSortedNative(col("id"))).head()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).select(Expressions.minhashBandsNative(
+        array(lit(1), lit(2)))).head() // array<int>, not array<bigint>
+    }
   }
 
   test("optimizer collapses hex/unhex round-trips and parent chains") {

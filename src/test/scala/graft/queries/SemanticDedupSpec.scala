@@ -29,8 +29,14 @@ class SemanticDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = spark.stop()
 
-  test("within-cluster pairs equal the same-cluster slice of brute force") {
-    val (model, assigned, pairsDf) = DedupQueries.semanticScaffold(spark, dir)
+  /** Exhaustiveness holds under ANY quantizer: found pairs must be exactly
+    * the same-cluster slice of a brute-force all-pairs sweep. Run for both
+    * the flat path (what the test SFs execute) and the FORCED two-level
+    * path (what executes past FlatCap).
+    */
+  private def exhaustivenessCheck(forceTwoLevel: Boolean): Unit = {
+    val (_, assigned, pairsDf) =
+      DedupQueries.semanticScaffold(spark, dir, forceTwoLevel)
     val found = pairsDf.select("a", "b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // ground truth: FULL all-pairs sweep (spec-only cross join), flagged by
@@ -50,7 +56,25 @@ class SemanticDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(found === sameCluster)
     // the planted +0.05 copies guarantee qualifying pairs exist at all
     assert(all.nonEmpty)
-    assert(model.centroids.length >= 8)
+    val nClusters = assigned.select("cluster").distinct().count()
+    assert(nClusters >= 2, s"quantizer must split the corpus, got $nClusters")
+  }
+
+  test("within-cluster pairs equal the same-cluster slice of brute force") {
+    exhaustivenessCheck(forceTwoLevel = false)
+  }
+
+  test("two-level quantizer: same exhaustiveness contract, codebooks as data") {
+    exhaustivenessCheck(forceTwoLevel = true)
+  }
+
+  test("two-level checked twin: all contract booleans hold") {
+    val row = DedupQueries.qs.find(_.name == "dedup_semantic_twolevel_checked").get
+      .fn(spark, dir).head()
+    val nEmb = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(row.getLong(0) == 2 * nEmb)
+    assert(row.getLong(1) > 0)
+    for (i <- 2 to 5) assert(row.getBoolean(i), s"contract boolean $i false: $row")
   }
 
   test("survivor pick: one representative (the component min) per group") {
@@ -75,12 +99,15 @@ class SemanticDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (i <- 2 to 5) assert(row.getBoolean(i), s"contract boolean $i false: $row")
   }
 
-  test("kFor holds expected occupancy: floor 8, linear middle, 2^12 plan-size cap") {
-    import graft.operators.IvfIndex.kFor
+  test("kFor holds expected occupancy: floor 8, linear middle, 2^20 id-packing cap") {
+    import graft.operators.IvfIndex.{kFor, FlatCap}
     assert(kFor(0) == 8 && kFor(10000) == 8)
     assert(kFor(1 << 20) == (1 << 20) / 2048)
-    // capped where the plan-embedded centroid matrix stops being small
-    assert(kFor(1L << 40) == (1 << 12))
+    // linear THROUGH the old flat-plan ceiling — the two-level quantizer
+    // carries k past FlatCap; only the id-packing cap at 2^20 remains
+    assert(kFor(16L << 20) == (16L << 20) / 2048 &&
+      kFor(16L << 20) > FlatCap)
+    assert(kFor(1L << 40) == (1 << 20))
     val ns = Seq(1L, 100L, 1L << 14, 1L << 21, 1L << 30, 1L << 45)
     assert(ns.map(kFor) == ns.map(kFor).sorted)
   }
