@@ -138,10 +138,13 @@ object IvfIndex {
     * that NEVER reaches the driver or the plan — at k = 2²⁰ × dim 64 the
     * full fine matrix is ~512 MB of distributed data, exactly what the
     * flat design refused to serialize. Assignment is coarse map-side +
-    * one join on c (broadcast below 64 MB, shuffle above — and that
-    * shuffle is on the same key the downstream cluster-scoped work
-    * groups by, so it is reused, not extra). Final cluster id packs as
-    * c·kf + f.
+    * one join on c (broadcast below 64 MB of fine matrix; a corpus hash
+    * join on the coarse id above it — an extra corpus shuffle that only
+    * exists in the >64 MB regime, and note Spark cannot reuse it for
+    * stages keyed on the PACKED id c·kf + f since hashpartitioning(c)
+    * is not hashpartitioning(c·kf + f); a consumer that wants the reuse
+    * groups by the (c, f) pair with c leading instead of the packed
+    * column). Final cluster id packs as c·kf + f.
     */
   final case class TwoLevelModel(coarse: Model, kf: Int, codebooks: DataFrame) {
     def k: Int = coarse.centroids.length * kf
@@ -166,8 +169,13 @@ object IvfIndex {
     import org.apache.spark.sql.expressions.Window
     val kc = math.min(FlatCap.toLong, math.ceil(math.sqrt(k.toDouble)).toLong).toInt
     val kf = math.max(1, math.ceil(k.toDouble / kc).toInt)
-    val coarse = train(spark, emb, kc, iters, knownN)
-    val assigned = emb.withColumn("__tl_c", assignCol(col("v"), coarse))
+    // null vectors carry no information and would otherwise seed a
+    // garbage codebook row (c = NULL, cents of nulls) that survives every
+    // Lloyd pass — train on the non-null slice only (the flat trainer has
+    // the same precondition, enforced here instead of assumed)
+    val clean = emb.where(col("v").isNotNull)
+    val coarse = train(spark, clean, kc, iters, knownN)
+    val assigned = clean.withColumn("__tl_c", assignCol(col("v"), coarse))
 
     // deterministic fine seeds: first kf members of each cell in
     // (md5(id), id) order — WindowGroupLimit bounds the per-cell work
@@ -201,6 +209,9 @@ object IvfIndex {
       // empty fine cells keep their previous centroid
       val prevExpl = cb.select(col("c"),
         posexplode(col("cents")).as(Seq("f", "prev")))
+      // superseded checkpoints (kc-row frames) are dereferenced here and
+      // reclaimed by the ContextCleaner on driver GC — nothing corpus-
+      // sized is ever pinned
       cb = prevExpl.join(means, Seq("c", "f"), "left")
         .withColumn("cent", coalesce(col("newc"), col("prev")))
         .groupBy("c")
@@ -208,15 +219,35 @@ object IvfIndex {
           .as("cents"))
         .localCheckpoint()
     }
-    TwoLevelModel(coarse, kf, cb)
+    // COMPLETE the codebook: a coarse cell can end training with zero
+    // members (the flat trainer keeps stale centroids for emptied cells),
+    // yet NEW data assigned later can still land nearest to it — without
+    // a codebook row the assignment join would emit a NULL cluster for a
+    // NON-null vector, silently dropping it from every downstream
+    // cluster-scoped stage. Empty cells fall back to a one-entry codebook
+    // holding the coarse centroid itself (fine id 0), so every possible
+    // coarse argmin has a row and non-null vectors ALWAYS get a cluster —
+    // flat-path parity. kc ≤ 2¹² rows, driver-built once.
+    val allCells = spark.createDataFrame(
+      coarse.centroids.zipWithIndex.toSeq
+        .map { case (cent, i) => (i, Seq(cent.toSeq)) })
+      .toDF("c", "fallback")
+    val complete = allCells.join(cb, Seq("c"), "left")
+      .withColumn("cents", coalesce(col("cents"), col("fallback")))
+      .select("c", "cents")
+      .localCheckpoint()
+    TwoLevelModel(coarse, kf, complete)
   }
 
   /** Adds `outCol` = two-level cluster id (LONG, = coarse·kf + fine) for
     * vector column `v`. Coarse assignment is map-side codegen; the fine
     * codebook arrives via ONE join on the coarse id — broadcast while the
-    * fine matrix fits (≤ 64 MB), a hash-partitioned join past that, which
-    * co-locates rows by coarse cell: the exchange every downstream
-    * cluster-scoped stage (within-cell pairs, per-cell top-k) reuses.
+    * fine matrix fits (≤ 64 MB, i.e. ZERO extra shuffles in that regime),
+    * a hash-partitioned join past it. That large-regime exchange is on
+    * the coarse id, which downstream stages keyed on the PACKED cluster
+    * id do NOT satisfy (hashpartitioning(c) ≠ hashpartitioning(c·kf+f)) —
+    * a consumer that wants to reuse it should group by the (coarse,
+    * fine) column pair instead of the packed id.
     */
   def assignTwoLevel(df: DataFrame, v: org.apache.spark.sql.Column,
                      model: TwoLevelModel, outCol: String): DataFrame =
@@ -233,9 +264,9 @@ object IvfIndex {
   /** Join rows (carrying `__tl_c`) to their coarse cell's fine codebook.
     * The codebook side is kc rows; what decides broadcast-vs-shuffle is
     * the ARRAY payload (kc·kf·dim doubles), estimated analytically —
-    * ≤ 64 MB broadcasts, past that it hash-joins on the coarse id, which
-    * co-locates rows by cell: the exchange every downstream cluster-
-    * scoped stage reuses.
+    * ≤ 64 MB broadcasts (no corpus shuffle at all); past that the corpus
+    * hash-joins on the coarse id (one extra shuffle, in the regime where
+    * the matrix genuinely cannot broadcast).
     */
   private def joinCodebooks(rows: DataFrame, cb: DataFrame,
       fineBytes: Long, joinType: String): DataFrame = {

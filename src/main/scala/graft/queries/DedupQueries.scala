@@ -572,19 +572,7 @@ object DedupQueries {
     val pairs = pairsPlan.localCheckpoint()
     val comps = graft.operators.ConnectedComponents
       .components(s, pairs.select("a", "b"), "a", "b")
-    // planted geometry from one row: vp is bit-identical to the +100000
-    // copy embWithDups builds (same transform expression), so cluster
-    // assignments and cosines match the operator's exactly. same_cluster
-    // goes through the quantizer handle — a map-side column on the flat
-    // path, two codebook joins on the two-level path.
-    val base = T(s, d, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
-      .withColumn("vp", expr("transform(ve, x -> x + 0.05d)"))
-      .withColumn("pcos", round(expr("vec_cosine_native(ve, vp)"), 6))
-      .withColumn("ge_t", col("pcos") >= 0.9)
-    val planted = quant.withCluster(
-        quant.withCluster(base, col("ve"), "c_ve"), col("vp"), "c_vp")
-      .withColumn("same_cluster", col("c_ve") === col("c_vp"))
+    val planted = plantedProbe(s, d, quant)
     val plantedAgg = planted.agg(
       sum(when(col("ge_t"), 1L).otherwise(0L)).as("n_planted_ge_t"),
       sum(when(col("ge_t") && col("same_cluster"), 1L).otherwise(0L))
@@ -621,6 +609,28 @@ object DedupQueries {
           .as("planted_recall_complete"),
         (col("n_planted_found") + col("n_planted_cross") === col("n_planted_ge_t"))
           .as("planted_split_consistent"))
+  }
+
+  /** Planted-duplicate probe frame, ONE owner for the planted-pair
+    * convention (the +0.05/component perturbation, the 0.9 threshold,
+    * the +100000 id spacing): vp is bit-identical to the copy
+    * embWithDups builds (same transform expression), so cluster
+    * assignments and cosines match the operator's exactly. same_cluster
+    * goes through the quantizer handle — a map-side column on the flat
+    * path, two codebook joins on the two-level path. Shared by the
+    * checked twins and tools.SemRecall so the recall probe can never
+    * drift from the oracled contract.
+    */
+  private[graft] def plantedProbe(s: SparkSession, d: String,
+      quant: SemQuantizer): DataFrame = {
+    val base = T(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+      .withColumn("vp", expr("transform(ve, x -> x + 0.05d)"))
+      .withColumn("pcos", round(expr("vec_cosine_native(ve, vp)"), 6))
+      .withColumn("ge_t", col("pcos") >= 0.9)
+    quant.withCluster(
+        quant.withCluster(base, col("ve"), "c_ve"), col("vp"), "c_vp")
+      .withColumn("same_cluster", col("c_ve") === col("c_vp"))
   }
 
   private[queries] val semanticCheckedOracle: String =

@@ -23,14 +23,10 @@ object SemRecall {
     val (quant, _, pairsPlan) =
       graft.queries.DedupQueries.semanticScaffold(spark, dir, force)
     val pairs = pairsPlan.localCheckpoint()
-    val base = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
-      .withColumn("vp", expr("transform(ve, x -> x + 0.05d)"))
-      .withColumn("pcos", round(expr("vec_cosine_native(ve, vp)"), 6))
-      .withColumn("ge_t", col("pcos") >= 0.9)
-    val planted = quant.withCluster(
-        quant.withCluster(base, col("ve"), "c_ve"), col("vp"), "c_vp")
-      .withColumn("same_cluster", col("c_ve") === col("c_vp"))
+    // the planted geometry comes from the checked twins' ONE owner
+    // (DedupQueries.plantedProbe), so this probe can never drift from
+    // the oracled contract it reports on
+    val planted = graft.queries.DedupQueries.plantedProbe(spark, dir, quant)
       .localCheckpoint()
     val agg = planted.agg(
       count(lit(1)).as("n_emb"),

@@ -90,6 +90,48 @@ class IvfTwoLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("codebook is COMPLETE: one row per coarse cell, so new data never gets a null cluster") {
+    import spark.implicits._
+    // only 3 distinct vector VALUES but kc = 4 coarse seeds: duplicate
+    // seeds collapse under first-min ties, so at least one coarse cell
+    // ends training with ZERO members — exactly the stale-centroid case
+    // where un-completed codebooks would null-cluster future data
+    val dup = spark.range(120).select(col("id"),
+      expr("transform(sequence(0, 7), " +
+        "j -> cast(pmod(xxhash64(id % 3, j), 997) as double) / 997.0)").as("v"))
+    val m = IvfIndex.trainTwoLevel(spark, dup, k = 16, iters = 2)
+    val kc = m.coarse.centroids.length
+    assert(m.codebooks.count() === kc.toLong,
+      "every coarse cell must have a codebook row, occupied or not")
+    assert(m.codebooks.where(col("c").isNull || col("cents").isNull).count() === 0)
+    // DIFFERENT data than trained (train-once/assign-later usage): every
+    // non-null vector must get a cluster — no silent null-cluster drops
+    val fresh = corpus(500).withColumn("v",
+      expr("transform(v, x -> x + 0.31d)"))
+    val out = IvfIndex.assignTwoLevel(fresh, col("v"), m, "cluster")
+    assert(out.count() === 500)
+    assert(out.where(col("cluster").isNull).count() === 0,
+      "a non-null vector must never be assigned a null cluster")
+  }
+
+  test("null vectors in the TRAINING corpus are ignored, not turned into codebook rows") {
+    val e = corpus(150).withColumn("v",
+      when(col("id") % 37 === 0, lit(null)).otherwise(col("v")))
+    val m = IvfIndex.trainTwoLevel(spark, e, k = 9, iters = 2)
+    assert(m.codebooks.where(col("c").isNull).count() === 0,
+      "no NULL-keyed codebook row may survive training")
+    val books = collectCodebooks(m)
+    books.values.foreach(_.foreach(cent =>
+      assert(cent != null && cent.forall(x => !x.isNaN))))
+    // and the model still assigns everything (nulls → null, rest real)
+    val out = IvfIndex.assignTwoLevel(e, col("v"), m, "cluster").collect()
+    assert(out.length == 150)
+    out.foreach { r =>
+      val isNullV = r.isNullAt(r.fieldIndex("v"))
+      assert(r.isNullAt(r.fieldIndex("cluster")) == isNullV)
+    }
+  }
+
   test("null vectors keep their rows with a null cluster (flat-path parity)") {
     val e = corpus(50)
     val m = IvfIndex.trainTwoLevel(spark, e, k = 9, iters = 1)
