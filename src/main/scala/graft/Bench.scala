@@ -53,8 +53,12 @@ object Bench {
       acc ^= x
     }
     val sparkSec = minOf3 { () =>
+      // bit_xor, not sum: summing 2^24 uniform 64-bit hashes overflows LONG
+      // almost surely, and Spark 4's default ANSI mode turns that into a
+      // query-killing ARITHMETIC_OVERFLOW (xor is closed over int64 and
+      // keeps the same scan + hash + single-agg work).
       spark.range(1L << 24).select(xxhash64(col("id")).as("h"))
-        .agg(sum("h")).write.format("noop").mode("overwrite").save()
+        .agg(expr("bit_xor(h)")).write.format("noop").mode("overwrite").save()
     }
     System.err.println(s"[bench] host_cal cpu=${num(cpu, 3)}s " +
       s"spark=${num(sparkSec, 3)}s checksum=$acc")
