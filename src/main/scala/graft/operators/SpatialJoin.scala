@@ -159,14 +159,28 @@ object SpatialJoin {
     val pts = fan(points).withColumn("_cell",
       explode(expr(
         s"array_compact(array(h3_unhex(h3_latlng_cell_native(${lat.toString}, ${lng.toString}, $res))))")))
-      .sortWithinPartitions("_cell")
     val polys = fan(polygons).withColumn("_cell",
       explode(callUDF("st_cover_cells", wkt, lit(res))))
-    pts.join(polys, Seq("_cell"))
-      // native codegen filter: the row-backed UTF8String keys the prepared
-      // LRU directly, no String materialization per candidate probe
-      .where(expr(
-        s"st_contains_point_native(${wkt.toString}, ${lat.toString}, ${lng.toString})"))
-      .drop("_cell")
+    // native codegen filter: the row-backed UTF8String keys the prepared
+    // LRU directly, no String materialization per candidate probe
+    val containsF = expr(
+      s"st_contains_point_native(${wkt.toString}, ${lat.toString}, ${lng.toString})")
+    // Build-side choice by MEASURED size, not the planner's file-size
+    // estimate: the cover explode inflates the polygon side ~30-60× (one
+    // row per cover cell, each dragging the full WKT string), which the
+    // size estimate cannot see — auto-broadcast then collects and
+    // single-threadedly builds a relation tens of times larger than the
+    // points side (~140 MB vs ~6 MB at sf0.1). When a memoized capped
+    // probe proves the point side small, broadcast IT: the polygon-cover
+    // rows stream, each cover cell probes the point hash table, and the
+    // prepared-geometry LRU hits naturally because a polygon's cover
+    // cells leave the explode consecutively. Past the cap (points never
+    // broadcast at 100 TB) the original shape stays: polygons build side,
+    // local sort on the cell so same-cell probes are contiguous.
+    if (Dedup.fitsBroadcast(points))
+      polys.join(broadcast(pts), Seq("_cell")).where(containsF).drop("_cell")
+    else
+      pts.sortWithinPartitions("_cell").join(polys, Seq("_cell"))
+        .where(containsF).drop("_cell")
   }
 }

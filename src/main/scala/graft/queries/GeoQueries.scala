@@ -75,19 +75,28 @@ object GeoQueries {
   }
 
   val qs: Seq[QueryDef] = Seq(
-    // §2.7 POINT/WITHIN recipe end-to-end (U1 point path, U2, U3, F11, J1)
+    // §2.7 POINT/WITHIN recipe end-to-end (U1 point path, U2, U3, F11, J1).
+    // forWrite = false: these queries end in a total orderBy, which plans
+    // its own range exchange and makes the sink path's repartition(
+    // h3_r3_parent) a full extra shuffle of the indexed frame that the
+    // sort immediately replaces (the same waste Resolver.resolve already
+    // documents on its forWrite=false path). Output columns, rows, and
+    // final order are byte-identical — only the dead exchange is gone.
     QueryDef("h3_index_points",
-      (s, d) => indexed(s, pointsInput, pointsDf(s, d)).orderBy("h3_index", "point_id"),
+      (s, d) => indexed(s, pointsInput, pointsDf(s, d), forWrite = false)
+        .orderBy("h3_index", "point_id"),
       headline = true),
 
     // §2.7 LINE/PCT_LENGTH recipe (path cells, planar length ratio, F10)
     QueryDef("h3_index_lines",
-      (s, d) => indexed(s, linesInput, linesDf(s, d)).orderBy("h3_index", "route_id"),
+      (s, d) => indexed(s, linesInput, linesDf(s, d), forWrite = false)
+        .orderBy("h3_index", "route_id"),
       headline = true),
 
     // §2.7 POLYGON/PCT_AREA recipe (centroid polyfill, area ratio, F11)
     QueryDef("h3_index_polygons",
-      (s, d) => indexed(s, polysInput, polysDf(s, d)).orderBy("h3_index", "geo_id"),
+      (s, d) => indexed(s, polysInput, polysDf(s, d), forWrite = false)
+        .orderBy("h3_index", "geo_id"),
       headline = true),
 
     // full resolver: two inputs, value×ratio group-sum, full-outer fold

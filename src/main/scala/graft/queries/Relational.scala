@@ -107,7 +107,16 @@ object Relational {
     QueryDef(
       "a4_revenue_decimal",
       (s, d) =>
-        T(s, d, "lineitem")
+        // fan out of the single-task scan stage before the decimal multiply
+        // chain: the per-row decimal arithmetic otherwise runs serially
+        // inside the unsplittable one-row-group scan (no-op at cluster
+        // scale); decimal sums are exact and order-independent, so the
+        // regrouping cannot move the result by a bit. HASH fan-out on a
+        // high-cardinality column — keyless repartition would pay a local
+        // sort inside the same single scan task (sortBeforeRepartition).
+        graft.engine.Fanout.ensureByKey(s, T(s, d, "lineitem")
+            .select("l_returnflag", "l_extendedprice", "l_discount"),
+            col("l_extendedprice"))
           .groupBy("l_returnflag")
           .agg(
             sum(col("l_extendedprice").cast("decimal(18,2)") *

@@ -708,13 +708,25 @@ object TextOps {
       (s, d) => {
         // (doc_id, gram) dedup is PER-DOCUMENT, so it needs no shuffle:
         // array_distinct inside the projection replaces the global
-        // .distinct() exchange this plan used to pay over the whole corpus
-        val grams = T(s, d, "documents")
+        // .distinct() exchange this plan used to pay over the whole corpus.
+        // Fan the corpus out BEFORE the tokenize→shingle chain: a small
+        // input scans as ONE partition and the whole regexp+explode ran
+        // serially inside that task (measured: a 0.9 s single-task stage =
+        // most of this query's wall at sf0.1; no-op at cluster scale where
+        // splits >= cores). The size(ws) >= 3 guard lives INSIDE the
+        // explode input (empty array drops the row exactly like the old
+        // where()) — as a Filter it would be pushed below the fan-out
+        // exchange and re-run the regexp chain serially in the scan task.
+        val fanned = graft.engine.Fanout.ensure(s,
+          T(s, d, "documents").select("doc_id", "text"))
+        val grams = fanned
           .withColumn("ws", expr(
             "filter(split(regexp_replace(lower(text), '[^a-z0-9]+', ' '), ' +'), x -> x != '')"))
-          .where(size(col("ws")) >= 3)
           .select(col("doc_id"), explode(expr(
-            "array_distinct(transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3))))"))
+            """CASE WHEN size(ws) >= 3
+              |THEN array_distinct(transform(sequence(1, size(ws) - 2),
+              |       i -> concat_ws(' ', slice(ws, i, 3))))
+              |ELSE array() END""".stripMargin))
             .as("gram"))
         val eval = grams.where(pmod(col("doc_id"), lit(97)) === 0)
           .select(col("gram"), col("doc_id").as("eval_id"))

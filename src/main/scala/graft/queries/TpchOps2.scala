@@ -286,6 +286,14 @@ object TpchOps2 {
         val nat = T(s, d, "nation").select("n_nationkey", "n_name")
         val o = T(s, d, "orders")
           .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy").as("o_year"))
+        // NO fan-out here, by measurement: every join below is broadcast and
+        // the final aggregate does map-side partial aggregation, so the
+        // single-task scan chain (600 k rows at sf0.1) costs less than the
+        // exchange a fan-out adds (A/B min-of-5: 0.60 s bare vs 0.92 s
+        // fanned — the 15 MB exchange + stage barrier never pays for
+        // itself when everything downstream of it is map-side anyway). At
+        // cluster scale the scan has splits >= cores and a fan-out would be
+        // a no-op, so leaving it out is scale-neutral.
         val l = T(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"),
             expr(Rev).as("rev"))
@@ -625,6 +633,15 @@ object TpchOps2 {
           .join(o, col("l_orderkey") === col("o_orderkey"))
           .withColumn("late",
             col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          // ONE exchange on the order key serves both the per-(order,supplier)
+          // aggregate (clustering on a SUBSET of the grouping keys satisfies
+          // it) and the order-partitioned windows below, which previously
+          // planned their own hashpartitioning(l_orderkey) exchange over the
+          // aggregated frame — 3 shuffles → 2 (guide §2.4: window keyed like
+          // the preceding aggregation shares its exchange). It also moves the
+          // collect_list partial aggregation out of the single-task parquet
+          // scan stage (unsplittable one-row-group file at bench scale).
+          .repartition(col("l_orderkey"))
         val perSupp = joined.groupBy("l_orderkey", "l_suppkey")
           .agg(max("l_shipdate").as("smax"),
             collect_list(when(col("late"), col("l_shipdate"))).as("late_ships"))
