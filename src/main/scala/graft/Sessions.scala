@@ -44,6 +44,20 @@ object Sessions {
       // sessions that don't set this flag.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // Allow shuffled-hash joins when the per-partition build side fits:
+      // sort-merge pays two full sorts a hash join doesn't need (guide
+      // §3.1/§9). Static planning keeps its conservative size conditions
+      // (preferSortMergeJoin=false only lets the planner CHOOSE hash when
+      // stats say the build side is small); the AQE threshold additionally
+      // rewrites SMJ→SHJ at runtime when every post-shuffle partition is
+      // under 128 MB — safely under execution memory per task at 4 GB+
+      // executors, and env-overridable for other cluster shapes. Measured
+      // r12 A/B (min-of-4, sf0.1): tpch_q21 1.13→0.95, events_sessionize
+      // 0.63→0.57, dedup_minhash_lsh 1.03→0.98, rest unchanged.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD", "134217728"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

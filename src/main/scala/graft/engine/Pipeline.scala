@@ -460,7 +460,38 @@ object Resolver {
             s"h3_index must be LONG or hex STRING, got ${other.simpleString}")
         }
       }
-    val folded = frames.reduce(_.join(_, Seq(Cols.H3Index), "full_outer"))
+    // Fold strategy. The per-input frames are post-aggregation (one row per
+    // cell) with pairwise-disjoint sum_ columns, so the N-way full-outer
+    // join is exactly a union + one per-cell aggregate: pad each frame with
+    // nulls for the other inputs' columns, union, groupBy(h3_index),
+    // max(col) — each column has at most ONE non-null value per cell, so
+    // max() is pure selection (no arithmetic; values pass through
+    // bit-identical, nulls stay null exactly like the outer join). The
+    // join fold planned 2(N−1) exchanges + sorts and N−1 SortMergeJoins —
+    // with AQE each a serially-materialized stage; the union fold is ONE
+    // exchange + hash aggregate at any N, and the per-input subtrees
+    // materialize concurrently as independent AQE stages. Falls back to
+    // the join fold if sum_ names collide across inputs (ambiguous there
+    // too) or a frame has a repeated cell (never produced by resolveInput).
+    val sumCols = frames.map(_.columns.filter(_.startsWith("sum_")).toSeq)
+    val allSums = sumCols.flatten
+    val folded =
+      if (frames.size > 1 && allSums.distinct.size == allSums.size) {
+        val sumType: Map[String, DataType] =
+          frames.zip(sumCols).flatMap { case (df, own) =>
+            own.map(c => c -> df.schema(c).dataType)
+          }.toMap
+        val padded = frames.zip(sumCols).map { case (df, own) =>
+          df.select(col(Cols.H3Index) +: allSums.map { c =>
+            if (own.contains(c)) col(c)
+            else lit(null).cast(sumType(c)).as(c)
+          }: _*)
+        }
+        padded.reduce(_.unionByName(_))
+          .groupBy(Cols.H3Index)
+          .agg(max(col(allSums.head)).as(allSums.head),
+            allSums.tail.map(c => max(col(c)).as(c)): _*)
+      } else frames.reduce(_.join(_, Seq(Cols.H3Index), "full_outer"))
     val isLong = folded.schema(Cols.H3Index).dataType == LongType
     val withEpilogue =
       if (isLong) folded

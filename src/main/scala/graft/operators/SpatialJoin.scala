@@ -156,7 +156,7 @@ object SpatialJoin {
     // prepared-geometry LRU actually hits: a cell's candidate polygons
     // repeat back-to-back instead of being scattered across the partition
     // (measured: containment-stage CPU drops ~3× at sf0.1).
-    val pts = fan(points).withColumn("_cell",
+    def ptsWithCell(df: DataFrame) = df.withColumn("_cell",
       explode(expr(
         s"array_compact(array(h3_unhex(h3_latlng_cell_native(${lat.toString}, ${lng.toString}, $res))))")))
     val polys = fan(polygons).withColumn("_cell",
@@ -178,9 +178,16 @@ object SpatialJoin {
     // broadcast at 100 TB) the original shape stays: polygons build side,
     // local sort on the cell so same-cell probes are contiguous.
     if (Dedup.fitsBroadcast(points))
-      polys.join(broadcast(pts), Seq("_cell")).where(containsF).drop("_cell")
+      // the broadcast side stays FANNED even though it is about to be
+      // collected: the executeCollect of the broadcast subtree serializes
+      // every row, and 32 tasks doing that in parallel beat one scan task
+      // doing it serially (r12 A/B min-of-7: 1.36 s fanned vs 1.71 s
+      // bare). At cluster scale the fan-out is a no-op (splits >= cores).
+      polys.join(broadcast(ptsWithCell(fan(points))), Seq("_cell"))
+        .where(containsF).drop("_cell")
     else
-      pts.sortWithinPartitions("_cell").join(polys, Seq("_cell"))
+      ptsWithCell(fan(points)).sortWithinPartitions("_cell")
+        .join(polys, Seq("_cell"))
         .where(containsF).drop("_cell")
   }
 }

@@ -112,6 +112,11 @@ object GeoQueries {
         // the two per-input pipelines are independent: checkpoint them
         // CONCURRENTLY (two driver threads, one Spark scheduler) so the
         // resolve costs max(points, polygons), not their sum
+        // (r12 A/B: folding both pipelines into ONE plan — relying on AQE
+        // to materialize the two subtrees' stages concurrently — measured
+        // SLOWER than the two-thread checkpoint form, 1.68 vs 1.46 s
+        // min-of-5: each pipeline has 2-3 internally-serial AQE stages and
+        // driver threads overlap those cascades fully.)
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
