@@ -476,7 +476,8 @@ object Resolver {
     val sumCols = frames.map(_.columns.filter(_.startsWith("sum_")).toSeq)
     val allSums = sumCols.flatten
     val folded =
-      if (frames.size > 1 && allSums.distinct.size == allSums.size) {
+      if (frames.size > 1 && allSums.nonEmpty &&
+          allSums.distinct.size == allSums.size) {
         val sumType: Map[String, DataType] =
           frames.zip(sumCols).flatMap { case (df, own) =>
             own.map(c => c -> df.schema(c).dataType)

@@ -87,15 +87,27 @@ object GeoQueries {
         .orderBy("h3_index", "point_id"),
       headline = true),
 
-    // §2.7 LINE/PCT_LENGTH recipe (path cells, planar length ratio, F10)
+    // §2.7 LINE/PCT_LENGTH recipe (path cells, planar length ratio, F10).
+    // forWrite STAYS TRUE here and for polygons, unlike points: the final
+    // orderBy's range exchange samples its child by RE-EXECUTING it, so
+    // without a materialization boundary the expensive chain (parse →
+    // path-cells → ratio) runs twice per action — invisible at sf0.1
+    // (~0.1 s) but catastrophic at scale where the double pass also
+    // thrashes the bounded CellInfo memo (r12 10× soak: 13.7× wall slope
+    // with forWrite=false vs r11's 1.7× with the parent exchange; 8.9 M
+    // ratio calls/action = exactly 2× the pair count). The parent
+    // repartition is that boundary: the chain materializes once as
+    // shuffle files and the sort samples those. Points keep
+    // forWrite=false — their per-row chain is a native cell call (10×
+    // slope 2.1), so the dead exchange costs more than the re-execution.
     QueryDef("h3_index_lines",
-      (s, d) => indexed(s, linesInput, linesDf(s, d), forWrite = false)
+      (s, d) => indexed(s, linesInput, linesDf(s, d))
         .orderBy("h3_index", "route_id"),
       headline = true),
 
     // §2.7 POLYGON/PCT_AREA recipe (centroid polyfill, area ratio, F11)
     QueryDef("h3_index_polygons",
-      (s, d) => indexed(s, polysInput, polysDf(s, d), forWrite = false)
+      (s, d) => indexed(s, polysInput, polysDf(s, d))
         .orderBy("h3_index", "geo_id"),
       headline = true),
 
