@@ -106,20 +106,63 @@ object Validator {
   private val NumericTypes: Set[DataType] =
     Set(IntegerType, LongType, FloatType, DoubleType, ShortType, ByteType)
 
-  /** PK-uniqueness verdicts per (session, canonicalized input plan, uid).
-    * The check is a BLOCKING aggregate job (count + count_distinct +
-    * head()) that gates every pipeline build; re-validating a plan the
-    * session already proved unique is a pure re-run of the same job on the
-    * same input (the bench re-builds each query fresh per rep, so it paid
-    * this job per input per rep). Same memo pattern/bound as
-    * Dedup.fitsBroadcast and AnnLsh.memoizedCount — a validation verdict
-    * keyed on the plan, never query results. A failed check is NOT cached:
-    * an input that throws must keep throwing.
+  /** PK-uniqueness verdicts per (session, canonicalized-plan digest, data
+    * version, uid). The check is a BLOCKING aggregate job (count +
+    * count_distinct + head()) that gates every pipeline build;
+    * re-validating a plan the session already proved unique is a pure
+    * re-run of the same job on the same input (the bench re-builds each
+    * query fresh per rep, so it paid this job per input per rep). Same
+    * memo pattern/bound as Dedup.fitsBroadcast and AnnLsh.memoizedCount —
+    * a validation verdict keyed on the plan, never query results. A failed
+    * check is NOT cached: an input that throws must keep throwing.
+    *
+    * The key is (md5 of the canonicalized plan's string, input-file
+    * signature, uid) — strings, never plan objects, so the weak session
+    * key is not pinned by its own values (a LogicalRelation holds its
+    * HadoopFsRelation which holds the SparkSession: caching the plan
+    * itself defeated the WeakHashMap and leaked stopped sessions). The
+    * file signature folds each input file's path plus, for local files,
+    * length and mtime — a parquet input REWRITTEN at the same path within
+    * a session re-validates instead of riding a stale verdict (the
+    * reference validator.py validates every run; remote schemes fall back
+    * to the path list, which parquet's unique part-file names change on
+    * every rewrite anyway).
     */
   private val pkVerdicts =
-    new java.util.WeakHashMap[SparkSession, java.util.LinkedHashMap[
-      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String), java.lang.Boolean]]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.LinkedHashMap[(String, String, String), java.lang.Boolean]]()
   private val MaxPkMemoEntries = 64
+
+  /** Sorted input files + (length, mtime) for local ones — cheap stats,
+    * no Spark job (the scan's InMemoryFileIndex already listed them).
+    * Shared by the plan-keyed verdict memos (PK uniqueness here,
+    * Dedup.fitsBroadcast) so a rewritten input re-probes. */
+  private[graft] def dataVersionSig(df: DataFrame): String = {
+    val files = df.inputFiles
+    if (files.isEmpty) ""
+    else files.sorted.map { f =>
+      val uri = java.net.URI.create(f)
+      if (uri.getScheme == null || uri.getScheme == "file") {
+        val jf = new java.io.File(uri.getPath)
+        s"$f:${jf.length}:${jf.lastModified}"
+      } else f
+    }.mkString("\n")
+  }
+
+  /** Session-independent plan identity for verdict memos (caching the
+    * LogicalPlan object itself pinned the SparkSession through
+    * HadoopFsRelation and defeated the WeakHashMap session keys): md5 of
+    * the canonicalized plan's string PLUS its structural hashCode — the
+    * string alone is not faithful for in-memory inputs (LocalRelation's
+    * toString omits the rows, so two different literal datasets printed
+    * identically; the structural hash folds the rows in). */
+  private[graft] def planDigest(df: DataFrame): String = {
+    val p = df.queryExecution.analyzed.canonicalized
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(p.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    s"$md5:${p.hashCode}"
+  }
 
   def validate(spark: SparkSession, in: VectorInput, df: DataFrame,
                withGeoJson: Boolean = false): DataFrame = {
@@ -128,17 +171,16 @@ object Validator {
       var m = pkVerdicts.get(spark)
       if (m == null) {
         m = new java.util.LinkedHashMap[
-          (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
-          java.lang.Boolean](16, 0.75f, true) {
+          (String, String, String), java.lang.Boolean](16, 0.75f, true) {
           override def removeEldestEntry(e: java.util.Map.Entry[
-              (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
-              java.lang.Boolean]): Boolean = size() > MaxPkMemoEntries
+              (String, String, String), java.lang.Boolean]): Boolean =
+            size() > MaxPkMemoEntries
         }
         pkVerdicts.put(spark, m)
       }
       m
     }
-    val memoKey = (df.queryExecution.analyzed.canonicalized, in.uniqueId)
+    val memoKey = (Validator.planDigest(df), dataVersionSig(df), in.uniqueId)
     if (perSession.synchronized(perSession.get(memoKey)) == null) {
       val Array(nRows: Long, nKeys: Long) = df
         .agg(count(lit(1)), count_distinct(col(in.uniqueId))).head()
@@ -472,11 +514,20 @@ object Resolver {
     // exchange + hash aggregate at any N, and the per-input subtrees
     // materialize concurrently as independent AQE stages. Falls back to
     // the join fold if sum_ names collide across inputs (ambiguous there
-    // too) or a frame has a repeated cell (never produced by resolveInput).
+    // too) or any frame carries columns beyond (h3_index, its own sum_*) —
+    // the padded select would silently drop such columns where the join
+    // fold preserved them. Distinct cells per frame and non-null cells are
+    // ASSUMED (resolveInput guarantees both: its groupBy(h3_index) emits
+    // one row per non-null cell), not detected: a duplicate cell would be
+    // max-merged and null cells grouped where the outer join kept rows
+    // apart.
     val sumCols = frames.map(_.columns.filter(_.startsWith("sum_")).toSeq)
     val allSums = sumCols.flatten
+    val shapeOk = frames.zip(sumCols).forall { case (df, own) =>
+      df.columns.toSet == (own.toSet + Cols.H3Index)
+    }
     val folded =
-      if (frames.size > 1 && allSums.nonEmpty &&
+      if (frames.size > 1 && allSums.nonEmpty && shapeOk &&
           allSums.distinct.size == allSums.size) {
         val sumType: Map[String, DataType] =
           frames.zip(sumCols).flatMap { case (df, own) =>

@@ -29,12 +29,17 @@ object ConnectedComponents {
   def components(spark: SparkSession, edges: DataFrame,
                  src: String, dst: String, maxIter: Int = 25): DataFrame = {
     // normalize: undirected, self-loops dropped, canonical (big, small)
+    // LAZY checkpoints throughout: the checksum action right after each
+    // checkpoint is what materializes it, so every round costs ONE job
+    // (an eager localCheckpoint ran the round's pipeline as its own job
+    // and the checksum then re-read the stored blocks as a second job —
+    // pure driver/scheduling latency, 2x the job count per round).
     var e = edges
       .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     def checksum(df: DataFrame): (Long, Long) = {
       // bit_xor, not sum: ANSI mode faults on int64 overflow, and xor is
@@ -47,37 +52,48 @@ object ConnectedComponents {
 
     /** One star round. Large-star keeps the graph connected while hanging
       * big neighbors below the local min; small-star flattens.
+      *
+      * Exploits the canonical-edge invariant (u > v on every row, kept by
+      * both stars' outputs): a center's candidate minimum can only be a
+      * BELOW-neighbor, and its below-neighbors are exactly the v values of
+      * its u-side rows — so m(c) = min(c, min{v : (c,v) ∈ E}) comes from
+      * ONE groupBy("u") instead of the former both-directions union view
+      * (which shuffled 2|E| rows into the per-center aggregate and join).
+      * Per-center min via groupBy + join, NOT a window: a window would
+      * sort every hub's full neighborhood in one task, while the hash
+      * aggregate collapses it map-side (hubs are exactly what star rounds
+      * produce). Derivation, per edge (u, v):
+      *   large-star keeps neighbors ABOVE their center — center v,
+      *     neighbor u → emit (u, m(v)); m(v) ≤ v < u keeps canonical form
+      *     and can never self-loop. Centers with no u-side rows have no
+      *     below-neighbor: m = the center itself (left join + coalesce).
+      *   small-star keeps neighbors AT/BELOW their center — center u,
+      *     neighbor v → emit (v ∨ m(u), v ∧ m(u)); plus every center
+      *     re-attaching to its own min, which is exactly the `mins` rows
+      *     (m(u) < u always; centers without u-side rows would emit the
+      *     self-loop (c, c) the filter drops, so omitting them is the
+      *     same set the former withMin-based union produced).
       */
     def star(df: DataFrame, large: Boolean): DataFrame = {
-      // neighborhood view centered on each node (both directions)
-      val nbrs = df.select(col("u").as("c"), col("v").as("n"))
-        .unionAll(df.select(col("v").as("c"), col("u").as("n")))
-      // per-center min via groupBy + join, NOT a window: a window would
-      // sort every hub's full neighborhood in one task, while the hash
-      // aggregate collapses it map-side (hubs are exactly what star
-      // rounds produce)
-      val mins = nbrs.groupBy("c")
-        .agg(min(least(col("c"), col("n"))).as("m"))
-      val withMin = nbrs.join(mins, "c")
-      val kept =
-        if (large) withMin.where(col("n") > col("c"))
-        else withMin.where(col("n") <= col("c"))
-      val rewired = kept.select(greatest(col("n"), col("m")).as("u"),
-        least(col("n"), col("m")).as("v"))
-      // in small-star the center re-attaches to its min as well
-      val withCenter =
-        if (large) rewired
-        else rewired.unionAll(withMin
-          .select(greatest(col("c"), col("m")).as("u"),
-            least(col("c"), col("m")).as("v")).distinct())
-      withCenter.where(col("u") =!= col("v")).distinct()
+      val mins = df.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val rewired =
+        if (large)
+          df.join(mins.select(col("u").as("v"), col("m")), Seq("v"), "left")
+            .select(col("u"), coalesce(col("m"), col("v")).as("v"))
+        else
+          df.join(mins, Seq("u"))
+            .select(greatest(col("v"), col("m")).as("u"),
+              least(col("v"), col("m")).as("v"))
+            .unionAll(mins.select(col("u"), col("m").as("v")))
+      rewired.where(col("u") =!= col("v")).distinct()
     }
 
     var prev = checksum(e)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = star(star(e, large = true), large = false).localCheckpoint()
+      val next = star(star(e, large = true), large = false)
+        .localCheckpoint(eager = false)
       val cs = checksum(next)
       converged = cs == prev
       prev = cs

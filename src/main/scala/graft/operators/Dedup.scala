@@ -352,23 +352,25 @@ object Dedup {
       }
     }.reduceOption(_ + _).getOrElse(lit(8L))
 
-  // Broadcast decisions memoized per (session, canonicalized plan): the
-  // probe is one bounded job, and repeated builds of the same query (bench
-  // reps, twin queries over one corpus) must not pay it again. WeakHashMap
-  // on the session so a closed session frees its entries; the inner map is
-  // a bounded LRU because its keys are whole LogicalPlans (each retaining a
-  // FileIndex listing) — an unbounded memo in a long-lived session is a
-  // leak. Staleness is bounded the same way Spark's own execution is: a
-  // plan's FileIndex is a snapshot taken at read time, so a re-read of a
-  // grown directory builds a NEW relation (≠ key → fresh probe), while a
-  // reused DataFrame object executes against its original snapshot — the
-  // memoized decision always matches the bytes that plan would scan.
+  // Broadcast decisions memoized per (session, plan digest, data version):
+  // the probe is one bounded job, and repeated builds of the same query
+  // (bench reps, twin queries over one corpus) must not pay it again.
+  // WeakHashMap on the session so a closed session frees its entries; the
+  // inner map is a bounded LRU so an unbounded memo in a long-lived
+  // session can't grow without limit. Staleness is bounded by the key's
+  // data-version signature (file list + local lengths/mtimes): a grown or
+  // rewritten input changes the signature → fresh probe.
   private val MaxMemoEntries = 128
+  // Keys are (plan digest, data-version signature, estimator, caps) —
+  // STRINGS, not LogicalPlans: a cached plan pins its SparkSession through
+  // HadoopFsRelation, defeating the weak session key, and a plan-only key
+  // rode a stale verdict across an in-place input rewrite (the signature
+  // folds file lengths/mtimes via Validator.dataVersionSig).
   private val broadcastDecisions =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
         java.util.LinkedHashMap[
-          (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long, Long),
+          (String, String, String, Long, Long),
           java.lang.Boolean]]())
 
   /** Broadcast a verify-stage corpus side only when it is provably small.
@@ -395,10 +397,10 @@ object Dedup {
       var m = broadcastDecisions.get(df.sparkSession)
       if (m == null) {
         m = new java.util.LinkedHashMap[
-          (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long, Long),
+          (String, String, String, Long, Long),
           java.lang.Boolean](16, 0.75f, /* accessOrder = */ true) {
           override def removeEldestEntry(e: java.util.Map.Entry[
-              (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Long, Long),
+              (String, String, String, Long, Long),
               java.lang.Boolean]): Boolean = size() > MaxMemoEntries
         }
         broadcastDecisions.put(df.sparkSession, m)
@@ -407,7 +409,8 @@ object Dedup {
     }
     val estimator = rowBytes.getOrElse(approxRowBytes(df.schema))
     val estimatorTag = rowBytes.fold("default")(_.toString)
-    val key = (df.queryExecution.analyzed.canonicalized, estimatorTag, maxRows, maxBytes)
+    val key = (graft.engine.Validator.planDigest(df),
+      graft.engine.Validator.dataVersionSig(df), estimatorTag, maxRows, maxBytes)
     val cached = perSession.synchronized(perSession.get(key))
     if (cached != null) return cached.booleanValue()
     val capped = df.limit((maxRows + 1).min(Int.MaxValue).toInt)

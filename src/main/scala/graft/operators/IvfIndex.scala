@@ -36,9 +36,18 @@ object IvfIndex {
     * AnnLsh.memoizedCount) pass it via `knownN` so training doesn't run a
     * second full count pass over the corpus.
     */
-  def train(spark: SparkSession, emb: DataFrame, k: Int, iters: Int,
+  def train(spark: SparkSession, embIn: DataFrame, k: Int, iters: Int,
             knownN: Option[Long] = None): Model = {
     import spark.implicits._
+    // Pin the training corpus once (lazy; the seed collect below
+    // materializes it): every Lloyd pass and the seed queries otherwise
+    // re-run the caller's full input plan — parquet scan, casts, any
+    // union/transform — and the driver re-analyzes that lineage per
+    // iteration. Standard iterative-training practice (MLlib k-means
+    // caches its input); MEMORY_AND_DISK, so an over-RAM corpus spills
+    // rather than OOMs, and the handle is train-local so the blocks are
+    // collected with the RDD after the model is built.
+    val emb = embIn.localCheckpoint(eager = false)
     val n = knownN.getOrElse(emb.count())
     val stride = math.max(1, n / k)
     // deterministic init: evenly spaced ids (corpus order is stable). This
@@ -66,27 +75,46 @@ object IvfIndex {
       }
     var centroids = seeds.map(_.toArray)
 
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
     for (_ <- 1 to iters) {
       // native codegen assignment (engine.Expressions.NearestCentroidExpr):
       // the centroid matrix rides in the plan and the kernel reads doubles
       // straight from the row buffer — no Seq boxing per row, identical
       // argmin to the former UDF (same op order, first-min ties)
       val assign = nearestCentroidCol(col("v"), centroids)
-      // per-(cluster, dim) partial sums: the aggregation buffer is a single
-      // double per key, so no cluster's member vectors ever materialize in
-      // one row (round-1's collect_list variant OOMed by construction at
-      // large cluster sizes). Only k×dim tiny rows reach the driver.
-      val sums = emb
+      // Per-cluster dim-wise sums as one groupBy("c") with a (2·dim)-column
+      // aggregate buffer, replacing the former posexplode + groupBy(c, d):
+      // the explode pushed corpus×dim rows through the hash aggregate where
+      // this processes corpus rows once (the buffer per key is the same
+      // k×dim doubles either way, so nothing cluster-sized materializes in
+      // one row — round-1's collect_list variant OOMed by construction).
+      // Only k tiny rows reach the driver. Element semantics mirror the
+      // explode exactly: s_d sums the non-null elements at dim d
+      // (try_element_at is null out of bounds, like the explode emitting
+      // nothing), n_d counts rows WHERE dim d exists, null element or not
+      // (the explode emitted a row for null elements and count(1) counted
+      // it); a (c, d) pair with no members keeps 0.0 like the former
+      // zero-filled array.
+      val aggs = (0 until dim).flatMap(i => Seq(
+        sum(try_element_at(col("v"), lit(i + 1))).as(s"s$i"),
+        sum(when(size(col("v")) > i, 1L).otherwise(0L)).as(s"n$i")))
+      val stats = emb
         .withColumn("c", assign)
-        .select(col("c"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy("c", "d")
-        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .where(col("c").isNotNull)
+        .groupBy("c")
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
       val next = centroids.clone()
-      sums.groupBy(_.getAs[Int]("c")).foreach { case (c, rs) =>
+      stats.foreach { r =>
+        val c = r.getAs[Int]("c")
         val arr = new Array[Double](centroids(c).length)
-        rs.foreach { r =>
-          arr(r.getAs[Int]("d")) = r.getAs[Double]("sx") / r.getAs[Long]("n")
+        var i = 0
+        while (i < arr.length) {
+          val n = r.getLong(2 + 2 * i)
+          // null sum (all-null elements) divided like the former
+          // null.asInstanceOf[Double] = 0.0 driver merge
+          if (n > 0L && !r.isNullAt(1 + 2 * i)) arr(i) = r.getDouble(1 + 2 * i) / n
+          i += 1
         }
         next(c) = arr
       }
@@ -194,18 +222,27 @@ object IvfIndex {
       val joined = joinCodebooks(assigned, cb, fineBytes, "inner")
         .withColumn("__tl_f",
           graft.engine.Expressions.nearestInCodebook(col("v"), col("__tl_cents")))
-      // per-(cell, fine, dim) partial sums — the same bounded-buffer shape
-      // as the flat trainer, but aggregated fully distributed (at k = 2²⁰
-      // the k×dim means table is 67M tiny rows: fine as a shuffle, fatal
-      // as a collect)
+      // Per-(cell, fine) dim-wise sums in ONE aggregate with a 2·dim-column
+      // buffer, fully distributed (at k = 2²⁰ the means table is 1M rows of
+      // dim-arrays: fine as a shuffle, fatal as a collect). Replaces the
+      // former posexplode + groupBy(c, f, d) + collect_list re-assembly:
+      // the explode pushed corpus×dim rows through the aggregate and the
+      // re-assembly paid a SECOND exchange on (c, f); this processes corpus
+      // rows once and builds the centroid array in the post-agg project.
+      // s_d/n_d semantics mirror the explode (see train); a dim with no
+      // members yields a null mean, and sum-null/n is null — never a
+      // divide-by-zero, since n_d > 0 forces at least one non-null term.
+      val dimT = coarse.centroids.headOption.map(_.length).getOrElse(0)
+      val fineAggs = (0 until dimT).flatMap(i => Seq(
+        sum(try_element_at(col("v"), lit(i + 1))).as(s"s$i"),
+        sum(when(size(col("v")) > i, 1L).otherwise(0L)).as(s"n$i")))
       val means = joined
-        .select(col("__tl_c").as("c"), col("__tl_f").as("f"),
-          posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy("c", "f", "d")
-        .agg((sum("x") / count(lit(1))).as("m"))
+        .select(col("__tl_c").as("c"), col("__tl_f").as("f"), col("v"))
         .groupBy("c", "f")
-        .agg(expr("transform(sort_array(collect_list(struct(d, m))), s -> s.m)")
-          .as("newc"))
+        .agg(fineAggs.head, fineAggs.tail: _*)
+        .select(col("c"), col("f"),
+          array((0 until dimT).map(i => col(s"s$i") / col(s"n$i")): _*)
+            .as("newc"))
       // empty fine cells keep their previous centroid
       val prevExpl = cb.select(col("c"),
         posexplode(col("cents")).as(Seq("f", "prev")))

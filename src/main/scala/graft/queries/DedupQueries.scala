@@ -544,7 +544,14 @@ object DedupQueries {
         (df: DataFrame, v: org.apache.spark.sql.Column, out: String) =>
           graft.operators.IvfIndex.assignTwoLevel(df, v, m2, out)
       }
-    val assigned = quant.withCluster(e, col("ve"), "cluster")
+    // Fan the clustered rows out on the cluster id before the self-join:
+    // the within-cluster pair sweep is CPU-quadratic per partition but
+    // byte-small, so AQE's byte-based coalescing shrank the join's
+    // exchange to 2 tasks at sf0.1 (measured: 1.0 s wall / 1.7 s CPU on a
+    // 32-core session for the pair stage alone). ensureByKey is a no-op
+    // at cluster scale, where scan splits >> cores (guide §2.5).
+    val assigned = graft.engine.Fanout.ensureByKey(s,
+      quant.withCluster(e, col("ve"), "cluster"), col("cluster"))
     // within-cluster pairs: vectors shuffle ONCE on the cluster id (both
     // self-join sides share the exchange) and the codegen cosine filter
     // consumes joined pairs streamingly — nothing quadratic materializes

@@ -10,14 +10,21 @@ object BenchSome {
     val names = args(0).split(",").toSeq
     val dir = args(1)
     val reps = if (args.length > 2) args(2).toInt else 3
-    val defs = names.map(n => graft.SparkEntry.registry.find(_.name == n).get)
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    val defs = names.map(n => graft.SparkEntry.registry.find(_.name == n)
+      .getOrElse(sys.error(s"unknown query name: $n")))
+    // warmup/untimed failures are logged, not silent: a deterministically
+    // failing query otherwise surfaced only as an opaque crash in rep 1,
+    // after the diagnostic cause had been discarded
     defs.foreach { q =>
-      try q.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      try q.fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case t: Throwable =>
+        System.err.println(s"[benchsome] warm ${q.name}: ${t.getClass.getName}: ${t.getMessage}") }
     }
     val out = defs.map { q =>
       try q.fn(spark, dir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case t: Throwable =>
+        System.err.println(s"[benchsome] untimed ${q.name}: ${t.getClass.getName}: ${t.getMessage}") }
       val ts = (1 to reps).map { _ =>
         val gc0 = graft.Bench.gcMillis
         val t0 = System.nanoTime()
